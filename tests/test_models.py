@@ -1,0 +1,84 @@
+"""Backbone zoo: shape/dtype/param-structure unit tests (SURVEY.md §4)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tf_face_toolbox_tpu.models import create_network, init_variables, list_networks
+from tests.util import jit_apply
+
+# Small inputs keep CPU test time sane; stems are resolution-agnostic.
+SMALL = 32
+
+FAST_ZOO = ["resnet_v1_50", "se_resnet_50", "resnext_50", "se_resnext_50",
+            "densenet_121"]
+DEEP_ZOO = [n for n in list_networks() if n not in FAST_ZOO]
+
+
+@pytest.mark.parametrize("name", FAST_ZOO)
+def test_backbone_shapes(name):
+    net = create_network(name, embedding_dim=64)
+    variables = init_variables(net, jax.random.key(0), (2, SMALL, SMALL, 3))
+    emb = jit_apply(net, variables, jnp.zeros((2, SMALL, SMALL, 3)))
+    assert emb.shape == (2, 64)
+    assert emb.dtype == jnp.float32
+    assert "params" in variables and "batch_stats" in variables
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", DEEP_ZOO)
+def test_deep_backbone_shapes(name):
+    net = create_network(name, embedding_dim=64)
+    variables = init_variables(net, jax.random.key(0), (1, SMALL, SMALL, 3))
+    emb = jit_apply(net, variables, jnp.zeros((1, SMALL, SMALL, 3)))
+    assert emb.shape == (1, 64)
+
+
+def test_factory_unknown_name():
+    with pytest.raises(ValueError, match="unknown network"):
+        create_network("vgg_16")
+
+
+def test_resnet50_train_mode_updates_batch_stats():
+    net = create_network("resnet_v1_50", embedding_dim=32)
+    x = jax.random.normal(jax.random.key(1), (2, SMALL, SMALL, 3))
+    variables = init_variables(net, jax.random.key(0), x.shape)
+    train_apply = jax.jit(functools.partial(
+        net.apply, train=True, mutable=["batch_stats"]))
+    emb, mutated = train_apply(variables, x)
+    assert emb.shape == (2, 32)
+    # Running stats must actually move in train mode.
+    old = jax.tree.leaves(variables["batch_stats"])
+    new = jax.tree.leaves(mutated["batch_stats"])
+    assert any(not np.allclose(o, n) for o, n in zip(old, new))
+
+
+def test_bfloat16_compute_f32_params_f32_embedding():
+    net = create_network("resnet_v1_50", embedding_dim=32, dtype=jnp.bfloat16)
+    variables = init_variables(net, jax.random.key(0), (2, SMALL, SMALL, 3))
+    for leaf in jax.tree.leaves(variables["params"]):
+        assert leaf.dtype == jnp.float32
+    emb = jit_apply(net, variables, jnp.ones((2, SMALL, SMALL, 3)))
+    assert emb.dtype == jnp.float32
+
+
+def test_deterministic_eval():
+    net = create_network("se_resnet_50", embedding_dim=32)
+    x = jax.random.normal(jax.random.key(2), (2, SMALL, SMALL, 3))
+    variables = init_variables(net, jax.random.key(0), x.shape)
+    e1 = jit_apply(net, variables, x)
+    e2 = jit_apply(net, variables, x)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_resnext_grouped_conv_param_shape():
+    # ResNeXt-50 stage-0 3x3 kernels must be grouped: kernel (3,3,4,128)
+    # since in-channels 128 split over 32 groups = 4.
+    net = create_network("resnext_50", embedding_dim=32)
+    variables = init_variables(net, jax.random.key(0), (1, SMALL, SMALL, 3))
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    shapes = [tuple(l.shape) for _, l in flat if hasattr(l, "shape")]
+    assert (3, 3, 4, 128) in shapes

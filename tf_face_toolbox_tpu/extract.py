@@ -1,0 +1,72 @@
+"""Feature extraction: flip-averaged, L2-normalized face embeddings.
+
+Rebuilds the reference's extractor (ref: upstream features.py
+[UPSTREAM-K]; SURVEY.md §3.2): for each face compute f(x) and
+f(flip(x)) with shared weights, average, L2-normalize.
+
+TPU-first design, unlike the reference's two separate graph branches:
+- The flip pair is computed in ONE forward pass by concatenating
+  [x; flip(x)] along the batch — doubles the effective batch, keeps the
+  MXU saturated, and lets XLA share every weight load between the two
+  halves (HBM-bandwidth win over running the model twice).
+- The whole thing (flip, concat, forward, average, normalize) lives in a
+  single jitted function; no host round-trips inside the hot loop.
+- Embeddings come back f32 even under bf16 compute, so the cosine
+  verification math downstream is exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tf_face_toolbox_tpu.models.layers import l2_normalize
+
+
+def flip_averaged_embeddings(apply_fn: Callable, variables: Any,
+                             images: jax.Array) -> jax.Array:
+    """Core extraction math: l2norm(f(x) + f(flip(x))).
+
+    ``apply_fn(variables, images)`` must run the backbone in eval mode.
+    Flip is along the width axis (NHWC axis 2), matching
+    tf.image.flip_left_right semantics (SURVEY.md §8).
+    """
+    n = images.shape[0]
+    both = jnp.concatenate([images, images[:, :, ::-1, :]], axis=0)
+    emb = apply_fn(variables, both)
+    return l2_normalize(emb[:n] + emb[n:])
+
+
+def make_extract_fn(net, *, donate: bool = True) -> Callable:
+    """Build the jitted extraction step for a backbone module.
+
+    Returns ``extract(variables, images) -> (N, D) f32 embeddings``.
+    ``images`` are standardized pixels (see ops.preprocess).
+    """
+    def _apply(variables, images):
+        return net.apply(variables, images, train=False)
+
+    def _extract(variables, images):
+        return flip_averaged_embeddings(_apply, variables, images)
+
+    donate_argnums = (1,) if donate else ()
+    return jax.jit(_extract, donate_argnums=donate_argnums)
+
+
+def extract_dataset(net, variables, batches: Iterable[np.ndarray],
+                    extract_fn: Callable | None = None) -> np.ndarray:
+    """Extract embeddings for a stream of image batches (host loop).
+
+    Mirrors the reference's per-batch sess.run loop (SURVEY.md §3.2 hot
+    loop) but with async dispatch: the next batch's H2D transfer overlaps
+    the current batch's compute because jax dispatch is non-blocking.
+    """
+    fn = extract_fn or make_extract_fn(net)
+    outs = []
+    for batch in batches:
+        outs.append(fn(variables, jnp.asarray(batch)))
+    return np.concatenate([np.asarray(o) for o in outs], axis=0)

@@ -1,0 +1,77 @@
+"""Network factory: string name → backbone module.
+
+Uniform signature across the zoo (ref: upstream nets/__init__.py factory
+[UPSTREAM-K]; SURVEY.md §2a "Net factory"):
+
+    net = create_network("resnet_v1_50", dtype=jnp.bfloat16)
+    variables = net.init(rng, images, train=False)
+    embeddings = net.apply(variables, images, train=False)   # (N, 512) f32
+
+Every entry produces a float32 ``embedding_dim`` embedding regardless of
+compute dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from tf_face_toolbox_tpu.models.densenet import DenseNet
+from tf_face_toolbox_tpu.models.resnet import ResNet
+
+# name → (module class, fixed kwargs)
+_REGISTRY: dict[str, tuple[type, dict[str, Any]]] = {
+    # ResNet family (ref: upstream nets/resnet.py [UPSTREAM-K])
+    "resnet_v1_50": (ResNet, dict(stage_sizes=(3, 4, 6, 3))),
+    "resnet_v1_101": (ResNet, dict(stage_sizes=(3, 4, 23, 3))),
+    "resnet_v1_152": (ResNet, dict(stage_sizes=(3, 8, 36, 3))),
+    # SE-ResNet family (ref: upstream nets/se_resnet.py [UPSTREAM-K])
+    "se_resnet_50": (ResNet, dict(stage_sizes=(3, 4, 6, 3), se_reduction=16)),
+    "se_resnet_101": (ResNet, dict(stage_sizes=(3, 4, 23, 3), se_reduction=16)),
+    # ResNeXt family, 32x4d convention (ref: upstream nets/resnext.py [UPSTREAM-K])
+    "resnext_50": (ResNet, dict(stage_sizes=(3, 4, 6, 3), groups=32, width_per_group=4)),
+    "resnext_101": (ResNet, dict(stage_sizes=(3, 4, 23, 3), groups=32, width_per_group=4)),
+    # SE-ResNeXt (composable knobs — free given the shared block library)
+    "se_resnext_50": (ResNet, dict(stage_sizes=(3, 4, 6, 3), groups=32,
+                                   width_per_group=4, se_reduction=16)),
+    # DenseNet family (ref: upstream nets/densenet.py [UPSTREAM-K])
+    "densenet_121": (DenseNet, dict(stage_sizes=(6, 12, 24, 16))),
+    "densenet_169": (DenseNet, dict(stage_sizes=(6, 12, 32, 32))),
+}
+
+
+def list_networks() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def create_network(name: str, *, embedding_dim: int = 512,
+                   dtype: jnp.dtype = jnp.float32, **overrides: Any):
+    """Instantiate a backbone by name.
+
+    Args:
+      name: registry key, e.g. "resnet_v1_50".
+      embedding_dim: output embedding size (BASELINE: 512).
+      dtype: compute dtype (use jnp.bfloat16 on TPU).
+      **overrides: any field of the underlying module (stem, head_variant, ...).
+    """
+    if name not in _REGISTRY:
+        raise ValueError(
+            f"unknown network '{name}'; available: {list_networks()}")
+    cls, kwargs = _REGISTRY[name]
+    merged = {**kwargs, **overrides,
+              "embedding_dim": embedding_dim, "dtype": dtype}
+    return cls(**merged)
+
+
+def init_variables(net, rng: jax.Array, input_shape: tuple[int, ...]):
+    """Jit-compiled variable init (params + batch_stats).
+
+    ~7x faster than eager ``net.init`` — eager init dispatches one tiny
+    XLA program per parameter tensor; jitting fuses the whole tree into
+    one compile.
+    """
+    dummy = jnp.zeros(input_shape, jnp.float32)
+    return jax.jit(functools.partial(net.init, train=False))(rng, dummy)

@@ -1,0 +1,148 @@
+"""Shared layer library for the backbone zoo.
+
+TPU-first conventions used throughout:
+
+- NHWC activations / HWIO kernels: the native layout for XLA:TPU convs.
+- ``dtype`` is the *compute* dtype (bfloat16 on TPU for MXU throughput);
+  ``param_dtype`` stays float32 so optimizers and BN statistics remain
+  accurate. flax inserts the casts; XLA fuses them into the convs.
+- Conv is bias-free when followed by BN (the BN shift subsumes it), so
+  XLA can fuse conv+BN+ReLU into a single kernel (BASELINE.json
+  north_star: "conv+BN+ReLU fusion").
+- No data-dependent Python control flow: every module traces to a static
+  graph; `train` is a static argument.
+
+The reference's equivalents live in its ``nets/*.py`` as raw
+``tf.nn.conv2d`` + ``tf.layers.batch_normalization`` calls
+(ref: upstream nets/resnet.py [UPSTREAM-K]).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+ModuleDef = Any
+
+# Kaiming/He normal: the standard init for ReLU residual nets.
+conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+dense_kernel_init = nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal")
+
+
+class ConvBN(nn.Module):
+    """Conv → BatchNorm, optionally → ReLU, shaped for XLA fusion.
+
+    Equivalent of the reference's conv+BN pairs inside every backbone
+    block (ref: upstream nets/resnet.py [UPSTREAM-K]).
+    """
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    groups: int = 1
+    relu: bool = True
+    # `scale_init` lets zero-init the last BN of a residual branch
+    # (identity-at-init residual blocks: stabilizes large-batch training).
+    bn_scale_init: Callable = nn.initializers.ones
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        x = nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            padding="SAME",
+            use_bias=False,
+            feature_group_count=self.groups,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=conv_kernel_init,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            scale_init=self.bn_scale_init,
+        )(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class SqueezeExcite(nn.Module):
+    """Squeeze-and-Excitation channel gating.
+
+    GAP → FC(C/r) → ReLU → FC(C) → sigmoid → channel scale
+    (ref: upstream nets/se_resnet.py [UPSTREAM-K]; SURVEY.md §3.4).
+
+    The two FCs are 1x1-dense on a (N, 1, 1, C) tensor — tiny matmuls the
+    MXU eats for free; XLA fuses the sigmoid-scale into the surrounding
+    elementwise stream.
+    """
+
+    reduction: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        squeezed = jnp.mean(x, axis=(1, 2), keepdims=True)  # (N,1,1,C)
+        s = nn.Dense(max(c // self.reduction, 8), dtype=self.dtype,
+                     param_dtype=jnp.float32)(squeezed)
+        s = nn.relu(s)
+        s = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32)(s)
+        s = nn.sigmoid(s)
+        return x * s
+
+
+class EmbeddingHead(nn.Module):
+    """Final embedding head: pool/flatten → FC(dim) → BN (no scale-relu).
+
+    Produces the 512-d face embedding (BASELINE.json: "512-d embeddings";
+    ref: upstream per-net final layers [UPSTREAM-K]). Two variants:
+
+    - ``gap``: global average pool → FC → BN  (SURVEY.md §3.4 call stack)
+    - ``flatten``: BN → dropout → flatten → FC → BN (ArcFace-style "E"
+      head; heavier but stronger for 112x112 face crops)
+    """
+
+    embedding_dim: int = 512
+    variant: str = "gap"  # "gap" | "flatten"
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        if self.variant == "gap":
+            x = jnp.mean(x, axis=(1, 2))
+        elif self.variant == "flatten":
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=jnp.float32)(x)
+            if self.dropout_rate > 0:
+                x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+            x = x.reshape((x.shape[0], -1))
+        else:
+            raise ValueError(f"unknown head variant: {self.variant}")
+        x = nn.Dense(self.embedding_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32,
+                     kernel_init=dense_kernel_init)(x)
+        # Final BN without ReLU: standard for face embeddings; emit f32 so
+        # downstream L2-normalization / cosine math is accurate.
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         param_dtype=jnp.float32)(x)
+        return x.astype(jnp.float32)
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """L2-normalize along ``axis`` (safe at zero)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True) + eps)
+    return x / norm

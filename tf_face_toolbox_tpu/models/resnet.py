@@ -1,0 +1,115 @@
+"""ResNet-family backbones: ResNet, SE-ResNet, ResNeXt (one implementation).
+
+The three families differ only in two orthogonal knobs on the bottleneck
+block, so they share one module instead of three copy-pasted files
+(the reference keeps nets/resnet.py, nets/se_resnet.py, nets/resnext.py
+as separate ~300-line files [UPSTREAM-K]):
+
+- ``groups``/``width_per_group``: cardinality of the 3x3 conv (ResNeXt).
+- ``se_reduction``: squeeze-excite gating after the 3x3 (SE-ResNet).
+
+TPU-first notes:
+- NHWC + bfloat16 compute keeps every conv on the MXU at full tile width.
+- The hot loop is the 3x3 bottleneck convs (SURVEY.md §3.4: ≥90% of
+  FLOPs); they are plain ``lax.conv_general_dilated`` calls that XLA:TPU
+  maps straight onto the systolic array — no hand-written kernel can beat
+  the compiler here, so Pallas is reserved for the input pipeline.
+- Residual adds and ReLUs fuse into the conv epilogues.
+- Stems: ``face`` = 3x3/s1 conv (for 112x112 aligned crops, ArcFace-era
+  convention → final 7x7 map); ``imagenet`` = 7x7/s2 + 3x3 maxpool
+  (classic, for 224x224 → final 7x7 map).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tf_face_toolbox_tpu.models.layers import ConvBN, EmbeddingHead, SqueezeExcite
+
+
+class BottleneckBlock(nn.Module):
+    """1x1 → 3x3(grouped) → 1x1 bottleneck with residual add.
+
+    (ref: upstream nets/resnet.py bottleneck [UPSTREAM-K]; SURVEY.md §3.4)
+    """
+
+    features: int          # bottleneck width (the 3x3's channel count)
+    strides: tuple[int, int]
+    groups: int = 1
+    se_reduction: int = 0  # 0 = no SE
+    expansion: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        out_features = self.features * self.expansion
+        residual = x
+        y = ConvBN(self.features, (1, 1), dtype=self.dtype)(x, train)
+        y = ConvBN(self.features, (3, 3), strides=self.strides,
+                   groups=self.groups, dtype=self.dtype)(y, train)
+        # Zero-init the last BN scale: block starts as identity, which
+        # stabilizes the large-batch margin-softmax training regime.
+        y = ConvBN(out_features, (1, 1), relu=False,
+                   bn_scale_init=nn.initializers.zeros,
+                   dtype=self.dtype)(y, train)
+        if self.se_reduction > 0:
+            y = SqueezeExcite(self.se_reduction, dtype=self.dtype)(y)
+        if residual.shape != y.shape:
+            residual = ConvBN(out_features, (1, 1), strides=self.strides,
+                              relu=False, dtype=self.dtype)(residual, train)
+        return nn.relu(residual + y)
+
+
+class ResNet(nn.Module):
+    """Configurable ResNet/SE-ResNet/ResNeXt producing a face embedding."""
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)   # ResNet-50
+    width_per_group: int = 64
+    groups: int = 1
+    se_reduction: int = 0
+    embedding_dim: int = 512
+    stem: str = "face"          # "face" | "imagenet"
+    head_variant: str = "gap"
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
+        """images: (N, H, W, 3) float — standardized pixels. → (N, D) f32."""
+        x = images.astype(self.dtype)
+        if self.stem == "face":
+            x = ConvBN(64, (3, 3), strides=(1, 1), dtype=self.dtype)(x, train)
+        elif self.stem == "imagenet":
+            x = ConvBN(64, (7, 7), strides=(2, 2), dtype=self.dtype)(x, train)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        else:
+            raise ValueError(f"unknown stem: {self.stem}")
+
+        for stage_idx, num_blocks in enumerate(self.stage_sizes):
+            features = self.width_per_group * self.groups * (2 ** stage_idx)
+            for block_idx in range(num_blocks):
+                # Face stem keeps stage 0 at stride 2 too (112 → 56);
+                # imagenet stem already downsampled 4x, so stage 0 is s1.
+                first = block_idx == 0
+                if first and (stage_idx > 0 or self.stem == "face"):
+                    strides = (2, 2)
+                else:
+                    strides = (1, 1)
+                x = BottleneckBlock(
+                    features=features,
+                    strides=strides,
+                    groups=self.groups,
+                    se_reduction=self.se_reduction,
+                    dtype=self.dtype,
+                )(x, train)
+
+        return EmbeddingHead(
+            embedding_dim=self.embedding_dim,
+            variant=self.head_variant,
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
+        )(x, train)

@@ -1,0 +1,90 @@
+"""LFW-style pair verification: batched cosine similarity + 10-fold protocol.
+
+Rebuilds the reference's offline eval (ref: upstream eval.py / external
+scripts [UPSTREAM-K LOW]; protocol itself is the standard LFW 6000-pair,
+10-fold cross-validated threshold accuracy — SURVEY.md §3.3).
+
+TPU-first: per-pair cosine similarity is ONE batched dot product
+(embeddings are pre-L2-normalized, so cosine == dot), evaluated on
+device in a single fused reduction instead of a Python pair loop
+(BASELINE.json north_star: "pairwise verification ... becomes batched
+cosine-similarity matmuls on-device").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tf_face_toolbox_tpu.models.layers import l2_normalize
+
+
+@jax.jit
+def cosine_similarity(emb1: jax.Array, emb2: jax.Array) -> jax.Array:
+    """Row-wise cosine similarity of two (P, D) embedding batches."""
+    e1 = l2_normalize(emb1.astype(jnp.float32))
+    e2 = l2_normalize(emb2.astype(jnp.float32))
+    return jnp.sum(e1 * e2, axis=-1)
+
+
+@jax.jit
+def similarity_matrix(gallery: jax.Array, probe: jax.Array) -> jax.Array:
+    """All-pairs cosine matrix (G, P): one matmul on the MXU.
+
+    Used for identification-style eval and threshold sweeps.
+    """
+    g = l2_normalize(gallery.astype(jnp.float32))
+    p = l2_normalize(probe.astype(jnp.float32))
+    return jnp.dot(g, p.T, preferred_element_type=jnp.float32)
+
+
+def _accuracy_curve(sims: np.ndarray, labels: np.ndarray,
+                    thresholds: np.ndarray) -> np.ndarray:
+    """Accuracy at every threshold, vectorized: (T,) from (P,) sims."""
+    # (T, P) boolean predictions → mean match with labels along P.
+    preds = sims[None, :] >= thresholds[:, None]
+    return (preds == labels[None, :].astype(bool)).mean(axis=1)
+
+
+def verify_folds(sims: np.ndarray, labels: np.ndarray, *, n_folds: int = 10,
+                 thresholds: np.ndarray | None = None) -> dict:
+    """Standard LFW k-fold protocol (SURVEY.md §3.3).
+
+    For each fold: pick the best threshold on the other k-1 folds, report
+    accuracy on the held-out fold. Returns mean/std accuracy and the
+    per-fold numbers. ``sims``/``labels`` are (P,) arrays; pairs must be
+    ordered so folds are contiguous chunks (standard LFW layout).
+    """
+    sims = np.asarray(sims, np.float64)
+    labels = np.asarray(labels).astype(bool)
+    if thresholds is None:
+        thresholds = np.arange(-1.0, 1.0001, 0.0025)
+    n = len(sims)
+    if n % n_folds:
+        raise ValueError(f"{n} pairs not divisible into {n_folds} folds")
+    fold = n // n_folds
+    accs, thrs = [], []
+    for k in range(n_folds):
+        test = np.zeros(n, bool)
+        test[k * fold:(k + 1) * fold] = True
+        train_acc = _accuracy_curve(sims[~test], labels[~test], thresholds)
+        best = thresholds[int(np.argmax(train_acc))]
+        test_acc = float(
+            ((sims[test] >= best) == labels[test]).mean())
+        accs.append(test_acc)
+        thrs.append(float(best))
+    accs = np.asarray(accs)
+    return {
+        "accuracy_mean": float(accs.mean()),
+        "accuracy_std": float(accs.std()),
+        "fold_accuracies": accs.tolist(),
+        "fold_thresholds": thrs,
+    }
+
+
+def verify_pairs(emb1: np.ndarray, emb2: np.ndarray, labels: np.ndarray,
+                 *, n_folds: int = 10) -> dict:
+    """End-to-end: embeddings for each pair side → LFW-protocol report."""
+    sims = np.asarray(cosine_similarity(jnp.asarray(emb1), jnp.asarray(emb2)))
+    return verify_folds(sims, labels, n_folds=n_folds)

@@ -1,0 +1,89 @@
+"""Checkpoint save / restore / resume.
+
+Rebuilds the reference's ``tf.train.Saver`` periodic save + resume-from-
+latest [TF1-IDIOM, SURVEY.md §5] with Orbax: the full TrainState pytree
+(params, BN stats, classifier shard, optimizer state, step, RNG) is
+saved atomically, so resume is bit-exact — step counter, momentum, and
+augmentation RNG all continue where they left off.
+
+Orbax writes per-array via tensorstore, which on multi-host TPU pods
+saves each host's shards in parallel (the TPU-native replacement for the
+reference's single-process tensor-bundle writer).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+from tf_face_toolbox_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    """Thin wrapper: periodic save, latest-checkpoint resume, GC of old."""
+
+    def __init__(self, directory: str, *, save_every: int = 1000,
+                 keep: int = 5):
+        self._dir = os.path.abspath(directory)
+        self.save_every = save_every
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=keep, create=True, enable_async_checkpointing=True)
+        self._mgr = ocp.CheckpointManager(self._dir, options=options)
+
+    def maybe_save(self, state: TrainState, *, force: bool = False) -> bool:
+        """Save if the step hits the cadence (reference: Saver every-N)."""
+        step = int(jax.device_get(state.step))
+        if not force and (self.save_every <= 0 or step % self.save_every):
+            return False
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        return True
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(self, target: TrainState, step: int | None = None) -> TrainState:
+        """Restore into the structure/shardings of ``target``.
+
+        ``target`` is a freshly-initialized state (create_train_state):
+        orbax uses its pytree structure, dtypes, and shardings as the
+        restore spec — so a checkpoint written on one mesh restores onto
+        another as long as shapes match.
+        """
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found in {self._dir}")
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(abstract))
+
+    def wait(self):
+        """Block until async saves are durable (call before exit)."""
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_embeddings(path: str, embeddings, names=None) -> None:
+    """Write extracted features to disk (.npy / .npz with names).
+
+    Rebuild of the reference's feature dump (ref: upstream features.py
+    output [UPSTREAM-K] — .npy/.mat era formats; we standardize on npy).
+    """
+    import numpy as np
+    embeddings = np.asarray(embeddings)
+    if names is None:
+        np.save(path, embeddings)
+    else:
+        np.savez(path, embeddings=embeddings, names=np.asarray(names))
+
+
+def load_embeddings(path: str):
+    import numpy as np
+    data = np.load(path, allow_pickle=False)
+    if hasattr(data, "files"):
+        return data["embeddings"], data["names"]
+    return data, None

@@ -1,0 +1,23 @@
+"""Train state pytree: params, BN stats, classifier shard, optimizer state.
+
+A flax.struct dataclass so the whole state jits, shards, donates, and
+checkpoints as one pytree — the rebuild of the reference's implicit
+(graph variables + Saver) state [TF1-IDIOM].
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array            # () int32
+    params: Any                # backbone params
+    batch_stats: Any           # BN running stats
+    classifier: jax.Array      # (C or C_local, D) margin-softmax weights
+    opt_state: Any             # optax state for (params, classifier)
+    rng: jax.Array             # PRNG key, split each step (flip/crop noise)

@@ -1,0 +1,229 @@
+"""Distributed train step: shard_map + explicit psum gradient exchange.
+
+Rebuilds the reference's multi-GPU tower loop (ref: upstream train.py
+[UPSTREAM-K]; SURVEY.md §3.1) as SPMD over a (data, model) TPU mesh:
+
+- The **backbone** is pure data-parallel over ALL devices (both mesh
+  axes): each device forwards its own batch shard; parameter gradients
+  are exchanged with an explicit ``psum``/``pmean`` that XLA lowers to an
+  ICI all-reduce — the TPU-native replacement for the reference's
+  "average_gradients on one device" tower idiom [TF1-IDIOM].
+- The **margin-softmax head** is class-sharded over the ``model`` axis
+  (Partial-FC style, SURVEY.md §2c TP row): embeddings are
+  ``all_gather``ed across the model axis, each device computes logits
+  against its classifier shard, and the softmax combines with pmax/psum
+  (see parallel/sharded_softmax.py). With model=1 this degenerates to
+  plain DP at zero cost.
+- BatchNorm uses **per-replica batch statistics** (matches the tower
+  reference's per-tower BN behaviorally — SURVEY.md §7 "hard parts");
+  the *running* stats are pmean-synced so replicas never drift.
+- The whole step — optional on-device augmentation (crop/flip/
+  standardize), forward, loss, backward, collectives, optimizer — is ONE
+  jitted program; the train state is donated so params update in place.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from tf_face_toolbox_tpu.models import create_network, init_variables
+from tf_face_toolbox_tpu.ops import preprocess as pp
+from tf_face_toolbox_tpu.ops.losses import MarginConfig
+from tf_face_toolbox_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from tf_face_toolbox_tpu.parallel.sharded_softmax import (
+    sharded_margin_softmax_loss,
+)
+from tf_face_toolbox_tpu.train.schedule import staircase
+from tf_face_toolbox_tpu.train.state import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """All training hyperparameters (rebuild of the reference's tf.app.flags
+    surface [TF1-IDIOM]; see utils/flags.py for the CLI binding)."""
+    network: str = "resnet_v1_50"
+    embedding_dim: int = 512
+    num_classes: int = 10572          # CASIA-WebFace identity count
+    image_size: int = 112
+    global_batch: int = 256
+    # optimizer (SGD + momentum, staircase LR — reference convention)
+    base_lr: float = 0.1
+    lr_boundaries: tuple[int, ...] = (100_000, 160_000, 220_000)
+    lr_decay: float = 0.1
+    warmup_steps: int = 0
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    # margin softmax
+    margin_scale: float = 64.0
+    margin_m1: float = 1.0
+    margin_m2: float = 0.0
+    margin_m3: float = 0.35           # CosFace default
+    # compute
+    dtype: Any = jnp.float32          # jnp.bfloat16 on TPU
+    augment: bool = True              # on-device crop/flip when input is u8
+    crop_from: int = 120              # source size when augmenting
+
+    @property
+    def margin(self) -> MarginConfig:
+        return MarginConfig(scale=self.margin_scale, m1=self.margin_m1,
+                            m2=self.margin_m2, m3=self.margin_m3)
+
+
+def _padded_classes(num_classes: int, model_size: int) -> int:
+    return -(-num_classes // model_size) * model_size
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """SGD+momentum with staircase LR; L2 on conv/fc kernels + classifier."""
+    def decay_mask(tree):
+        def mask_path(path, leaf):
+            names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+            return "classifier" in names or names[-1] == "kernel"
+        return jax.tree_util.tree_map_with_path(mask_path, tree)
+
+    sched = staircase(cfg.base_lr, cfg.lr_boundaries, cfg.lr_decay,
+                      cfg.warmup_steps)
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask),
+        optax.sgd(sched, momentum=cfg.momentum),
+    ), sched
+
+
+def create_train_state(cfg: TrainConfig, rng: jax.Array,
+                       mesh: Mesh) -> tuple[TrainState, Any]:
+    """Initialize params / classifier / optimizer state (host-side).
+
+    Returns (state, net). Classifier rows are padded to a multiple of the
+    model-axis size; sharded_margin_softmax_loss masks the pads exactly.
+    """
+    net = create_network(cfg.network, embedding_dim=cfg.embedding_dim,
+                         dtype=cfg.dtype)
+    k_init, k_cls, k_step = jax.random.split(rng, 3)
+    variables = init_variables(
+        net, k_init, (1, cfg.image_size, cfg.image_size, 3))
+    c_pad = _padded_classes(cfg.num_classes, mesh.shape[MODEL_AXIS])
+    classifier = jax.random.normal(
+        k_cls, (c_pad, cfg.embedding_dim), jnp.float32) * 0.01
+    tx, _ = make_optimizer(cfg)
+    opt_state = tx.init({"params": variables["params"],
+                         "classifier": classifier})
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        classifier=classifier,
+        opt_state=opt_state,
+        rng=k_step,
+    )
+    return state, net
+
+
+def state_pspecs(state: TrainState) -> TrainState:
+    """PartitionSpecs for every leaf: classifier (and its optimizer
+    momentum) shard over `model`; everything else is replicated."""
+    def spec(path, leaf):
+        names = [str(getattr(p, "key", getattr(p, "name", "")))
+                 for p in path]
+        if "classifier" in names and getattr(leaf, "ndim", 0) == 2:
+            return P(MODEL_AXIS, None)
+        return P()
+    return jax.tree_util.tree_map_with_path(spec, state)
+
+
+def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
+                    state: TrainState) -> Callable:
+    """Build the jitted SPMD train step.
+
+    Returns ``step_fn(state, images, labels) -> (state, metrics)`` where
+    ``images`` is the GLOBAL batch — (B, S, S, 3) uint8 when
+    cfg.augment (S = cfg.crop_from) else float32 standardized at
+    cfg.image_size — and ``labels`` is (B,) int32 global identity ids.
+    """
+    tx, sched = make_optimizer(cfg)
+    margin = cfg.margin
+    num_classes = cfg.num_classes
+    batch_axes = (DATA_AXIS, MODEL_AXIS)
+
+    def device_step(state: TrainState, images, labels):
+        # Per-device, per-step RNG: fold step and device position into
+        # the state key → reproducible augmentation independent of mesh.
+        di = jax.lax.axis_index(DATA_AXIS)
+        mi = jax.lax.axis_index(MODEL_AXIS)
+        dev = di * mesh.shape[MODEL_AXIS] + mi
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        dev_rng = jax.random.fold_in(step_rng, dev)
+
+        if cfg.augment:
+            x = pp.preprocess_train(dev_rng, images,
+                                    cfg.image_size, cfg.image_size)
+        else:
+            x = images
+        x = x.astype(cfg.dtype)
+
+        def loss_fn(params, classifier):
+            emb, updates = net.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, mutable=["batch_stats"])
+            emb = emb.astype(jnp.float32)
+            # Partial-FC: gather the data-row's embeddings across the
+            # model axis so each class shard scores every sample.
+            emb_g = jax.lax.all_gather(emb, MODEL_AXIS, tiled=True)
+            lab_g = jax.lax.all_gather(labels, MODEL_AXIS, tiled=True)
+            loss = sharded_margin_softmax_loss(
+                emb_g, classifier, lab_g, margin,
+                axis_name=MODEL_AXIS, total_classes=num_classes)
+            return loss, updates["batch_stats"]
+
+        (loss, new_bs), (g_params, g_cls) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params, state.classifier)
+
+        # --- explicit gradient exchange (the DP psum of SURVEY §2d) ---
+        # Row loss is a mean over the row's samples; model-axis devices
+        # hold complementary partials of it → psum over `model`, then
+        # average rows over `data`.
+        g_params = jax.lax.pmean(
+            jax.lax.psum(g_params, MODEL_AXIS), DATA_AXIS)
+        g_cls = jax.lax.pmean(g_cls, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        new_bs = jax.lax.pmean(new_bs, batch_axes)
+
+        grads = {"params": g_params, "classifier": g_cls}
+        updates, new_opt = tx.update(
+            grads, state.opt_state,
+            {"params": state.params, "classifier": state.classifier})
+        new_vars = optax.apply_updates(
+            {"params": state.params, "classifier": state.classifier},
+            updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_vars["params"],
+            batch_stats=new_bs,
+            classifier=new_vars["classifier"],
+            opt_state=new_opt,
+        )
+        metrics = {
+            "loss": loss,
+            "learning_rate": sched(state.step),
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    specs = state_pspecs(state)
+    img_spec = P(batch_axes, None, None, None)
+    step_fn = shard_map(
+        device_step, mesh=mesh,
+        in_specs=(specs, img_spec, P(batch_axes)),
+        out_specs=(specs, P()),
+        check_rep=False,
+    )
+    return jax.jit(step_fn, donate_argnums=(0,))
