@@ -2,20 +2,26 @@
 
 ``--xla_force_host_platform_device_count=8`` gives 8 CPU "devices" so the
 real shard_map/psum data-parallel path runs on one host (SURVEY.md §4
-"Distributed without a cluster"). Must be set before jax imports.
+"Distributed without a cluster").
+
+IMPORTANT (this image): the axon sitecustomize hook registers the TPU
+tunnel PJRT plugin in every interpreter and *clears JAX_PLATFORMS*, so
+the env-var route to CPU silently loses the race and tests end up on the
+remote TPU tunnel (slow remote compiles, wedge-prone). The reliable
+switch is ``jax.config.update("jax_platforms", "cpu")`` after importing
+jax — do not "simplify" this back to the env var.
 """
 
 import os
 
-# Force-override: the shell environment pins JAX_PLATFORMS=axon (the real
-# TPU tunnel); tests must run on the fake multi-device CPU backend.
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # This box has ONE physical CPU: compiles dominate test time. The
 # persistent cache makes re-runs ~free; eager dispatch is avoided by
