@@ -92,7 +92,10 @@ def sharded_margin_softmax_loss(embeddings: jax.Array, w_shard: jax.Array,
     neg_inf = jnp.float32(-1e30)
     masked_logits = jnp.where(valid > 0, logits, neg_inf)
     local_max = jnp.max(masked_logits, axis=-1)
-    global_max = jax.lax.pmax(local_max, axis_name)
+    # stop_gradient: the max shift cancels exactly in log-softmax, so its
+    # gradient is zero by construction — and pmax has no VJP rule anyway.
+    global_max = jax.lax.pmax(
+        jax.lax.stop_gradient(local_max), axis_name)
     shifted = logits - global_max[:, None]
     local_denom = jnp.sum(jnp.exp(shifted) * valid, axis=-1)
     denom = jax.lax.psum(local_denom, axis_name)

@@ -20,4 +20,7 @@ class TrainState:
     batch_stats: Any           # BN running stats
     classifier: jax.Array      # (C or C_local, D) margin-softmax weights
     opt_state: Any             # optax state for (params, classifier)
-    rng: jax.Array             # PRNG key, split each step (flip/crop noise)
+    # PRNG key stored as RAW uint32 key data (jax.random.key_data) so the
+    # state serializes through orbax/tensorstore; wrap with
+    # jax.random.wrap_key_data before use.
+    rng: jax.Array

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from tf_face_toolbox_tpu.models import create_network, init_variables
 from tf_face_toolbox_tpu.ops import preprocess as pp
@@ -98,17 +98,21 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def create_train_state(cfg: TrainConfig, rng: jax.Array,
-                       mesh: Mesh) -> tuple[TrainState, Any]:
+                       mesh: Mesh, net=None) -> tuple[TrainState, Any]:
     """Initialize params / classifier / optimizer state (host-side).
 
     Returns (state, net). Classifier rows are padded to a multiple of the
     model-axis size; sharded_margin_softmax_loss masks the pads exactly.
+    ``net`` lets tests inject a tiny custom backbone.
     """
-    net = create_network(cfg.network, embedding_dim=cfg.embedding_dim,
-                         dtype=cfg.dtype)
+    if net is None:
+        net = create_network(cfg.network, embedding_dim=cfg.embedding_dim,
+                             dtype=cfg.dtype)
     k_init, k_cls, k_step = jax.random.split(rng, 3)
     variables = init_variables(
         net, k_init, (1, cfg.image_size, cfg.image_size, 3))
+    variables = dict(variables)
+    variables.setdefault("batch_stats", {})
     c_pad = _padded_classes(cfg.num_classes, mesh.shape[MODEL_AXIS])
     classifier = jax.random.normal(
         k_cls, (c_pad, cfg.embedding_dim), jnp.float32) * 0.01
@@ -121,7 +125,7 @@ def create_train_state(cfg: TrainConfig, rng: jax.Array,
         batch_stats=variables["batch_stats"],
         classifier=classifier,
         opt_state=opt_state,
-        rng=k_step,
+        rng=jax.random.key_data(k_step),
     )
     return state, net
 
@@ -158,7 +162,8 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
         di = jax.lax.axis_index(DATA_AXIS)
         mi = jax.lax.axis_index(MODEL_AXIS)
         dev = di * mesh.shape[MODEL_AXIS] + mi
-        step_rng = jax.random.fold_in(state.rng, state.step)
+        step_rng = jax.random.fold_in(
+            jax.random.wrap_key_data(state.rng), state.step)
         dev_rng = jax.random.fold_in(step_rng, dev)
 
         if cfg.augment:
@@ -172,6 +177,8 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
             emb, updates = net.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 x, train=True, mutable=["batch_stats"])
+            updates = dict(updates)
+            updates.setdefault("batch_stats", {})
             emb = emb.astype(jnp.float32)
             # Partial-FC: gather the data-row's embeddings across the
             # model axis so each class shard scores every sample.
@@ -180,6 +187,15 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
             loss = sharded_margin_softmax_loss(
                 emb_g, classifier, lab_g, margin,
                 axis_name=MODEL_AXIS, total_classes=num_classes)
+            # ÷ model-axis size: every device in a data row computes the
+            # SAME row loss, and the collective transposes (all_gather →
+            # psum_scatter, psum → broadcast) accumulate all replicas'
+            # cotangents — so raw grads come out ∂(Σ_j L_row)/∂·
+            # = model_size × ∂L_row/∂·. Normalizing the loss here makes
+            # psum-over-model of the param grads exact and the classifier
+            # grad exact with no further scaling (verified against the
+            # single-device oracle in tests/test_parallel.py).
+            loss = loss / mesh.shape[MODEL_AXIS]
             return loss, updates["batch_stats"]
 
         (loss, new_bs), (g_params, g_cls) = jax.value_and_grad(
@@ -189,11 +205,12 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
         # --- explicit gradient exchange (the DP psum of SURVEY §2d) ---
         # Row loss is a mean over the row's samples; model-axis devices
         # hold complementary partials of it → psum over `model`, then
-        # average rows over `data`.
+        # average rows over `data` (classifier shards live on one model
+        # column each: no model collective for g_cls).
         g_params = jax.lax.pmean(
             jax.lax.psum(g_params, MODEL_AXIS), DATA_AXIS)
         g_cls = jax.lax.pmean(g_cls, DATA_AXIS)
-        loss = jax.lax.pmean(loss, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS) * mesh.shape[MODEL_AXIS]
         new_bs = jax.lax.pmean(new_bs, batch_axes)
 
         grads = {"params": g_params, "classifier": g_cls}
@@ -224,6 +241,8 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
         device_step, mesh=mesh,
         in_specs=(specs, img_spec, P(batch_axes)),
         out_specs=(specs, P()),
-        check_rep=False,
+        # Replication of the loss/params across `model` happens through
+        # collectives the static VMA checker can't see through.
+        check_vma=False,
     )
     return jax.jit(step_fn, donate_argnums=(0,))
