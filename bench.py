@@ -1,0 +1,111 @@
+"""Headline benchmark: ResNet-50 flip-averaged embedding extraction.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = 10,000 faces/sec/chip on TPU v5e (BASELINE.json north_star).
+
+Timing methodology (important on this image): the axon tunnel's
+``block_until_ready`` does not wait for real device completion, so naive
+wall-clock loops report impossible numbers (>100x peak FLOPs). Instead
+we chain K forward passes **on device** inside one jitted fori_loop
+(each iteration's input carries a zero-valued data dependency on the
+previous embedding), fetch one scalar (a real D2H forces completion),
+and difference two chain lengths to cancel the constant relay RTT.
+Validated: this reports 196 TFLOP/s on a 4096^3 bf16 matmul chain — the
+v5e peak — where the naive loop reported 29,000.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_FACES_PER_SEC = 10_000.0
+
+
+def build_chain(net):
+    from tf_face_toolbox_tpu.extract import flip_averaged_embeddings
+
+    def apply_fn(v, x):
+        return net.apply(v, x, train=False)
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def chain(variables, images, iters):
+        def body(_, carry):
+            img, acc = carry
+            emb = flip_averaged_embeddings(apply_fn, variables, img)
+            s = emb.sum()
+            # zero-valued dependency: forces sequential execution
+            # without perturbing the input values.
+            img = img + (s * 0).astype(img.dtype)
+            return img, acc + s
+        _, acc = jax.lax.fori_loop(
+            0, iters, body, (images, jnp.float32(0.0)))
+        return acc
+    return chain
+
+
+def measure(chain, variables, batch: int, *, k1: int = 3, k2: int = 13,
+            repeats: int = 3) -> float:
+    """faces/sec from differenced chain timings (RTT-free)."""
+    images = jax.random.normal(
+        jax.random.key(1), (batch, 112, 112, 3), jnp.float32)
+
+    def timed(iters: int) -> float:
+        t0 = time.perf_counter()
+        v = float(chain(variables, images, iters))
+        if not jnp.isfinite(v):
+            raise RuntimeError("non-finite chain result")
+        return time.perf_counter() - t0
+
+    timed(k1), timed(k2)  # compile both variants
+    t1 = min(timed(k1) for _ in range(repeats))
+    t2 = min(timed(k2) for _ in range(repeats))
+    per_iter = (t2 - t1) / (k2 - k1)
+    return batch / per_iter
+
+
+def main() -> None:
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=0,
+                   help="batch size (0 = sweep and take best)")
+    p.add_argument("--network", default="resnet_v1_50")
+    args = p.parse_args()
+
+    from tf_face_toolbox_tpu.models import create_network, init_variables
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+
+    net = create_network(args.network, dtype=jnp.bfloat16)
+    variables = init_variables(net, jax.random.key(0), (1, 112, 112, 3))
+    chain = build_chain(net)
+
+    batches = [args.batch] if args.batch else ([128, 256, 512] if on_tpu
+                                               else [16])
+    best = 0.0
+    for b in batches:
+        try:
+            fps = measure(chain, variables, b)
+        except Exception as e:  # OOM at large batch: keep best so far
+            print(f"# batch {b} failed: {e}", file=sys.stderr)
+            continue
+        print(f"# batch {b}: {fps:,.0f} faces/sec", file=sys.stderr)
+        best = max(best, fps)
+
+    print(json.dumps({
+        "metric": "resnet50_extraction_faces_per_sec_per_chip",
+        "value": round(best, 1),
+        "unit": "faces/sec/chip",
+        "vs_baseline": round(best / BASELINE_FACES_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""FaceShard: the framework's packed training-data format.
+
+Rebuild of the reference's dataset-packing step (ref: upstream
+data/convert_*.py [UPSTREAM-K LOW]; TFRecord-era equivalent) with a
+format designed for TPU-input needs instead of TF's stream-oriented
+TFRecord:
+
+- **mmap-friendly**: one contiguous index (offsets + labels) up front,
+  then raw payload bytes. Random access is O(1) → global shuffling
+  without reading payloads, and per-host sharding is just index
+  arithmetic.
+- **language-neutral**: fixed little-endian layout, trivially parsed
+  from C++ (native/faceshard loader) and Python (this module).
+- payloads are either JPEG blobs (``PAYLOAD_JPEG``) or raw fixed-shape
+  uint8 tensors (``PAYLOAD_RAW``, for synthetic data and golden tests).
+
+Layout (little-endian):
+
+    magic    u32  = 0x45434146 ("FACE")
+    version  u32  = 1
+    payload  u32  (0=jpeg, 1=raw u8)
+    height   u32  (raw only, else 0)
+    width    u32  (raw only, else 0)
+    channels u32  (raw only, else 0)
+    count    u64
+    offsets  u64[count+1]   payload byte offsets relative to data start
+    labels   i32[count]
+    data     bytes
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import os
+import struct
+from typing import Iterable, Sequence
+
+import numpy as np
+
+MAGIC = 0x45434146
+VERSION = 1
+PAYLOAD_JPEG = 0
+PAYLOAD_RAW = 1
+
+_HEADER = struct.Struct("<IIIIIIQ")
+
+
+@dataclasses.dataclass
+class ShardIndex:
+    path: str
+    payload: int
+    shape: tuple[int, int, int] | None   # raw payload shape, else None
+    offsets: np.ndarray                  # (count+1,) u64
+    labels: np.ndarray                   # (count,) i32
+    data_start: int
+
+    @property
+    def count(self) -> int:
+        return len(self.labels)
+
+
+def write_shard(path: str, blobs: Iterable[bytes], labels: Sequence[int],
+                *, payload: int = PAYLOAD_JPEG,
+                shape: tuple[int, int, int] | None = None) -> int:
+    """Write a FaceShard file; returns record count."""
+    blobs = list(blobs)
+    labels = np.asarray(labels, np.int32)
+    if len(blobs) != len(labels):
+        raise ValueError(f"{len(blobs)} blobs vs {len(labels)} labels")
+    if payload == PAYLOAD_RAW and shape is None:
+        raise ValueError("raw payload requires shape")
+    sizes = np.fromiter((len(b) for b in blobs), np.uint64, len(blobs))
+    offsets = np.zeros(len(blobs) + 1, np.uint64)
+    np.cumsum(sizes, out=offsets[1:])
+    h, w, c = shape if shape else (0, 0, 0)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(_HEADER.pack(MAGIC, VERSION, payload, h, w, c, len(blobs)))
+        f.write(offsets.tobytes())
+        f.write(labels.tobytes())
+        for b in blobs:
+            f.write(b)
+    os.replace(tmp, path)  # atomic
+    return len(blobs)
+
+
+def read_index(path: str) -> ShardIndex:
+    """Read the index (offsets+labels) without touching payloads."""
+    with open(path, "rb") as f:
+        hdr = f.read(_HEADER.size)
+        magic, version, payload, h, w, c, count = _HEADER.unpack(hdr)
+        if magic != MAGIC:
+            raise ValueError(f"{path}: bad magic {magic:#x}")
+        if version != VERSION:
+            raise ValueError(f"{path}: unsupported version {version}")
+        offsets = np.frombuffer(f.read(8 * (count + 1)), np.uint64).copy()
+        labels = np.frombuffer(f.read(4 * count), np.int32).copy()
+        data_start = f.tell()
+    shape = (h, w, c) if payload == PAYLOAD_RAW else None
+    return ShardIndex(path=path, payload=payload, shape=shape,
+                      offsets=offsets, labels=labels, data_start=data_start)
+
+
+class ShardReader:
+    """Random-access payload reader over an mmap'd FaceShard."""
+
+    def __init__(self, index: ShardIndex):
+        self.index = index
+        self._mm = np.memmap(index.path, np.uint8, "r")
+
+    def blob(self, i: int) -> bytes:
+        s = self.index.data_start + int(self.index.offsets[i])
+        e = self.index.data_start + int(self.index.offsets[i + 1])
+        return bytes(self._mm[s:e])
+
+    def raw(self, i: int) -> np.ndarray:
+        if self.index.payload != PAYLOAD_RAW:
+            raise ValueError("not a raw shard")
+        return np.frombuffer(self.blob(i), np.uint8).reshape(self.index.shape)
+
+    def label(self, i: int) -> int:
+        return int(self.index.labels[i])
+
+
+def pack_image_list(list_path: str, out_path: str, *,
+                    root: str = "") -> int:
+    """Pack an ``image_path label`` list file (the reference's input
+    convention [TF1-IDIOM]) into a FaceShard of JPEG payloads."""
+    blobs, labels = [], []
+    with open(list_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            p, lab = line.rsplit(" ", 1)
+            with open(os.path.join(root, p), "rb") as img:
+                blobs.append(img.read())
+            labels.append(int(lab))
+    return write_shard(out_path, blobs, labels, payload=PAYLOAD_JPEG)
+
+
+def pack_arrays(out_path: str, images: np.ndarray,
+                labels: Sequence[int]) -> int:
+    """Pack pre-decoded uint8 images (N,H,W,C) as a raw shard."""
+    images = np.ascontiguousarray(images, np.uint8)
+    n, h, w, c = images.shape
+    return write_shard(out_path, [images[i].tobytes() for i in range(n)],
+                       labels, payload=PAYLOAD_RAW, shape=(h, w, c))
