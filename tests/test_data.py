@@ -1,0 +1,131 @@
+"""FaceShard format + pipeline tests (SURVEY.md §4 unit/integration)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from tf_face_toolbox_tpu.data.format import (
+    PAYLOAD_JPEG,
+    ShardReader,
+    pack_arrays,
+    pack_image_list,
+    read_index,
+    write_shard,
+)
+from tf_face_toolbox_tpu.data.pipeline import (
+    FaceShardSource,
+    batch_iterator,
+    device_prefetch,
+)
+
+
+def _raw_shard(tmp_path, n=20, h=8, w=8, seed=0):
+    rng = np.random.default_rng(seed)
+    images = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+    labels = rng.integers(0, 5, n).astype(np.int32)
+    path = str(tmp_path / "train.faceshard")
+    pack_arrays(path, images, labels)
+    return path, images, labels
+
+
+def test_raw_roundtrip(tmp_path):
+    path, images, labels = _raw_shard(tmp_path)
+    idx = read_index(path)
+    assert idx.count == 20 and idx.shape == (8, 8, 3)
+    r = ShardReader(idx)
+    for i in [0, 7, 19]:
+        np.testing.assert_array_equal(r.raw(i), images[i])
+        assert r.label(i) == labels[i]
+
+
+def test_jpeg_roundtrip(tmp_path):
+    from PIL import Image
+    blobs, labels = [], []
+    originals = []
+    for i in range(5):
+        # smooth gradient (JPEG-friendly; random noise decodes poorly)
+        y, x = np.mgrid[0:16, 0:12]
+        arr = np.stack([(y * 8 + i * 10) % 256, (x * 12) % 256,
+                        ((x + y) * 5) % 256], -1).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, "JPEG", quality=95)
+        blobs.append(buf.getvalue())
+        labels.append(i)
+        originals.append(arr)
+    path = str(tmp_path / "j.faceshard")
+    write_shard(path, blobs, labels, payload=PAYLOAD_JPEG)
+    src = FaceShardSource(path)
+    img, lab = src.record(3)
+    assert img.shape == (16, 12, 3) and lab == 3
+    # lossy decode: within JPEG tolerance of the original
+    assert np.abs(img.astype(int) - originals[3].astype(int)).mean() < 20
+
+
+def test_pack_image_list(tmp_path):
+    from PIL import Image
+    rng = np.random.default_rng(2)
+    lines = []
+    for i in range(4):
+        arr = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        p = tmp_path / f"img{i}.jpg"
+        Image.fromarray(arr).save(str(p), "JPEG")
+        lines.append(f"img{i}.jpg {i % 2}")
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(lines) + "\n")
+    out = str(tmp_path / "packed.faceshard")
+    n = pack_image_list(str(lst), out, root=str(tmp_path))
+    assert n == 4
+    idx = read_index(out)
+    np.testing.assert_array_equal(idx.labels, [0, 1, 0, 1])
+
+
+def test_epoch_shuffle_deterministic_and_complete(tmp_path):
+    path, _, _ = _raw_shard(tmp_path)
+    src = FaceShardSource(path, seed=7)
+    o0a, o0b = src.epoch_order(0), src.epoch_order(0)
+    np.testing.assert_array_equal(o0a, o0b)          # same seed+epoch
+    o1 = src.epoch_order(1)
+    assert not np.array_equal(o0a, o1)               # differs by epoch
+    np.testing.assert_array_equal(np.sort(o0a), np.arange(20))
+
+
+def test_host_sharding_partitions(tmp_path):
+    path, _, _ = _raw_shard(tmp_path)
+    srcs = [FaceShardSource(path, host_index=h, host_count=4)
+            for h in range(4)]
+    all_ids = np.concatenate([s._host_ids for s in srcs])
+    np.testing.assert_array_equal(np.sort(all_ids), np.arange(20))
+
+
+def test_batch_iterator_resume(tmp_path):
+    path, images, labels = _raw_shard(tmp_path)
+    src = FaceShardSource(path, seed=3)
+    it = batch_iterator(src, 4, num_threads=1)
+    seen = [next(it) for _ in range(7)]              # crosses epoch bound
+    # resume from the recorded position of batch 5
+    b5 = seen[5]
+    it2 = batch_iterator(src, 4, start_epoch=b5["epoch"],
+                         start_step=b5["step"], num_threads=1)
+    again = next(it2)
+    np.testing.assert_array_equal(again["image"], b5["image"])
+    np.testing.assert_array_equal(again["label"], b5["label"])
+
+
+def test_batch_iterator_threaded_matches_serial(tmp_path):
+    path, _, _ = _raw_shard(tmp_path)
+    src = FaceShardSource(path, seed=4)
+    a = next(batch_iterator(src, 8, num_threads=1))
+    b = next(batch_iterator(src, 8, num_threads=4))
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["label"], b["label"])
+
+
+def test_device_prefetch_preserves_order(tmp_path):
+    path, _, _ = _raw_shard(tmp_path)
+    src = FaceShardSource(path, seed=5)
+    plain = batch_iterator(src, 4, num_threads=1)
+    pref = device_prefetch(batch_iterator(src, 4, num_threads=1), depth=2)
+    for _ in range(6):
+        a, b = next(plain), next(pref)
+        np.testing.assert_array_equal(a["image"], np.asarray(b["image"]))

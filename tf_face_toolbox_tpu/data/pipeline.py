@@ -1,0 +1,168 @@
+"""Host-side input pipeline: shuffle, decode, batch, device prefetch.
+
+Rebuild of the reference's queue-runner input stage (ref: upstream
+data/*.py [UPSTREAM-K]; TF1 filename-queue → reader → shuffle_batch
+idiom) as an explicit, deterministic pipeline:
+
+- **Global shuffle by index**: FaceShard's contiguous index makes an
+  epoch a seeded permutation of record ids — no filename queues, exactly
+  reproducible from (seed, epoch, step), which is what checkpoint/resume
+  needs (SURVEY.md §5: "deterministic resume ... data position").
+- **Per-host sharding**: each JAX process takes ids where
+  ``id % num_hosts == host``; per-host batches feed that host's local
+  devices (the multi-host story of SURVEY.md §2b).
+- **Threaded decode**: JPEG decode on host CPU threads (PIL/libjpeg) —
+  the equivalent of TF's C++ decode ops; the native C++ loader
+  (native/faceshard) replaces this on production hosts.
+- **Device prefetch**: a depth-2 queue of batches already transferred
+  with ``jax.device_put`` so H2D overlaps the train step — the
+  double-buffering BASELINE.json asks for.
+
+Augmentation (crop/flip/standardize) deliberately does NOT happen here:
+it runs on-device inside the jitted train step (ops/preprocess.py +
+ops/pallas_preprocess.py), keeping the host loop to decode+batch only.
+"""
+
+from __future__ import annotations
+
+import collections
+import io
+import queue
+import threading
+from typing import Callable, Iterator
+
+import numpy as np
+
+from tf_face_toolbox_tpu.data.format import (
+    PAYLOAD_JPEG,
+    PAYLOAD_RAW,
+    ShardReader,
+    read_index,
+)
+
+
+def _decode_jpeg(blob: bytes) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(blob))
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    return np.asarray(img, np.uint8)
+
+
+class FaceShardSource:
+    """Deterministic, shardable record source over one FaceShard file."""
+
+    def __init__(self, path: str, *, seed: int = 0,
+                 host_index: int = 0, host_count: int = 1):
+        self.index = read_index(path)
+        self.reader = ShardReader(self.index)
+        self.seed = seed
+        self.host_index = host_index
+        self.host_count = host_count
+        ids = np.arange(self.index.count)
+        self._host_ids = ids[ids % host_count == host_index]
+
+    @property
+    def num_records(self) -> int:
+        return len(self._host_ids)
+
+    @property
+    def num_classes(self) -> int:
+        return int(self.index.labels.max()) + 1 if self.index.count else 0
+
+    def epoch_order(self, epoch: int) -> np.ndarray:
+        rng = np.random.default_rng((self.seed, epoch))
+        return rng.permutation(self._host_ids)
+
+    def record(self, rid: int) -> tuple[np.ndarray, int]:
+        if self.index.payload == PAYLOAD_RAW:
+            img = self.reader.raw(rid)
+        else:
+            img = _decode_jpeg(self.reader.blob(rid))
+        return img, self.reader.label(rid)
+
+
+def batch_iterator(source: FaceShardSource, batch_size: int, *,
+                   start_epoch: int = 0, start_step: int = 0,
+                   num_threads: int = 4,
+                   drop_remainder: bool = True) -> Iterator[dict]:
+    """Infinite (epoch-cycling) iterator of {'image','label','epoch','step'}.
+
+    Resume: pass the (epoch, step-within-epoch) recorded in the
+    checkpoint and the stream continues exactly where it left off.
+    """
+    steps_per_epoch = source.num_records // batch_size
+    epoch, step = start_epoch, start_step
+
+    pool = _DecodePool(source, num_threads) if num_threads > 1 else None
+    try:
+        while True:
+            order = source.epoch_order(epoch)
+            while step < steps_per_epoch:
+                ids = order[step * batch_size:(step + 1) * batch_size]
+                if pool is not None:
+                    records = pool.decode(ids)
+                else:
+                    records = [source.record(int(i)) for i in ids]
+                images = np.stack([r[0] for r in records])
+                labels = np.asarray([r[1] for r in records], np.int32)
+                yield {"image": images, "label": labels,
+                       "epoch": epoch, "step": step}
+                step += 1
+            epoch, step = epoch + 1, 0
+    finally:
+        if pool is not None:
+            pool.close()
+
+
+class _DecodePool:
+    """Fixed thread pool that decodes a batch of record ids in parallel."""
+
+    def __init__(self, source: FaceShardSource, num_threads: int):
+        self.source = source
+        self._in: queue.Queue = queue.Queue()
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True)
+            for _ in range(num_threads)]
+        for t in self._threads:
+            t.start()
+
+    def _worker(self):
+        while True:
+            item = self._in.get()
+            if item is None:
+                return
+            slot, rid, out, done = item
+            out[slot] = self.source.record(rid)
+            done.put(slot)
+
+    def decode(self, ids) -> list:
+        out = [None] * len(ids)
+        done: queue.Queue = queue.Queue()
+        for i, rid in enumerate(ids):
+            self._in.put((i, int(rid), out, done))
+        for _ in ids:
+            done.get()
+        return out
+
+    def close(self):
+        for _ in self._threads:
+            self._in.put(None)
+
+
+def device_prefetch(it: Iterator[dict], *, depth: int = 2,
+                    put: Callable | None = None) -> Iterator[dict]:
+    """Overlap H2D transfer with compute: keep ``depth`` batches in
+    flight on device (the TF queue-runner prefetch equivalent)."""
+    import jax
+
+    put = put or jax.device_put
+    buf = collections.deque()
+    for item in it:
+        buf.append({k: (put(v) if isinstance(v, np.ndarray) else v)
+                    for k, v in item.items()})
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
