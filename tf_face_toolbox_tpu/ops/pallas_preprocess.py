@@ -63,13 +63,18 @@ def _width_channel_matrix(out_w: int, in_w: int, channels: int,
 
 def _kernel(flip_ref, x_ref, rh_ref, rw_ref, rwf_ref, out_ref, *,
             num_pixels: float, out_dtype):
-    x = x_ref[0].astype(jnp.float32)              # (H_in, W_in*C)
+    x = x_ref[0]                                  # (H_in, W_in*C)
+    if x.dtype == jnp.uint8:
+        # Mosaic has no direct u8→f32 cast; hop through int32.
+        x = x.astype(jnp.int32)
+    x = x.astype(jnp.float32)
     rh = rh_ref[:]                                # (H_out, H_in)
     # Resize height then width(*C); both on the MXU.
     y = jnp.dot(rh, x, preferred_element_type=jnp.float32)
     rw = rw_ref[:]                                # (W_in*C, W_out*C)
     rwf = rwf_ref[:]
-    flip = flip_ref[0] != 0
+    # flip flags arrive via scalar prefetch: whole (N,) vector in SMEM.
+    flip = flip_ref[pl.program_id(0)] != 0
     y_plain = jnp.dot(y, rw, preferred_element_type=jnp.float32)
     y_flip = jnp.dot(y, rwf, preferred_element_type=jnp.float32)
     y = jnp.where(flip, y_flip, y_plain)          # (H_out, W_out*C)
@@ -112,22 +117,20 @@ def fused_preprocess(images: jax.Array, flip_mask: jax.Array, *,
         functools.partial(_kernel, num_pixels=float(out_h * out_w * c),
                           out_dtype=out_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
+            num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1,), lambda i: (i,),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, h, w * c), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, h, w * c), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((out_h, h), lambda i: (0, 0),
+                pl.BlockSpec((out_h, h), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((w * c, out_w * c), lambda i: (0, 0),
+                pl.BlockSpec((w * c, out_w * c), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((w * c, out_w * c), lambda i: (0, 0),
+                pl.BlockSpec((w * c, out_w * c), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, out_h, out_w * c),
-                                   lambda i: (i, 0, 0),
+                                   lambda i, *_: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((n, out_h, out_w * c), out_dtype),
