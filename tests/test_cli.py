@@ -1,0 +1,96 @@
+"""End-to-end CLI test: pack → train → extract → eval_lfw.
+
+Drives the real command-line entry points as subprocesses (the flag
+namespaces collide in-process by design — one binary per entry point,
+like the reference's separate train.py / features.py).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _run(args, **env_extra):
+    env = dict(os.environ)
+    env["TFFT_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=8").strip()
+    env.update(env_extra)
+    r = subprocess.run([sys.executable, "-m"] + args, capture_output=True,
+                       text=True, env=env, cwd=os.path.dirname(
+                           os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, f"{args} failed:\n{r.stdout}\n{r.stderr}"
+    return r.stdout
+
+
+@pytest.mark.slow
+def test_cli_pipeline(tmp_path):
+    from PIL import Image
+
+    # --- build a tiny labeled image tree + list file ------------------
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(24):
+        label = i % 6
+        y, x = np.mgrid[0:24, 0:24]
+        arr = ((y * (label + 1) * 3 + x * 2 + i) % 256).astype(np.uint8)
+        arr = np.stack([arr, arr[::-1], arr.T], -1)
+        p = tmp_path / f"img{i}.jpg"
+        Image.fromarray(arr).save(str(p), "JPEG", quality=95)
+        lines.append(f"img{i}.jpg {label}")
+    (tmp_path / "list.txt").write_text("\n".join(lines) + "\n")
+    shard = str(tmp_path / "data.faceshard")
+
+    # --- pack ----------------------------------------------------------
+    out = _run(["tf_face_toolbox_tpu.cli.pack",
+                f"--list={tmp_path/'list.txt'}", f"--root={tmp_path}",
+                f"--output={shard}"])
+    assert "packed 24 records" in out
+
+    # --- train (tiny net, 3 steps, checkpointing) ----------------------
+    train_dir = str(tmp_path / "run")
+    out = _run(["tf_face_toolbox_tpu.cli.train",
+                f"--data={shard}", f"--train_dir={train_dir}",
+                "--network=resnet_tiny", "--embedding_dim=16",
+                "--image_size=12", "--crop_from=16", "--global_batch=8",
+                "--num_steps=3", "--save_every=3", "--log_every=1",
+                "--nobf16", "--base_lr=0.01"])
+    assert "done: step=3" in out
+
+    # --- resume: 2 more steps from the checkpoint ----------------------
+    out = _run(["tf_face_toolbox_tpu.cli.train",
+                f"--data={shard}", f"--train_dir={train_dir}",
+                "--network=resnet_tiny", "--embedding_dim=16",
+                "--image_size=12", "--crop_from=16", "--global_batch=8",
+                "--num_steps=5", "--save_every=5", "--log_every=1",
+                "--nobf16", "--base_lr=0.01"])
+    assert "done: step=5" in out
+
+    # --- extract --------------------------------------------------------
+    emb_path = str(tmp_path / "emb.npy")
+    out = _run(["tf_face_toolbox_tpu.cli.extract",
+                f"--checkpoint_dir={train_dir}", f"--data={shard}",
+                f"--output={emb_path}", "--network=resnet_tiny",
+                "--embedding_dim=16", "--image_size=12", "--batch=8",
+                "--nobf16"])
+    assert "wrote (24, 16)" in out
+    emb = np.load(emb_path)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-4)
+
+    # --- eval_lfw --------------------------------------------------------
+    # pairs: same-image pairs (sim == 1) vs cross-label pairs
+    pair_lines = []
+    for i in range(10):
+        pair_lines.append(f"{i} {i} 1")
+        pair_lines.append(f"{i} {(i + 1) % 24} 0")
+    pairs = tmp_path / "pairs.txt"
+    pairs.write_text("\n".join(pair_lines) + "\n")
+    out = _run(["tf_face_toolbox_tpu.cli.eval_lfw",
+                f"--embeddings={emb_path}", f"--pairs={pairs}",
+                "--folds=10"])
+    report = json.loads(out)
+    assert 0.5 <= report["accuracy_mean"] <= 1.0

@@ -1,0 +1,107 @@
+"""Extraction API: flip-averaging math, batching, e2e extract→verify.
+
+Covers BASELINE configs 1-3: embeddings under the same extraction API
+for every backbone, flip-averaged and L2-normalized.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tf_face_toolbox_tpu.extract import (
+    extract_dataset,
+    flip_averaged_embeddings,
+    make_extract_fn,
+)
+from tf_face_toolbox_tpu.models import create_network, init_variables
+from tf_face_toolbox_tpu.models.resnet import ResNet
+from tf_face_toolbox_tpu.ops.verification import verify_pairs
+
+TINY = dict(stage_sizes=(1,), width_per_group=16, embedding_dim=32)
+
+
+def _net_and_vars(seed=0, size=16):
+    net = ResNet(**TINY)
+    variables = init_variables(net, jax.random.key(seed), (1, size, size, 3))
+    return net, variables
+
+
+def test_unit_norm():
+    net, variables = _net_and_vars()
+    x = jax.random.normal(jax.random.key(1), (4, 16, 16, 3))
+    emb = make_extract_fn(net, donate=False)(variables, x)
+    norms = np.linalg.norm(np.asarray(emb), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_flip_invariance_property():
+    """extract(x) == extract(flip(x)) BY CONSTRUCTION — the defining
+    property of flip-averaged embeddings (f(x)+f(flip x) is symmetric)."""
+    net, variables = _net_and_vars()
+    x = jax.random.normal(jax.random.key(2), (4, 16, 16, 3))
+    fn = make_extract_fn(net, donate=False)
+    e1 = np.asarray(fn(variables, x))
+    e2 = np.asarray(fn(variables, x[:, :, ::-1, :]))
+    np.testing.assert_allclose(e1, e2, atol=1e-5)
+
+
+def test_equals_manual_two_pass():
+    net, variables = _net_and_vars()
+    x = jax.random.normal(jax.random.key(3), (3, 16, 16, 3))
+    apply_fn = functools.partial(net.apply, train=False)
+    got = np.asarray(flip_averaged_embeddings(apply_fn, variables, x))
+    a = np.asarray(apply_fn(variables, x))
+    b = np.asarray(apply_fn(variables, x[:, :, ::-1, :]))
+    s = a + b
+    want = s / np.linalg.norm(s, axis=1, keepdims=True)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_extract_dataset_batching():
+    net, variables = _net_and_vars()
+    rng = np.random.default_rng(4)
+    batches = [rng.normal(size=(5, 16, 16, 3)).astype(np.float32)
+               for _ in range(3)]
+    out = extract_dataset(net, variables, batches,
+                          extract_fn=make_extract_fn(net, donate=False))
+    assert out.shape == (15, 32)
+    # matches per-batch extraction
+    fn = make_extract_fn(net, donate=False)
+    single = np.asarray(fn(variables, jnp.asarray(batches[1])))
+    np.testing.assert_allclose(out[5:10], single, atol=1e-6)
+
+
+def test_e2e_extract_then_verify_untrained_sanity():
+    """Config-1 shaped round trip: images → embeddings → LFW folds.
+
+    With an UNTRAINED net, same-image pairs must still verify perfectly
+    against distinct-noise pairs whose similarity is below 1.
+    """
+    net, variables = _net_and_vars()
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(30, 16, 16, 3)).astype(np.float32)
+    other = rng.normal(size=(30, 16, 16, 3)).astype(np.float32)
+    fn = make_extract_fn(net, donate=False)
+    e_base = np.asarray(fn(variables, jnp.asarray(base)))
+    e_same = np.asarray(fn(variables, jnp.asarray(base)))  # identical
+    e_other = np.asarray(fn(variables, jnp.asarray(other)))
+    emb1 = np.concatenate([e_base, e_base])
+    emb2 = np.concatenate([e_same, e_other])
+    labels = np.array([1] * 30 + [0] * 30)
+    order = np.argsort(np.tile(np.arange(30), 2), kind="stable")
+    r = verify_pairs(emb1[order], emb2[order], labels[order])
+    assert r["accuracy_mean"] > 0.9
+
+
+def test_all_backbones_share_extraction_api():
+    """BASELINE config 3: every zoo entry works under the same API."""
+    for name in ["resnet_v1_50", "se_resnet_50", "densenet_121"]:
+        net = create_network(name, embedding_dim=32)
+        variables = init_variables(net, jax.random.key(0), (1, 24, 24, 3))
+        fn = make_extract_fn(net, donate=False)
+        emb = fn(variables, jnp.ones((2, 24, 24, 3)))
+        assert emb.shape == (2, 32)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(emb), axis=1), 1.0, atol=1e-5)

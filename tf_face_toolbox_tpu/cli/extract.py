@@ -1,0 +1,110 @@
+"""Feature-extraction CLI.
+
+Rebuild of the reference's ``features.py`` entry (ref: upstream
+features.py [UPSTREAM-K]; SURVEY.md §3.2): restore checkpoint, stream
+faces, write flip-averaged L2-normalized embeddings to disk.
+
+    python -m tf_face_toolbox_tpu.cli.extract \
+        --checkpoint_dir=/tmp/run1 --data=/data/lfw.faceshard \
+        --output=/tmp/lfw_embeddings.npy --batch=256
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from absl import app, flags, logging
+
+FLAGS = flags.FLAGS
+
+flags.DEFINE_string("checkpoint_dir", "",
+                    "train dir with checkpoints ('' = random init)")
+flags.DEFINE_string("data", None, "FaceShard of eval faces")
+flags.DEFINE_string("output", None, "output .npy path")
+flags.DEFINE_string("network", "resnet_v1_50", "backbone name")
+flags.DEFINE_integer("embedding_dim", 512, "embedding size")
+flags.DEFINE_integer("image_size", 112, "eval crop size")
+flags.DEFINE_integer("batch", 256, "extraction batch size")
+flags.DEFINE_bool("bf16", True, "bfloat16 compute")
+flags.mark_flag_as_required("data")
+flags.mark_flag_as_required("output")
+
+
+def load_variables(checkpoint_dir: str, network: str, embedding_dim: int,
+                   image_size: int, dtype):
+    """Backbone variables from a train checkpoint (or fresh init)."""
+    from tf_face_toolbox_tpu.models import create_network, init_variables
+
+    net = create_network(network, embedding_dim=embedding_dim, dtype=dtype)
+    variables = init_variables(net, jax.random.key(0),
+                               (1, image_size, image_size, 3))
+    if checkpoint_dir:
+        from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+        from tf_face_toolbox_tpu.train.checkpoint import CheckpointManager
+        from tf_face_toolbox_tpu.train.trainer import (
+            TrainConfig, create_train_state)
+
+        # Restore shapes come from a state built with matching config.
+        mgr = CheckpointManager(checkpoint_dir)
+        mesh = create_mesh(data=1, devices=jax.devices()[:1])
+        # num_classes is embedded in the checkpointed classifier; use a
+        # template large enough to read metadata-driven shapes.
+        template, _ = create_train_state(
+            TrainConfig(network=network, embedding_dim=embedding_dim,
+                        image_size=image_size, dtype=dtype,
+                        num_classes=_classifier_rows(mgr)),
+            jax.random.key(0), mesh, net=net)
+        state = mgr.restore(template)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        logging.info("restored step %d from %s",
+                     int(jax.device_get(state.step)), checkpoint_dir)
+    return net, variables
+
+
+def _classifier_rows(mgr) -> int:
+    """Read the classifier row count from the checkpoint's _METADATA
+    (a fresh orbax manager exposes no item metadata before a restore)."""
+    import json
+    import os
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError("no checkpoint found")
+    path = os.path.join(mgr._dir, str(step), "default", "_METADATA")
+    tree = json.load(open(path))["tree_metadata"]
+    return int(tree["('classifier',)"]["value_metadata"]["write_shape"][0])
+
+
+def main(argv):
+    del argv
+    from tf_face_toolbox_tpu.cli import setup_platform
+    setup_platform()
+    from tf_face_toolbox_tpu.data.pipeline import FaceShardSource
+    from tf_face_toolbox_tpu.extract import make_extract_fn
+    from tf_face_toolbox_tpu.ops.preprocess import preprocess_eval_resize
+    from tf_face_toolbox_tpu.train.checkpoint import save_embeddings
+
+    dtype = jnp.bfloat16 if FLAGS.bf16 else jnp.float32
+    net, variables = load_variables(
+        FLAGS.checkpoint_dir, FLAGS.network, FLAGS.embedding_dim,
+        FLAGS.image_size, dtype)
+    extract_fn = make_extract_fn(net, donate=False)
+
+    source = FaceShardSource(FLAGS.data)
+    n = source.index.count
+    outs = []
+    for lo in range(0, n, FLAGS.batch):
+        ids = range(lo, min(lo + FLAGS.batch, n))
+        images = np.stack([source.record(i)[0] for i in ids])
+        x = preprocess_eval_resize(
+            jnp.asarray(images), FLAGS.image_size, FLAGS.image_size)
+        outs.append(np.asarray(extract_fn(variables, x)))
+        logging.info("extracted %d / %d", min(lo + FLAGS.batch, n), n)
+    emb = np.concatenate(outs)
+    save_embeddings(FLAGS.output, emb)
+    print(f"wrote {emb.shape} embeddings to {FLAGS.output}")
+
+
+if __name__ == "__main__":
+    app.run(main)

@@ -1,0 +1,35 @@
+"""Dataset packer CLI: image-list → FaceShard.
+
+Rebuild of the reference's dataset conversion step (ref: upstream
+data/convert_*.py [UPSTREAM-K LOW]).
+
+    python -m tf_face_toolbox_tpu.cli.pack \
+        --list=/data/casia_list.txt --root=/data/casia \
+        --output=/data/casia.faceshard
+"""
+
+from __future__ import annotations
+
+from absl import app, flags
+
+FLAGS = flags.FLAGS
+
+flags.DEFINE_string("list", None, "lines of 'relative/path.jpg label'")
+flags.DEFINE_string("root", "", "prefix for relative image paths")
+flags.DEFINE_string("output", None, "output .faceshard path")
+flags.mark_flag_as_required("list")
+flags.mark_flag_as_required("output")
+
+
+def main(argv):
+    del argv
+    from tf_face_toolbox_tpu.cli import setup_platform
+    setup_platform()
+    from tf_face_toolbox_tpu.data.format import pack_image_list
+
+    n = pack_image_list(FLAGS.list, FLAGS.output, root=FLAGS.root)
+    print(f"packed {n} records into {FLAGS.output}")
+
+
+if __name__ == "__main__":
+    app.run(main)

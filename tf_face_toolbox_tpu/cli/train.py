@@ -1,0 +1,149 @@
+"""Training CLI.
+
+Rebuild of the reference's ``train.py`` flag surface (ref: upstream
+train.py tf.app.flags [TF1-IDIOM]): network name, LR schedule, batch,
+device counts, data path, train dir — plus the TPU-mesh knobs that
+replace ``--num_gpus``.
+
+Examples:
+    # CASIA-shaped run on all local devices, CosFace, ResNet-50
+    python -m tf_face_toolbox_tpu.cli.train \
+        --data=/data/casia.faceshard --train_dir=/tmp/run1 \
+        --network=resnet_v1_50 --global_batch=512 --margin=cosface
+
+    # smoke test on synthetic data
+    python -m tf_face_toolbox_tpu.cli.train --data=synthetic \
+        --num_steps=20 --global_batch=32 --num_classes=10
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from absl import app, flags
+
+FLAGS = flags.FLAGS
+
+flags.DEFINE_string("data", "synthetic",
+                    "FaceShard path, or 'synthetic' for random data")
+flags.DEFINE_string("train_dir", "", "checkpoint/summary directory")
+flags.DEFINE_string("network", "resnet_v1_50", "backbone name")
+flags.DEFINE_integer("embedding_dim", 512, "embedding size")
+flags.DEFINE_integer("num_classes", 0,
+                     "identity count (0 = infer from data)")
+flags.DEFINE_integer("image_size", 112, "train crop size")
+flags.DEFINE_integer("crop_from", 0,
+                     "source image size (0 = image_size + 8)")
+flags.DEFINE_integer("global_batch", 256, "global batch size")
+flags.DEFINE_integer("num_steps", 200_000, "total train steps")
+flags.DEFINE_float("base_lr", 0.1, "initial learning rate")
+flags.DEFINE_list("lr_boundaries", ["100000", "160000", "220000"],
+                  "staircase decay steps")
+flags.DEFINE_float("lr_decay", 0.1, "decay factor per boundary")
+flags.DEFINE_integer("warmup_steps", 0, "linear LR warmup steps")
+flags.DEFINE_float("momentum", 0.9, "SGD momentum")
+flags.DEFINE_float("weight_decay", 5e-4, "L2 on kernels+classifier")
+flags.DEFINE_enum("margin", "cosface",
+                  ["softmax", "arcface", "cosface", "sphereface"],
+                  "margin-softmax variant")
+flags.DEFINE_float("margin_scale", 64.0, "logit scale s")
+flags.DEFINE_float("margin_value", -1.0,
+                   "margin (-1 = variant default)")
+flags.DEFINE_integer("mesh_model", 1,
+                     "model-axis size (class-sharded head; Partial-FC)")
+flags.DEFINE_bool("bf16", True, "bfloat16 compute")
+flags.DEFINE_integer("save_every", 1000, "checkpoint cadence")
+flags.DEFINE_integer("log_every", 100, "metric log cadence")
+flags.DEFINE_integer("seed", 0, "init/data seed")
+
+_MARGINS = {  # (m1, m2, m3) defaults per variant
+    "softmax": (1.0, 0.0, 0.0),
+    "arcface": (1.0, 0.5, 0.0),
+    "cosface": (1.0, 0.0, 0.35),
+    "sphereface": (1.35, 0.0, 0.0),
+}
+
+
+def build_config(num_classes: int) -> "TrainConfig":
+    from tf_face_toolbox_tpu.train.trainer import TrainConfig
+
+    m1, m2, m3 = _MARGINS[FLAGS.margin]
+    if FLAGS.margin_value >= 0:
+        if FLAGS.margin == "arcface":
+            m2 = FLAGS.margin_value
+        elif FLAGS.margin == "cosface":
+            m3 = FLAGS.margin_value
+        elif FLAGS.margin == "sphereface":
+            m1 = FLAGS.margin_value
+    return TrainConfig(
+        network=FLAGS.network,
+        embedding_dim=FLAGS.embedding_dim,
+        num_classes=num_classes,
+        image_size=FLAGS.image_size,
+        global_batch=FLAGS.global_batch,
+        base_lr=FLAGS.base_lr,
+        lr_boundaries=tuple(int(b) for b in FLAGS.lr_boundaries),
+        lr_decay=FLAGS.lr_decay,
+        warmup_steps=FLAGS.warmup_steps,
+        momentum=FLAGS.momentum,
+        weight_decay=FLAGS.weight_decay,
+        margin_scale=FLAGS.margin_scale,
+        margin_m1=m1, margin_m2=m2, margin_m3=m3,
+        dtype=jnp.bfloat16 if FLAGS.bf16 else jnp.float32,
+        augment=True,
+        crop_from=FLAGS.crop_from or FLAGS.image_size + 8,
+    )
+
+
+def synthetic_batches(cfg, seed: int):
+    """Random-identity batches shaped like the real pipeline's output."""
+    rng = np.random.default_rng(seed)
+    while True:
+        images = rng.integers(
+            0, 256, (cfg.global_batch, cfg.crop_from, cfg.crop_from, 3),
+            dtype=np.uint8)
+        labels = rng.integers(0, cfg.num_classes,
+                              cfg.global_batch).astype(np.int32)
+        yield {"image": images, "label": labels}
+
+
+def main(argv):
+    del argv
+    from tf_face_toolbox_tpu.cli import setup_platform
+    setup_platform()
+    from tf_face_toolbox_tpu.data.pipeline import (
+        FaceShardSource, batch_iterator, device_prefetch)
+    from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+    from tf_face_toolbox_tpu.train.loop import train_loop
+
+    mesh = create_mesh(model=FLAGS.mesh_model)
+    if FLAGS.data == "synthetic":
+        num_classes = FLAGS.num_classes or 100
+        cfg = build_config(num_classes)
+        batches = synthetic_batches(cfg, FLAGS.seed)
+    else:
+        source = FaceShardSource(
+            FLAGS.data, seed=FLAGS.seed,
+            host_index=jax.process_index(),
+            host_count=jax.process_count())
+        num_classes = FLAGS.num_classes or source.num_classes
+        cfg = build_config(num_classes)
+        batches = batch_iterator(source,
+                                 cfg.global_batch // jax.process_count())
+    batches = device_prefetch(batches)
+
+    result = train_loop(
+        cfg, mesh, batches,
+        num_steps=FLAGS.num_steps,
+        train_dir=FLAGS.train_dir or None,
+        save_every=FLAGS.save_every,
+        log_every=FLAGS.log_every,
+        rng_seed=FLAGS.seed,
+    )
+    print(f"done: step={int(jax.device_get(result.state.step))} "
+          f"loss={result.last_metrics.get('loss'):.4f}")
+
+
+if __name__ == "__main__":
+    app.run(main)

@@ -40,6 +40,8 @@ _REGISTRY: dict[str, tuple[type, dict[str, Any]]] = {
     # DenseNet family (ref: upstream nets/densenet.py [UPSTREAM-K])
     "densenet_121": (DenseNet, dict(stage_sizes=(6, 12, 24, 16))),
     "densenet_169": (DenseNet, dict(stage_sizes=(6, 12, 32, 32))),
+    # Tiny variant for smoke tests / CI — not a reference model.
+    "resnet_tiny": (ResNet, dict(stage_sizes=(1,), width_per_group=16)),
 }
 
 

@@ -1,0 +1,82 @@
+"""The training loop: data → step_fn → metrics → checkpoints → resume.
+
+Rebuild of the reference's session loop (ref: upstream train.py
+``while step < max: sess.run(train_op)`` [TF1-IDIOM]; SURVEY.md §3.1 hot
+loop), restructured for JAX's async dispatch: the host thread stays
+ahead of the device, prefetching and enqueueing the next step while the
+current one runs; metrics are only materialized (device sync) every
+``log_every`` steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterator
+
+import jax
+import numpy as np
+
+from tf_face_toolbox_tpu.train.checkpoint import CheckpointManager
+from tf_face_toolbox_tpu.train.state import TrainState
+from tf_face_toolbox_tpu.train.trainer import (
+    TrainConfig,
+    create_train_state,
+    make_train_step,
+    shard_state,
+)
+from tf_face_toolbox_tpu.utils.metrics import MetricLogger
+
+
+@dataclasses.dataclass
+class LoopResult:
+    state: TrainState
+    last_metrics: dict
+
+
+def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
+               num_steps: int,
+               train_dir: str | None = None,
+               save_every: int = 1000,
+               log_every: int = 100,
+               net=None,
+               rng_seed: int = 0,
+               logger: MetricLogger | None = None) -> LoopResult:
+    """Run (or resume) training for ``num_steps`` total steps.
+
+    Resume semantics match the reference's Saver/latest_checkpoint
+    behavior [TF1-IDIOM]: if ``train_dir`` holds a checkpoint, training
+    continues from its step with optimizer state, BN stats, and RNG
+    intact. The caller aligns the data iterator (see
+    data.pipeline.batch_iterator start_epoch/start_step).
+    """
+    state, net = create_train_state(cfg, jax.random.key(rng_seed), mesh,
+                                    net=net)
+    mgr = None
+    if train_dir:
+        mgr = CheckpointManager(train_dir, save_every=save_every)
+        if mgr.latest_step() is not None:
+            state = shard_state(mgr.restore(state), mesh)
+    step_fn = make_train_step(net, cfg, mesh, state)
+    logger = logger or MetricLogger(train_dir,
+                                    batch_size=cfg.global_batch)
+
+    metrics = {}
+    start = int(jax.device_get(state.step))
+    for _ in range(start, num_steps):
+        batch = next(batches)
+        state, metrics = step_fn(state, batch["image"], batch["label"])
+        step = start = start + 1
+        if log_every and (step % log_every == 0 or step == num_steps):
+            host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+            if not np.isfinite(host["loss"]):
+                raise FloatingPointError(
+                    f"non-finite loss at step {step}: {host['loss']}")
+            logger.log(step, host)
+        if mgr is not None:
+            mgr.maybe_save(state)
+    if mgr is not None:
+        mgr.maybe_save(state, force=True)
+        mgr.wait()
+    logger.flush()
+    host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+    return LoopResult(state=state, last_metrics=host)

@@ -142,6 +142,18 @@ def state_pspecs(state: TrainState) -> TrainState:
     return jax.tree_util.tree_map_with_path(spec, state)
 
 
+def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place every leaf on ``mesh`` with its canonical sharding
+    (classifier over `model`, rest replicated). Needed after a
+    checkpoint restore, whose arrays come back committed to one device."""
+    from jax.sharding import NamedSharding
+
+    shardings = jax.tree.map(lambda spec: NamedSharding(mesh, spec),
+                             state_pspecs(state),
+                             is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(state, shardings)
+
+
 def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
                     state: TrainState) -> Callable:
     """Build the jitted SPMD train step.
