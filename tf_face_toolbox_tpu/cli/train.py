@@ -56,6 +56,8 @@ flags.DEFINE_bool("bf16", True, "bfloat16 compute")
 flags.DEFINE_integer("save_every", 1000, "checkpoint cadence")
 flags.DEFINE_integer("log_every", 100, "metric log cadence")
 flags.DEFINE_integer("seed", 0, "init/data seed")
+flags.DEFINE_enum("loader", "auto", ["auto", "native", "python"],
+                  "host decode path: native C++ pool or Python threads")
 
 _MARGINS = {  # (m1, m2, m3) defaults per variant
     "softmax": (1.0, 0.0, 0.0),
@@ -113,7 +115,8 @@ def main(argv):
     from tf_face_toolbox_tpu.cli import setup_platform
     setup_platform()
     from tf_face_toolbox_tpu.data.pipeline import (
-        FaceShardSource, batch_iterator, device_prefetch)
+        FaceShardSource, batch_iterator, device_prefetch,
+        native_batch_iterator)
     from tf_face_toolbox_tpu.parallel.mesh import create_mesh
     from tf_face_toolbox_tpu.train.loop import train_loop
 
@@ -129,8 +132,17 @@ def main(argv):
             host_count=jax.process_count())
         num_classes = FLAGS.num_classes or source.num_classes
         cfg = build_config(num_classes)
-        batches = batch_iterator(source,
-                                 cfg.global_batch // jax.process_count())
+        host_batch = cfg.global_batch // jax.process_count()
+        use_native = FLAGS.loader == "native"
+        if FLAGS.loader == "auto":
+            from tf_face_toolbox_tpu.data.native import native_available
+            use_native = native_available()
+        if use_native:
+            batches = native_batch_iterator(
+                source, host_batch,
+                out_h=cfg.crop_from, out_w=cfg.crop_from)
+        else:
+            batches = batch_iterator(source, host_batch)
     batches = device_prefetch(batches)
 
     result = train_loop(

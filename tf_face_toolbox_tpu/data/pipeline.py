@@ -151,6 +151,37 @@ class _DecodePool:
             self._in.put(None)
 
 
+def native_batch_iterator(source: FaceShardSource, batch_size: int, *,
+                          out_h: int, out_w: int,
+                          start_epoch: int = 0, start_step: int = 0,
+                          num_threads: int = 4) -> Iterator[dict]:
+    """batch_iterator with decode+resize in the native C++ loader.
+
+    Identical ordering/labels/resume semantics to ``batch_iterator``
+    (same FaceShardSource drives the shuffle); only the pixel path runs
+    through native/faceshard's mmap + libjpeg thread pool. Output
+    images are fixed (batch, out_h, out_w, 3) uint8.
+    """
+    from tf_face_toolbox_tpu.data.native import NativeShardReader
+
+    reader = NativeShardReader(source.index.path, num_threads=num_threads)
+    steps_per_epoch = source.num_records // batch_size
+    epoch, step = start_epoch, start_step
+    try:
+        while True:
+            order = source.epoch_order(epoch)
+            while step < steps_per_epoch:
+                ids = order[step * batch_size:(step + 1) * batch_size]
+                images = reader.decode_batch(ids, out_h, out_w)
+                labels = reader.labels[ids]
+                yield {"image": images, "label": labels,
+                       "epoch": epoch, "step": step}
+                step += 1
+            epoch, step = epoch + 1, 0
+    finally:
+        reader.close()
+
+
 def device_prefetch(it: Iterator[dict], *, depth: int = 2,
                     put: Callable | None = None) -> Iterator[dict]:
     """Overlap H2D transfer with compute: keep ``depth`` batches in
