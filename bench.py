@@ -18,11 +18,19 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compile cache: remote TPU compiles on this image take
+# minutes; cached reruns are seconds.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_FACES_PER_SEC = 10_000.0
 
@@ -76,6 +84,12 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=0,
                    help="batch size (0 = sweep and take best)")
     p.add_argument("--network", default="resnet_v1_50")
+    p.add_argument("--stem", default="imagenet",
+                   choices=["imagenet", "face"],
+                   help="imagenet = 7x7/s2+maxpool (the TF-slim-era stem "
+                        "the reference's nets used [UPSTREAM-K]); face = "
+                        "3x3/s1 ArcFace-style (4x the FLOPs, higher "
+                        "accuracy ceiling)")
     args = p.parse_args()
 
     from tf_face_toolbox_tpu.models import create_network, init_variables
@@ -83,8 +97,10 @@ def main() -> None:
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
 
-    net = create_network(args.network, dtype=jnp.bfloat16)
+    net = create_network(args.network, dtype=jnp.bfloat16, stem=args.stem)
     variables = init_variables(net, jax.random.key(0), (1, 112, 112, 3))
+    print(f"# network={args.network} stem={args.stem} 112x112 "
+          f"flip-averaged bf16", file=sys.stderr)
     chain = build_chain(net)
 
     batches = [args.batch] if args.batch else ([128, 256, 512] if on_tpu
