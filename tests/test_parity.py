@@ -1,0 +1,69 @@
+"""Embedding parity gates (BASELINE: cosine ≥ 0.999 per face).
+
+With the reference mount empty there is no TF checkpoint to compare
+against (SURVEY.md §7 "hard parts"), so parity means self-consistency:
+jit vs eager, bf16 vs f32 compute, and fused-Pallas vs XLA preprocessing
+must all stay within the 0.999-cosine gate on the SAME weights.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tf_face_toolbox_tpu.extract import flip_averaged_embeddings
+from tf_face_toolbox_tpu.models import create_network, init_variables
+
+
+def _cos(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    a /= np.linalg.norm(a, axis=1, keepdims=True)
+    b /= np.linalg.norm(b, axis=1, keepdims=True)
+    return (a * b).sum(1)
+
+
+def _extract(net, variables, x, jit=True):
+    fn = functools.partial(
+        flip_averaged_embeddings,
+        lambda v, i: net.apply(v, i, train=False))
+    return jax.jit(fn)(variables, x) if jit else fn(variables, x)
+
+
+def test_jit_vs_eager_cosine():
+    net = create_network("resnet_v1_50", embedding_dim=64)
+    variables = init_variables(net, jax.random.key(0), (1, 32, 32, 3))
+    x = jax.random.normal(jax.random.key(1), (4, 32, 32, 3))
+    e_jit = _extract(net, variables, x, jit=True)
+    e_eager = _extract(net, variables, x, jit=False)
+    assert _cos(e_jit, e_eager).min() >= 0.999
+
+
+def test_bf16_vs_f32_cosine():
+    """bf16 compute must stay within the 0.999 gate of f32 compute."""
+    net32 = create_network("resnet_v1_50", embedding_dim=64)
+    net16 = create_network("resnet_v1_50", embedding_dim=64,
+                           dtype=jnp.bfloat16)
+    variables = init_variables(net32, jax.random.key(0), (1, 32, 32, 3))
+    x = jax.random.normal(jax.random.key(2), (4, 32, 32, 3))
+    e32 = _extract(net32, variables, x)
+    e16 = _extract(net16, variables, x)   # same params, bf16 compute
+    assert _cos(e32, e16).min() >= 0.999
+
+
+def test_pallas_vs_xla_preprocess_cosine():
+    """Fused input kernel must not move embeddings past the gate."""
+    from tf_face_toolbox_tpu.ops import preprocess as pp
+    from tf_face_toolbox_tpu.ops.pallas_preprocess import (
+        fused_eval_preprocess)
+
+    net = create_network("resnet_v1_50", embedding_dim=64)
+    variables = init_variables(net, jax.random.key(0), (1, 24, 24, 3))
+    raw = jnp.asarray(np.random.default_rng(3).integers(
+        0, 256, (4, 28, 28, 3), dtype=np.uint8))
+    x_xla = pp.preprocess_eval_resize(raw, 24, 24)
+    x_pl = fused_eval_preprocess(raw, 24, 24, interpret=True)
+    e1 = _extract(net, variables, x_xla)
+    e2 = _extract(net, variables, x_pl)
+    assert _cos(e1, e2).min() >= 0.999

@@ -37,6 +37,7 @@ from jax import shard_map
 from tf_face_toolbox_tpu.models import create_network, init_variables
 from tf_face_toolbox_tpu.ops import preprocess as pp
 from tf_face_toolbox_tpu.ops.losses import MarginConfig
+from tf_face_toolbox_tpu.parallel import collectives
 from tf_face_toolbox_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from tf_face_toolbox_tpu.parallel.sharded_softmax import (
     sharded_margin_softmax_loss,
@@ -216,14 +217,12 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
 
         # --- explicit gradient exchange (the DP psum of SURVEY §2d) ---
         # Row loss is a mean over the row's samples; model-axis devices
-        # hold complementary partials of it → psum over `model`, then
-        # average rows over `data` (classifier shards live on one model
-        # column each: no model collective for g_cls).
-        g_params = jax.lax.pmean(
-            jax.lax.psum(g_params, MODEL_AXIS), DATA_AXIS)
-        g_cls = jax.lax.pmean(g_cls, DATA_AXIS)
-        loss = jax.lax.pmean(loss, DATA_AXIS) * mesh.shape[MODEL_AXIS]
-        new_bs = jax.lax.pmean(new_bs, batch_axes)
+        # hold complementary partials of it (classifier shards live on
+        # one model column each: no model collective for g_cls).
+        g_params = collectives.sync_gradients(g_params)
+        g_cls = collectives.sync_classifier_gradients(g_cls)
+        loss = collectives.replicate_mean(loss) * mesh.shape[MODEL_AXIS]
+        new_bs = collectives.sync_batch_stats(new_bs)
 
         grads = {"params": g_params, "classifier": g_cls}
         updates, new_opt = tx.update(
