@@ -155,3 +155,25 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     mgr.close()
+
+
+def test_ema_params_track_weights():
+    import dataclasses
+    cfg = dataclasses.replace(CFG, ema_decay=0.5)
+    mesh = create_mesh()
+    state, losses = _run_steps(mesh, 3, cfg=cfg)
+    assert state.ema_params is not None
+    p = jax.tree.leaves(state.params)
+    e = jax.tree.leaves(state.ema_params)
+    # EMA lags the live params but is no longer the init values.
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(p, e)]
+    assert any(d > 0 for d in diffs)
+    # and it stays finite
+    assert all(np.isfinite(np.asarray(x)).all() for x in e)
+
+
+def test_no_ema_by_default():
+    mesh = create_mesh()
+    state, _ = _run_steps(mesh, 1)
+    assert state.ema_params is None

@@ -79,3 +79,17 @@ def test_folds_rejects_indivisible():
     import pytest
     with pytest.raises(ValueError):
         verify_folds(np.zeros(101), np.zeros(101), n_folds=10)
+
+
+def test_identification_rank_k():
+    from tf_face_toolbox_tpu.ops.verification import identification_rank_k
+    rng = np.random.default_rng(7)
+    gallery = np.eye(6, 16, dtype=np.float32)       # 6 identities
+    g_labels = np.arange(6)
+    probe = gallery + 0.05 * rng.normal(size=(6, 16)).astype(np.float32)
+    p_labels = np.arange(6)
+    assert identification_rank_k(gallery, g_labels, probe, p_labels) == 1.0
+    # shuffle labels so rank-1 fails but rank-6 always hits
+    wrong = (p_labels + 1) % 6
+    assert identification_rank_k(gallery, g_labels, probe, wrong, k=1) == 0.0
+    assert identification_rank_k(gallery, g_labels, probe, wrong, k=6) == 1.0

@@ -27,12 +27,14 @@ flags.DEFINE_integer("embedding_dim", 512, "embedding size")
 flags.DEFINE_integer("image_size", 112, "eval crop size")
 flags.DEFINE_integer("batch", 256, "extraction batch size")
 flags.DEFINE_bool("bf16", True, "bfloat16 compute")
+flags.DEFINE_bool("use_ema", False,
+                  "extract with the EMA weights (if trained with EMA)")
 flags.mark_flag_as_required("data")
 flags.mark_flag_as_required("output")
 
 
 def load_variables(checkpoint_dir: str, network: str, embedding_dim: int,
-                   image_size: int, dtype):
+                   image_size: int, dtype, use_ema: bool = False):
     """Backbone variables from a train checkpoint (or fresh init)."""
     from tf_face_toolbox_tpu.models import create_network, init_variables
 
@@ -48,31 +50,42 @@ def load_variables(checkpoint_dir: str, network: str, embedding_dim: int,
         # Restore shapes come from a state built with matching config.
         mgr = CheckpointManager(checkpoint_dir)
         mesh = create_mesh(data=1, devices=jax.devices()[:1])
-        # num_classes is embedded in the checkpointed classifier; use a
-        # template large enough to read metadata-driven shapes.
+        # num_classes (and whether EMA was on) are read back from the
+        # checkpoint metadata so the template tree matches exactly.
+        meta = _tree_metadata(mgr)
+        has_ema = any(k.startswith("('ema_params'") for k in meta)
         template, _ = create_train_state(
             TrainConfig(network=network, embedding_dim=embedding_dim,
                         image_size=image_size, dtype=dtype,
-                        num_classes=_classifier_rows(mgr)),
+                        num_classes=_classifier_rows_from(meta),
+                        ema_decay=0.999 if has_ema else 0.0),
             jax.random.key(0), mesh, net=net)
         state = mgr.restore(template)
-        variables = {"params": state.params,
-                     "batch_stats": state.batch_stats}
-        logging.info("restored step %d from %s",
-                     int(jax.device_get(state.step)), checkpoint_dir)
+        params = state.params
+        if use_ema:
+            if state.ema_params is None:
+                raise ValueError("--use_ema set but checkpoint has no EMA")
+            params = state.ema_params
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        logging.info("restored step %d from %s (ema=%s)",
+                     int(jax.device_get(state.step)), checkpoint_dir,
+                     use_ema)
     return net, variables
 
 
-def _classifier_rows(mgr) -> int:
-    """Read the classifier row count from the checkpoint's _METADATA
-    (a fresh orbax manager exposes no item metadata before a restore)."""
+def _tree_metadata(mgr) -> dict:
+    """The checkpoint's _METADATA tree (a fresh orbax manager exposes no
+    item metadata before a restore, so read the json directly)."""
     import json
     import os
     step = mgr.latest_step()
     if step is None:
         raise FileNotFoundError("no checkpoint found")
     path = os.path.join(mgr._dir, str(step), "default", "_METADATA")
-    tree = json.load(open(path))["tree_metadata"]
+    return json.load(open(path))["tree_metadata"]
+
+
+def _classifier_rows_from(tree: dict) -> int:
     return int(tree["('classifier',)"]["value_metadata"]["write_shape"][0])
 
 
@@ -88,7 +101,7 @@ def main(argv):
     dtype = jnp.bfloat16 if FLAGS.bf16 else jnp.float32
     net, variables = load_variables(
         FLAGS.checkpoint_dir, FLAGS.network, FLAGS.embedding_dim,
-        FLAGS.image_size, dtype)
+        FLAGS.image_size, dtype, use_ema=FLAGS.use_ema)
     extract_fn = make_extract_fn(net, donate=False)
 
     source = FaceShardSource(FLAGS.data)

@@ -58,6 +58,8 @@ flags.DEFINE_integer("log_every", 100, "metric log cadence")
 flags.DEFINE_integer("seed", 0, "init/data seed")
 flags.DEFINE_enum("loader", "auto", ["auto", "native", "python"],
                   "host decode path: native C++ pool or Python threads")
+flags.DEFINE_float("ema_decay", 0.0,
+                   "weight EMA decay (0 = off; reference-era 0.999/0.9999)")
 
 _MARGINS = {  # (m1, m2, m3) defaults per variant
     "softmax": (1.0, 0.0, 0.0),
@@ -95,6 +97,7 @@ def build_config(num_classes: int) -> "TrainConfig":
         dtype=jnp.bfloat16 if FLAGS.bf16 else jnp.float32,
         augment=True,
         crop_from=FLAGS.crop_from or FLAGS.image_size + 8,
+        ema_decay=FLAGS.ema_decay,
     )
 
 

@@ -88,3 +88,20 @@ def verify_pairs(emb1: np.ndarray, emb2: np.ndarray, labels: np.ndarray,
     """End-to-end: embeddings for each pair side → LFW-protocol report."""
     sims = np.asarray(cosine_similarity(jnp.asarray(emb1), jnp.asarray(emb2)))
     return verify_folds(sims, labels, n_folds=n_folds)
+
+
+def identification_rank_k(gallery: np.ndarray, gallery_labels: np.ndarray,
+                          probe: np.ndarray, probe_labels: np.ndarray,
+                          *, k: int = 1) -> float:
+    """Closed-set identification: rank-k hit rate.
+
+    The similarity matrix is one on-device MXU matmul; the top-k scan is
+    trivial host work. Complements the pair protocol for gallery/probe
+    style evaluations.
+    """
+    sims = np.asarray(similarity_matrix(jnp.asarray(probe),
+                                        jnp.asarray(gallery)))  # (P, G)
+    order = np.argsort(-sims, axis=1)[:, :k]
+    hits = (np.asarray(gallery_labels)[order] ==
+            np.asarray(probe_labels)[:, None]).any(axis=1)
+    return float(hits.mean())

@@ -24,3 +24,6 @@ class TrainState:
     # state serializes through orbax/tensorstore; wrap with
     # jax.random.wrap_key_data before use.
     rng: jax.Array
+    # Exponential moving average of backbone params (the reference's
+    # tf.train.ExponentialMovingAverage [TF1-IDIOM]); None when disabled.
+    ema_params: Any = None

@@ -71,6 +71,8 @@ class TrainConfig:
     dtype: Any = jnp.float32          # jnp.bfloat16 on TPU
     augment: bool = True              # on-device crop/flip when input is u8
     crop_from: int = 120              # source size when augmenting
+    # weight EMA (reference: tf.train.ExponentialMovingAverage; 0 = off)
+    ema_decay: float = 0.0
 
     @property
     def margin(self) -> MarginConfig:
@@ -127,6 +129,8 @@ def create_train_state(cfg: TrainConfig, rng: jax.Array,
         classifier=classifier,
         opt_state=opt_state,
         rng=jax.random.key_data(k_step),
+        ema_params=(jax.tree.map(jnp.copy, variables["params"])
+                    if cfg.ema_decay > 0 else None),
     )
     return state, net
 
@@ -232,12 +236,20 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
             {"params": state.params, "classifier": state.classifier},
             updates)
 
+        new_ema = state.ema_params
+        if cfg.ema_decay > 0:
+            d = cfg.ema_decay
+            new_ema = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p,
+                state.ema_params, new_vars["params"])
+
         new_state = state.replace(
             step=state.step + 1,
             params=new_vars["params"],
             batch_stats=new_bs,
             classifier=new_vars["classifier"],
             opt_state=new_opt,
+            ema_params=new_ema,
         )
         metrics = {
             "loss": loss,
