@@ -51,14 +51,23 @@ def test_cli_pipeline(tmp_path):
                 f"--output={shard}"])
     assert "packed 24 records" in out
 
-    # --- train (tiny net, 3 steps, checkpointing) ----------------------
+    # pairs over record indices for the in-training eval hook
+    # (10 folds need a multiple of 10)
+    pair_lines = [f"{i} {i} 1" for i in range(10)]
+    pair_lines += [f"{i} {(i + 1) % 24} 0" for i in range(10)]
+    eval_pairs = tmp_path / "train_eval_pairs.txt"
+    eval_pairs.write_text("\n".join(pair_lines) + "\n")
+
+    # --- train (tiny net, 3 steps, checkpointing, EMA, eval hook) ------
     train_dir = str(tmp_path / "run")
     out = _run(["tf_face_toolbox_tpu.cli.train",
                 f"--data={shard}", f"--train_dir={train_dir}",
                 "--network=resnet_tiny", "--embedding_dim=16",
                 "--image_size=12", "--crop_from=16", "--global_batch=8",
                 "--num_steps=3", "--save_every=3", "--log_every=1",
-                "--nobf16", "--base_lr=0.01"])
+                "--nobf16", "--base_lr=0.01", "--ema_decay=0.9",
+                f"--eval_data={shard}", f"--eval_pairs={eval_pairs}",
+                "--eval_every=2"])
     assert "done: step=3" in out
 
     # --- resume: 2 more steps from the checkpoint ----------------------
@@ -67,7 +76,7 @@ def test_cli_pipeline(tmp_path):
                 "--network=resnet_tiny", "--embedding_dim=16",
                 "--image_size=12", "--crop_from=16", "--global_batch=8",
                 "--num_steps=5", "--save_every=5", "--log_every=1",
-                "--nobf16", "--base_lr=0.01"])
+                "--nobf16", "--base_lr=0.01", "--ema_decay=0.9"])
     assert "done: step=5" in out
 
     # --- extract --------------------------------------------------------

@@ -177,3 +177,20 @@ def test_no_ema_by_default():
     mesh = create_mesh()
     state, _ = _run_steps(mesh, 1)
     assert state.ema_params is None
+
+
+def test_pallas_input_path_runs():
+    import dataclasses
+    cfg = dataclasses.replace(
+        CFG, augment=True, crop_from=20, image_size=16, pallas_input=True,
+        global_batch=8)
+    mesh = create_mesh()
+    state, net = create_train_state(cfg, jax.random.key(0), mesh,
+                                    net=_tiny_net())
+    step_fn = make_train_step(net, cfg, mesh, state)
+    images = jax.random.randint(
+        jax.random.key(1), (8, 20, 20, 3), 0, 256, dtype=jnp.int32
+    ).astype(jnp.uint8)
+    labels = jnp.arange(8, dtype=jnp.int32) % 12
+    state, metrics = step_fn(state, images, labels)
+    assert np.isfinite(float(metrics["loss"]))

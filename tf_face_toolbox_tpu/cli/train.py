@@ -60,6 +60,15 @@ flags.DEFINE_enum("loader", "auto", ["auto", "native", "python"],
                   "host decode path: native C++ pool or Python threads")
 flags.DEFINE_float("ema_decay", 0.0,
                    "weight EMA decay (0 = off; reference-era 0.999/0.9999)")
+flags.DEFINE_bool("pallas_input", False,
+                  "fused Pallas augmentation kernel (TPU)")
+flags.DEFINE_bool("multihost", False,
+                  "call jax.distributed.initialize() (TPU pod slices)")
+flags.DEFINE_string("eval_data", "",
+                    "FaceShard of verification faces (optional)")
+flags.DEFINE_string("eval_pairs", "",
+                    "pairs file 'idx1 idx2 label' over eval_data")
+flags.DEFINE_integer("eval_every", 0, "run verification every N steps")
 
 _MARGINS = {  # (m1, m2, m3) defaults per variant
     "softmax": (1.0, 0.0, 0.0),
@@ -98,7 +107,43 @@ def build_config(num_classes: int) -> "TrainConfig":
         augment=True,
         crop_from=FLAGS.crop_from or FLAGS.image_size + 8,
         ema_decay=FLAGS.ema_decay,
+        pallas_input=FLAGS.pallas_input,
     )
+
+
+def build_eval_fn(cfg):
+    """Periodic in-training LFW-style verification (optional)."""
+    if not (FLAGS.eval_data and FLAGS.eval_pairs and FLAGS.eval_every):
+        return None
+    import numpy as np
+    from tf_face_toolbox_tpu.cli.eval_lfw import load_pairs
+    from tf_face_toolbox_tpu.data.pipeline import FaceShardSource
+    from tf_face_toolbox_tpu.extract import flip_averaged_embeddings
+    from tf_face_toolbox_tpu.models import create_network
+    from tf_face_toolbox_tpu.ops.preprocess import preprocess_eval_resize
+    from tf_face_toolbox_tpu.ops.verification import verify_pairs
+
+    net = create_network(cfg.network, embedding_dim=cfg.embedding_dim,
+                         dtype=cfg.dtype)
+    source = FaceShardSource(FLAGS.eval_data)
+    images = np.stack([source.record(i)[0]
+                       for i in range(source.index.count)])
+    x = preprocess_eval_resize(jnp.asarray(images),
+                               cfg.image_size, cfg.image_size)
+    i1, i2, labels = load_pairs(FLAGS.eval_pairs)
+    extract = jax.jit(lambda v, im: flip_averaged_embeddings(
+        lambda vv, xx: net.apply(vv, xx, train=False), v, im))
+
+    def eval_fn(state):
+        params = (state.ema_params if state.ema_params is not None
+                  else state.params)
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        emb = np.asarray(extract(variables, x))
+        report = verify_pairs(emb[i1], emb[i2], labels)
+        return {"lfw_accuracy": report["accuracy_mean"],
+                "lfw_std": report["accuracy_std"]}
+
+    return eval_fn
 
 
 def synthetic_batches(cfg, seed: int):
@@ -117,6 +162,8 @@ def main(argv):
     del argv
     from tf_face_toolbox_tpu.cli import setup_platform
     setup_platform()
+    if FLAGS.multihost:
+        jax.distributed.initialize()
     from tf_face_toolbox_tpu.data.pipeline import (
         FaceShardSource, batch_iterator, device_prefetch,
         native_batch_iterator)
@@ -155,6 +202,8 @@ def main(argv):
         save_every=FLAGS.save_every,
         log_every=FLAGS.log_every,
         rng_seed=FLAGS.seed,
+        eval_fn=build_eval_fn(cfg),
+        eval_every=FLAGS.eval_every,
     )
     print(f"done: step={int(jax.device_get(result.state.step))} "
           f"loss={result.last_metrics.get('loss'):.4f}")

@@ -40,7 +40,9 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
                log_every: int = 100,
                net=None,
                rng_seed: int = 0,
-               logger: MetricLogger | None = None) -> LoopResult:
+               logger: MetricLogger | None = None,
+               eval_fn=None,
+               eval_every: int = 0) -> LoopResult:
     """Run (or resume) training for ``num_steps`` total steps.
 
     Resume semantics match the reference's Saver/latest_checkpoint
@@ -72,6 +74,10 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
                 raise FloatingPointError(
                     f"non-finite loss at step {step}: {host['loss']}")
             logger.log(step, host)
+        if eval_fn is not None and eval_every and step % eval_every == 0:
+            eval_metrics = eval_fn(state)
+            logger.log(step, {f"eval/{k}": v
+                              for k, v in eval_metrics.items()})
         if mgr is not None:
             mgr.maybe_save(state)
     if mgr is not None:

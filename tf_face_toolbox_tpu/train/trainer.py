@@ -73,6 +73,9 @@ class TrainConfig:
     crop_from: int = 120              # source size when augmenting
     # weight EMA (reference: tf.train.ExponentialMovingAverage; 0 = off)
     ema_decay: float = 0.0
+    # Route augmentation through the fused Pallas input kernel (TPU;
+    # the XLA chain is the fallback and the CPU-test path).
+    pallas_input: bool = False
 
     @property
     def margin(self) -> MarginConfig:
@@ -172,6 +175,8 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
     margin = cfg.margin
     num_classes = cfg.num_classes
     batch_axes = (DATA_AXIS, MODEL_AXIS)
+    # Pallas compiles on TPU; CPU (tests) runs the interpreter.
+    pallas_interpret = jax.default_backend() == "cpu"
 
     def device_step(state: TrainState, images, labels):
         # Per-device, per-step RNG: fold step and device position into
@@ -183,7 +188,25 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
             jax.random.wrap_key_data(state.rng), state.step)
         dev_rng = jax.random.fold_in(step_rng, dev)
 
-        if cfg.augment:
+        if cfg.augment and cfg.pallas_input:
+            # random crop (XLA dynamic_slice) → fused Pallas
+            # flip+standardize (identity resize ⇒ the width matmul IS
+            # the flip). One HBM pass for the whole augment tail.
+            from tf_face_toolbox_tpu.ops.pallas_preprocess import (
+                fused_preprocess)
+            n, h, w, _ = images.shape
+            kc, kf = jax.random.split(dev_rng)
+            offs = pp.random_offsets(kc, n, h, w,
+                                     cfg.image_size, cfg.image_size)
+            cropped = pp.crop_at(images, offs,
+                                 cfg.image_size, cfg.image_size)
+            flips = jax.random.bernoulli(kf, 0.5, (n,))
+            x = fused_preprocess(cropped, flips,
+                                 out_h=cfg.image_size,
+                                 out_w=cfg.image_size,
+                                 out_dtype=cfg.dtype,
+                                 interpret=pallas_interpret)
+        elif cfg.augment:
             x = pp.preprocess_train(dev_rng, images,
                                     cfg.image_size, cfg.image_size)
         else:
