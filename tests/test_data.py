@@ -129,3 +129,19 @@ def test_device_prefetch_preserves_order(tmp_path):
     for _ in range(6):
         a, b = next(plain), next(pref)
         np.testing.assert_array_equal(a["image"], np.asarray(b["image"]))
+
+
+def test_grain_adapter(tmp_path):
+    grain = pytest.importorskip("grain.python")
+    path, images, labels = _raw_shard(tmp_path)
+    from tf_face_toolbox_tpu.data.grain_adapter import (
+        FaceShardDataSource, make_grain_dataset)
+    src = FaceShardDataSource(path)
+    assert len(src) == 20
+    rec = src[3]
+    np.testing.assert_array_equal(rec["image"], images[3])
+    assert rec["label"] == labels[3]
+    loader = make_grain_dataset(path, batch_size=4, seed=1, num_epochs=1)
+    batches = list(loader)
+    assert len(batches) == 5
+    assert batches[0]["image"].shape == (4, 8, 8, 3)
