@@ -35,17 +35,31 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_FACES_PER_SEC = 10_000.0
 
 
-def build_chain(net):
+def build_chain(net, e2e: bool = False):
+    """e2e=True: input is raw uint8 120x120 and the chain includes the
+    fused Pallas resize+standardize input kernel (the serving path)."""
     from tf_face_toolbox_tpu.extract import flip_averaged_embeddings
 
     def apply_fn(v, x):
         return net.apply(v, x, train=False)
 
+    if e2e:
+        from tf_face_toolbox_tpu.ops.pallas_preprocess import (
+            fused_eval_preprocess)
+
+        def forward(variables, img):
+            x = fused_eval_preprocess(img, 112, 112,
+                                      out_dtype=jnp.bfloat16)
+            return flip_averaged_embeddings(apply_fn, variables, x)
+    else:
+        def forward(variables, img):
+            return flip_averaged_embeddings(apply_fn, variables, img)
+
     @functools.partial(jax.jit, static_argnums=2)
     def chain(variables, images, iters):
         def body(_, carry):
             img, acc = carry
-            emb = flip_averaged_embeddings(apply_fn, variables, img)
+            emb = forward(variables, img)
             s = emb.sum()
             # zero-valued dependency: forces sequential execution
             # without perturbing the input values.
@@ -57,11 +71,16 @@ def build_chain(net):
     return chain
 
 
-def measure(chain, variables, batch: int, *, k1: int = 3, k2: int = 13,
-            repeats: int = 3) -> float:
+def measure(chain, variables, batch: int, *, e2e: bool = False,
+            k1: int = 3, k2: int = 13, repeats: int = 3) -> float:
     """faces/sec from differenced chain timings (RTT-free)."""
-    images = jax.random.normal(
-        jax.random.key(1), (batch, 112, 112, 3), jnp.float32)
+    if e2e:
+        images = jax.random.randint(
+            jax.random.key(1), (batch, 120, 120, 3), 0, 256,
+            dtype=jnp.int32).astype(jnp.uint8)
+    else:
+        images = jax.random.normal(
+            jax.random.key(1), (batch, 112, 112, 3), jnp.float32)
 
     def timed(iters: int) -> float:
         t0 = time.perf_counter()
@@ -90,6 +109,9 @@ def main() -> None:
                         "the reference's nets used [UPSTREAM-K]); face = "
                         "3x3/s1 ArcFace-style (4x the FLOPs, higher "
                         "accuracy ceiling)")
+    p.add_argument("--e2e", action="store_true",
+                   help="serving path: uint8 120x120 in, fused Pallas "
+                        "resize+standardize included in the measurement")
     args = p.parse_args()
 
     from tf_face_toolbox_tpu.models import create_network, init_variables
@@ -100,15 +122,15 @@ def main() -> None:
     net = create_network(args.network, dtype=jnp.bfloat16, stem=args.stem)
     variables = init_variables(net, jax.random.key(0), (1, 112, 112, 3))
     print(f"# network={args.network} stem={args.stem} 112x112 "
-          f"flip-averaged bf16", file=sys.stderr)
-    chain = build_chain(net)
+          f"flip-averaged bf16 e2e={args.e2e}", file=sys.stderr)
+    chain = build_chain(net, e2e=args.e2e)
 
     batches = [args.batch] if args.batch else ([128, 256, 512] if on_tpu
                                                else [16])
     best = 0.0
     for b in batches:
         try:
-            fps = measure(chain, variables, b)
+            fps = measure(chain, variables, b, e2e=args.e2e)
         except Exception as e:  # OOM at large batch: keep best so far
             print(f"# batch {b} failed: {e}", file=sys.stderr)
             continue

@@ -94,3 +94,21 @@ def test_loss_under_jit_and_bf16_embeddings():
     l16 = float(f(emb.astype(jnp.bfloat16), w, labels))
     assert abs(l32 - l16) < 0.1
     assert np.isfinite(l16)
+
+
+def test_stability_at_large_class_count():
+    """SURVEY §7 hard part: margin-softmax stability at big identity
+    counts — f32 logits over a bf16 GEMM, 50k classes."""
+    rng = np.random.default_rng(9)
+    emb = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+    emb = emb.astype(jnp.bfloat16)
+    w = init_classifier_weights(jax.random.key(3), 50_000, 64)
+    labels = jnp.asarray(rng.integers(0, 50_000, 8))
+    cfg = MarginConfig.cosface()
+    loss, grads = jax.value_and_grad(margin_softmax_loss, argnums=(0, 1))(
+        emb.astype(jnp.float32), w, labels, cfg)
+    assert np.isfinite(float(loss))
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+    # loss ≈ log(C) + s*(margin-ish) ballpark, not exploded
+    assert float(loss) < 100.0

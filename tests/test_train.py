@@ -194,3 +194,55 @@ def test_pallas_input_path_runs():
     labels = jnp.arange(8, dtype=jnp.int32) % 12
     state, metrics = step_fn(state, images, labels)
     assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.slow
+def test_learning_end_to_end_verification_improves():
+    """Train on structured synthetic identities, then verify held-out
+    image pairs: accuracy must be far above chance (the BASELINE
+    config-4 integration proof without real CASIA data)."""
+    import dataclasses
+    from tf_face_toolbox_tpu.extract import flip_averaged_embeddings
+    from tf_face_toolbox_tpu.ops.verification import verify_pairs
+
+    num_ids, size = 10, 16
+    key = jax.random.key(0)
+    # identity templates: fixed random images; samples = template + noise
+    templates = jax.random.uniform(key, (num_ids, size, size, 3)) * 2 - 1
+
+    def sample(key, n):
+        kl, kn = jax.random.split(key)
+        labels = jax.random.randint(kl, (n,), 0, num_ids)
+        noise = 0.3 * jax.random.normal(kn, (n, size, size, 3))
+        return templates[labels] + noise, labels
+
+    cfg = dataclasses.replace(
+        CFG, num_classes=num_ids, base_lr=0.1, margin_scale=16.0,
+        global_batch=32, image_size=size)
+    mesh = create_mesh()
+    state, net = create_train_state(cfg, jax.random.key(1), mesh,
+                                    net=_tiny_net())
+    step_fn = make_train_step(net, cfg, mesh, state)
+    for i in range(60):
+        images, labels = sample(jax.random.key(1000 + i), cfg.global_batch)
+        state, metrics = step_fn(state, images.astype(jnp.float32),
+                                 labels.astype(jnp.int32))
+    assert np.isfinite(float(metrics["loss"]))
+
+    # held-out pairs: same-id vs diff-id, fresh noise
+    test_imgs, test_labels = sample(jax.random.key(9999), 60)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    emb = np.asarray(flip_averaged_embeddings(
+        lambda v, x: net.apply(v, x, train=False), variables,
+        test_imgs.astype(jnp.float32)))
+    tl = np.asarray(test_labels)
+    same = [(i, j) for i in range(60) for j in range(i + 1, 60)
+            if tl[i] == tl[j]][:50]
+    diff = [(i, j) for i in range(60) for j in range(i + 1, 60)
+            if tl[i] != tl[j]][:50]
+    i1 = np.array([p[0] for p in same + diff])
+    i2 = np.array([p[1] for p in same + diff])
+    labels01 = np.array([1] * len(same) + [0] * len(diff))
+    order = np.argsort(np.tile(np.arange(len(same)), 2), kind="stable")
+    r = verify_pairs(emb[i1][order], emb[i2][order], labels01[order])
+    assert r["accuracy_mean"] > 0.8, r
