@@ -121,8 +121,14 @@ def main() -> None:
 
     net = create_network(args.network, dtype=jnp.bfloat16, stem=args.stem)
     variables = init_variables(net, jax.random.key(0), (1, 112, 112, 3))
+    # Serving config: weights stored bf16 (halves weight HBM traffic;
+    # embeddings stay f32 — parity gate covered by tests/test_parity.py).
+    variables = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        variables)
     print(f"# network={args.network} stem={args.stem} 112x112 "
-          f"flip-averaged bf16 e2e={args.e2e}", file=sys.stderr)
+          f"flip-averaged bf16 weights+compute e2e={args.e2e}",
+          file=sys.stderr)
     chain = build_chain(net, e2e=args.e2e)
 
     batches = [args.batch] if args.batch else ([128, 256, 512] if on_tpu

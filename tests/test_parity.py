@@ -67,3 +67,18 @@ def test_pallas_vs_xla_preprocess_cosine():
     e1 = _extract(net, variables, x_xla)
     e2 = _extract(net, variables, x_pl)
     assert _cos(e1, e2).min() >= 0.999
+
+
+def test_bf16_weights_cosine():
+    """Serving config (bench.py): bf16-stored weights must stay within
+    the 0.999 gate of the f32 checkpoint weights."""
+    net = create_network("resnet_v1_50", embedding_dim=64,
+                         dtype=jnp.bfloat16)
+    v = init_variables(net, jax.random.key(0), (1, 32, 32, 3))
+    v16 = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        v)
+    x = jax.random.normal(jax.random.key(4), (4, 32, 32, 3))
+    e32 = _extract(net, v, x)
+    e16 = _extract(net, v16, x)
+    assert _cos(e32, e16).min() >= 0.999
