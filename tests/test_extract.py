@@ -105,3 +105,14 @@ def test_all_backbones_share_extraction_api():
         assert emb.shape == (2, 32)
         np.testing.assert_allclose(
             np.linalg.norm(np.asarray(emb), axis=1), 1.0, atol=1e-5)
+
+
+def test_mesh_sharded_extraction_matches_single():
+    from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+    net, variables = _net_and_vars()
+    x = jax.random.normal(jax.random.key(6), (8, 16, 16, 3))
+    single = make_extract_fn(net, donate=False)(variables, x)
+    mesh = create_mesh()
+    sharded = make_extract_fn(net, donate=False, mesh=mesh)(variables, x)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
+                               atol=2e-5)

@@ -1,0 +1,104 @@
+"""Named presets for the five BASELINE.json milestone configs.
+
+Each entry is runnable as-is (synthetic data where the real dataset
+isn't bundled) and doubles as executable documentation of the intended
+production settings. ``get_config(name)`` returns a TrainConfig (train
+configs) or a dict (eval-only configs).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from tf_face_toolbox_tpu.train.trainer import TrainConfig
+
+# BASELINE.json configs[0]: "ResNet-50 single-image embedding + LFW pair
+# verification, batch 32, CPU" — an extraction/eval recipe, not training.
+CONFIG_1_EXTRACT_VERIFY_CPU: dict[str, Any] = dict(
+    network="resnet_v1_50",
+    embedding_dim=512,
+    image_size=112,
+    batch=32,
+    platform="cpu",
+    flip_average=True,
+    verification="lfw_10fold",
+)
+
+# configs[1]: "SE-ResNet-50 backbone with flip-averaged 512-d embeddings"
+CONFIG_2_SE_RESNET_EXTRACT: dict[str, Any] = dict(
+    network="se_resnet_50",
+    embedding_dim=512,
+    image_size=112,
+    batch=256,
+    flip_average=True,
+)
+
+# configs[2]: "DenseNet / ResNeXt backbone variants under the same
+# extraction API"
+CONFIG_3_VARIANT_BACKBONES: dict[str, Any] = dict(
+    networks=("densenet_121", "resnext_50"),
+    embedding_dim=512,
+    image_size=112,
+    batch=256,
+    flip_average=True,
+)
+
+# configs[3]: "Margin-softmax (CosFace/ArcFace-style) training on
+# CASIA-WebFace, single chip"
+CONFIG_4_CASIA_SINGLE_CHIP = TrainConfig(
+    network="resnet_v1_50",
+    embedding_dim=512,
+    num_classes=10_572,            # CASIA-WebFace identities
+    image_size=112,
+    crop_from=120,
+    global_batch=256,
+    base_lr=0.1,
+    lr_boundaries=(100_000, 160_000, 220_000),
+    warmup_steps=2_000,
+    weight_decay=5e-4,
+    margin_scale=64.0,
+    margin_m3=0.35,                # CosFace
+    dtype=jnp.bfloat16,
+    augment=True,
+)
+
+# configs[4]: "Data-parallel large-batch training on a v5e-8 mesh with
+# psum gradient exchange"
+CONFIG_5_V5E8_DATA_PARALLEL = TrainConfig(
+    network="resnet_v1_50",
+    embedding_dim=512,
+    num_classes=10_572,
+    image_size=112,
+    crop_from=120,
+    global_batch=2048,             # 256/chip on v5e-8
+    base_lr=0.4,                   # linear-scaled with batch
+    lr_boundaries=(60_000, 100_000, 140_000),
+    warmup_steps=5_000,
+    weight_decay=5e-4,
+    margin_scale=64.0,
+    margin_m3=0.35,
+    dtype=jnp.bfloat16,
+    augment=True,
+)
+# mesh for config 5: parallel.mesh.create_mesh()  → all 8 chips on `data`
+# (add model=N for Partial-FC class sharding at larger identity counts)
+
+_REGISTRY = {
+    "extract_verify_cpu": CONFIG_1_EXTRACT_VERIFY_CPU,
+    "se_resnet_extract": CONFIG_2_SE_RESNET_EXTRACT,
+    "variant_backbones": CONFIG_3_VARIANT_BACKBONES,
+    "casia_single_chip": CONFIG_4_CASIA_SINGLE_CHIP,
+    "v5e8_data_parallel": CONFIG_5_V5E8_DATA_PARALLEL,
+}
+
+
+def get_config(name: str):
+    if name not in _REGISTRY:
+        raise ValueError(f"unknown config '{name}'; have {sorted(_REGISTRY)}")
+    return _REGISTRY[name]
+
+
+def list_configs() -> list[str]:
+    return sorted(_REGISTRY)

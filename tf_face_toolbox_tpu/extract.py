@@ -41,11 +41,16 @@ def flip_averaged_embeddings(apply_fn: Callable, variables: Any,
     return l2_normalize(emb[:n] + emb[n:])
 
 
-def make_extract_fn(net, *, donate: bool = True) -> Callable:
+def make_extract_fn(net, *, donate: bool = True, mesh=None) -> Callable:
     """Build the jitted extraction step for a backbone module.
 
     Returns ``extract(variables, images) -> (N, D) f32 embeddings``.
     ``images`` are standardized pixels (see ops.preprocess).
+
+    ``mesh``: shard extraction data-parallel over a device mesh — the
+    batch splits over the ``data`` axis, params replicate, and XLA runs
+    each chip on its shard (multi-chip serving; the batch must divide by
+    the data-axis size).
     """
     def _apply(variables, images):
         return net.apply(variables, images, train=False)
@@ -54,7 +59,20 @@ def make_extract_fn(net, *, donate: bool = True) -> Callable:
         return flip_averaged_embeddings(_apply, variables, images)
 
     donate_argnums = (1,) if donate else ()
-    return jax.jit(_extract, donate_argnums=donate_argnums)
+    if mesh is None:
+        return jax.jit(_extract, donate_argnums=donate_argnums)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tf_face_toolbox_tpu.parallel.mesh import DATA_AXIS
+
+    batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        _extract,
+        in_shardings=(replicated, batch_sharding),
+        out_shardings=batch_sharding,
+        donate_argnums=donate_argnums,
+    )
 
 
 def extract_dataset(net, variables, batches: Iterable[np.ndarray],
