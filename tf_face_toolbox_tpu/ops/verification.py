@@ -64,6 +64,18 @@ def verify_folds(sims: np.ndarray, labels: np.ndarray, *, n_folds: int = 10,
     if n % n_folds:
         raise ValueError(f"{n} pairs not divisible into {n_folds} folds")
     fold = n // n_folds
+    # Degenerate-fold guard: the LFW protocol assumes every fold mixes
+    # same- and diff-pairs (the official pairs.txt interleaves them). A
+    # single-class fold yields meaningless thresholds — warn loudly.
+    for k in range(n_folds):
+        chunk = labels[k * fold:(k + 1) * fold]
+        if chunk.all() or not chunk.any():
+            import warnings
+            warnings.warn(
+                f"fold {k} contains only {'positive' if chunk.all() else 'negative'}"
+                " pairs; interleave the pairs file for meaningful folds",
+                stacklevel=2)
+            break
     accs, thrs = [], []
     for k in range(n_folds):
         test = np.zeros(n, bool)

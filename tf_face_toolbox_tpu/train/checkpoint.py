@@ -59,6 +59,23 @@ class CheckpointManager:
         return self._mgr.restore(
             step, args=ocp.args.StandardRestore(abstract))
 
+    def tree_metadata(self, step: int | None = None) -> dict | None:
+        """The checkpoint's _METADATA tree, read straight off disk (a
+        fresh orbax manager exposes no item metadata before a restore).
+        None when no checkpoint exists."""
+        import json
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        path = os.path.join(self._dir, str(step), "default", "_METADATA")
+        with open(path) as f:
+            return json.load(f)["tree_metadata"]
+
+    def has_ema(self) -> bool:
+        meta = self.tree_metadata()
+        return bool(meta) and any(k.startswith("('ema_params'")
+                                  for k in meta)
+
     def wait(self):
         """Block until async saves are durable (call before exit)."""
         self._mgr.wait_until_finished()

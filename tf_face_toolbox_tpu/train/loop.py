@@ -57,6 +57,11 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
     if train_dir:
         mgr = CheckpointManager(train_dir, save_every=save_every)
         if mgr.latest_step() is not None:
+            if mgr.has_ema() != (state.ema_params is not None):
+                raise ValueError(
+                    "checkpoint EMA state does not match config: resume "
+                    f"with {'--ema_decay>0' if mgr.has_ema() else '--ema_decay=0'} "
+                    "(the same setting the run was started with)")
             state = shard_state(mgr.restore(state), mesh)
     step_fn = make_train_step(net, cfg, mesh, state)
     logger = logger or MetricLogger(train_dir,
