@@ -31,7 +31,6 @@ Layout (little-endian):
 from __future__ import annotations
 
 import dataclasses
-import io
 import os
 import struct
 from typing import Iterable, Sequence

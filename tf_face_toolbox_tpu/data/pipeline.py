@@ -34,7 +34,6 @@ from typing import Callable, Iterator
 import numpy as np
 
 from tf_face_toolbox_tpu.data.format import (
-    PAYLOAD_JPEG,
     PAYLOAD_RAW,
     ShardReader,
     read_index,

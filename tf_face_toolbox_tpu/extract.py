@@ -17,8 +17,7 @@ TPU-first design, unlike the reference's two separate graph branches:
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Iterable, Iterator
+from typing import Any, Callable, Iterable
 
 import jax
 import jax.numpy as jnp

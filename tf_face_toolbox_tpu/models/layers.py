@@ -19,8 +19,7 @@ The reference's equivalents live in its ``nets/*.py`` as raw
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Sequence
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,6 @@ TPU-first / numerical notes:
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp

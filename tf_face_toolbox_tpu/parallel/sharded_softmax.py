@@ -27,7 +27,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from tf_face_toolbox_tpu.ops.losses import MarginConfig, apply_margin, cosine_logits
+from tf_face_toolbox_tpu.ops.losses import MarginConfig, cosine_logits
 
 
 def local_margin_logits(embeddings: jax.Array, w_shard: jax.Array,

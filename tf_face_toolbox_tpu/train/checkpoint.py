@@ -14,7 +14,6 @@ reference's single-process tensor-bundle writer).
 from __future__ import annotations
 
 import os
-from typing import Any
 
 import jax
 import orbax.checkpoint as ocp

@@ -11,7 +11,7 @@ current one runs; metrics are only materialized (device sync) every
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Iterator
+from typing import Iterator
 
 import jax
 import numpy as np

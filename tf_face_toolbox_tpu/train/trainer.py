@@ -25,7 +25,6 @@ Rebuilds the reference's multi-GPU tower loop (ref: upstream train.py
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable
 
 import jax
