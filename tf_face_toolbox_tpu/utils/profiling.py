@@ -60,7 +60,9 @@ def chained_seconds_per_call(fn: Callable, *args, k1: int = 3,
     timed(k1), timed(k2)  # compile both chain lengths
     t1 = min(timed(k1) for _ in range(repeats))
     t2 = min(timed(k2) for _ in range(repeats))
-    return (t2 - t1) / (k2 - k1)
+    # Sub-dispatch-noise workloads can difference negative; floor at the
+    # amortized long-chain time, which is then dispatch-bound but sane.
+    return max((t2 - t1) / (k2 - k1), t2 / (k2 * 10), 1e-9)
 
 
 def throughput(fn: Callable, *args, batch: int, **kw) -> float:
