@@ -145,3 +145,38 @@ def test_grain_adapter(tmp_path):
     batches = list(loader)
     assert len(batches) == 5
     assert batches[0]["image"].shape == (4, 8, 8, 3)
+
+
+def test_balanced_batch_iterator(tmp_path):
+    from tf_face_toolbox_tpu.data.pipeline import balanced_batch_iterator
+    rng = np.random.default_rng(3)
+    # 6 identities x 5 images each
+    images = rng.integers(0, 256, (30, 8, 8, 3), dtype=np.uint8)
+    labels = np.repeat(np.arange(6), 5).astype(np.int32)
+    path = str(tmp_path / "bal.faceshard")
+    pack_arrays(path, images, labels)
+    src = FaceShardSource(path, seed=11)
+    it = balanced_batch_iterator(src, ids_per_batch=3, images_per_id=2,
+                                 num_threads=1)
+    b = next(it)
+    assert b["image"].shape == (6, 8, 8, 3)
+    counts = np.bincount(b["label"], minlength=6)
+    assert sorted(counts[counts > 0].tolist()) == [2, 2, 2]
+    # deterministic resume: restarting at step N reproduces batch N
+    b3 = [next(it) for _ in range(3)][-1]    # steps 1,2,3
+    it2 = balanced_batch_iterator(src, ids_per_batch=3, images_per_id=2,
+                                  start_step=3, num_threads=1)
+    again = next(it2)
+    np.testing.assert_array_equal(b3["image"], again["image"])
+
+
+def test_balanced_iterator_rejects_thin_identities(tmp_path):
+    from tf_face_toolbox_tpu.data.pipeline import balanced_batch_iterator
+    images = np.zeros((4, 8, 8, 3), np.uint8)
+    labels = np.array([0, 0, 1, 2], np.int32)   # ids 1,2 have 1 image
+    path = str(tmp_path / "thin.faceshard")
+    pack_arrays(path, images, labels)
+    src = FaceShardSource(path)
+    with pytest.raises(ValueError, match="identities"):
+        next(balanced_batch_iterator(src, ids_per_batch=2, images_per_id=2,
+                                     num_threads=1))

@@ -150,6 +150,54 @@ class _DecodePool:
             self._in.put(None)
 
 
+def balanced_batch_iterator(source: FaceShardSource, *,
+                            ids_per_batch: int, images_per_id: int,
+                            start_step: int = 0,
+                            num_threads: int = 4) -> Iterator[dict]:
+    """P×K identity-balanced batches (P ids × K images each).
+
+    The standard sampler for metric-learning losses: every batch
+    contains several images of each sampled identity, so the margin
+    objective always sees positive pairs. Deterministic from
+    (source.seed, step) — resumable by ``start_step`` alone.
+    """
+    labels = source.index.labels
+    by_id: dict[int, np.ndarray] = {}
+    host_set = set(source._host_ids.tolist())
+    for rid, lab in enumerate(labels):
+        if rid in host_set:
+            by_id.setdefault(int(lab), []).append(rid)
+    eligible = [lab for lab, rids in by_id.items()
+                if len(rids) >= images_per_id]
+    if len(eligible) < ids_per_batch:
+        raise ValueError(
+            f"only {len(eligible)} identities have >= {images_per_id} "
+            f"images; need {ids_per_batch}")
+    eligible = np.asarray(sorted(eligible))
+    id_arrays = {lab: np.asarray(by_id[lab]) for lab in eligible}
+
+    pool = _DecodePool(source, num_threads) if num_threads > 1 else None
+    step = start_step
+    try:
+        while True:
+            rng = np.random.default_rng((source.seed, step))
+            chosen = rng.choice(eligible, ids_per_batch, replace=False)
+            ids = np.concatenate([
+                rng.choice(id_arrays[lab], images_per_id, replace=False)
+                for lab in chosen])
+            if pool is not None:
+                records = pool.decode(ids)
+            else:
+                records = [source.record(int(i)) for i in ids]
+            yield {"image": np.stack([r[0] for r in records]),
+                   "label": np.asarray([r[1] for r in records], np.int32),
+                   "epoch": 0, "step": step}
+            step += 1
+    finally:
+        if pool is not None:
+            pool.close()
+
+
 def native_batch_iterator(source: FaceShardSource, batch_size: int, *,
                           out_h: int, out_w: int,
                           start_epoch: int = 0, start_step: int = 0,
