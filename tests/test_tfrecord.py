@@ -1,0 +1,88 @@
+"""TFRecord ingestion vs the installed TF as writer-oracle."""
+
+import io
+
+import numpy as np
+import pytest
+
+from tf_face_toolbox_tpu.data.tfrecord import (
+    convert_tfrecords_to_faceshard,
+    iter_tfrecords,
+    parse_example,
+)
+
+tf = pytest.importorskip("tensorflow")
+
+
+def _write_tfrecord(path, examples):
+    with tf.io.TFRecordWriter(str(path)) as w:
+        for feats in examples:
+            feature = {}
+            for k, v in feats.items():
+                if isinstance(v, bytes):
+                    feature[k] = tf.train.Feature(
+                        bytes_list=tf.train.BytesList(value=[v]))
+                elif isinstance(v, int):
+                    feature[k] = tf.train.Feature(
+                        int64_list=tf.train.Int64List(value=[v]))
+                elif isinstance(v, float):
+                    feature[k] = tf.train.Feature(
+                        float_list=tf.train.FloatList(value=[v]))
+            w.write(tf.train.Example(
+                features=tf.train.Features(feature=feature)
+            ).SerializeToString())
+
+
+def _jpeg(arr):
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=95)
+    return buf.getvalue()
+
+
+def test_parse_example_matches_tf(tmp_path):
+    y, x = np.mgrid[0:10, 0:12]
+    img = np.stack([y * 9 % 256, x * 7 % 256, (x + y) % 256],
+                   -1).astype(np.uint8)
+    blob = _jpeg(img)
+    p = tmp_path / "a.tfrecord"
+    _write_tfrecord(p, [{"image/encoded": blob, "image/label": 7,
+                         "image/width": 12, "quality": 0.5}])
+    records = list(iter_tfrecords(str(p)))
+    assert len(records) == 1
+    ex = parse_example(records[0])
+    assert bytes(ex["image/encoded"][0]) == blob
+    assert ex["image/label"][0] == 7
+    assert ex["image/width"][0] == 12
+    assert abs(ex["quality"][0] - 0.5) < 1e-6
+
+
+def test_convert_to_faceshard_roundtrip(tmp_path):
+    from tf_face_toolbox_tpu.data.pipeline import FaceShardSource
+    examples = []
+    for i in range(6):
+        y, x = np.mgrid[0:16, 0:16]
+        img = np.stack([(y * (i + 2)) % 256, x % 256, (x * y) % 256],
+                       -1).astype(np.uint8)
+        examples.append({"image/encoded": _jpeg(img),
+                         "image/label": i % 3})
+    p1, p2 = tmp_path / "s1.tfrecord", tmp_path / "s2.tfrecord"
+    _write_tfrecord(p1, examples[:3])
+    _write_tfrecord(p2, examples[3:])
+    out = str(tmp_path / "out.faceshard")
+    n = convert_tfrecords_to_faceshard([str(p1), str(p2)], out)
+    assert n == 6
+    src = FaceShardSource(out)
+    img, lab = src.record(4)
+    assert img.shape == (16, 16, 3)
+    assert lab == 1
+    np.testing.assert_array_equal(
+        src.index.labels, [0, 1, 2, 0, 1, 2])
+
+
+def test_missing_key_reports_available(tmp_path):
+    p = tmp_path / "bad.tfrecord"
+    _write_tfrecord(p, [{"img": b"xx", "y": 1}])
+    with pytest.raises(KeyError, match="found features"):
+        convert_tfrecords_to_faceshard([str(p)],
+                                       str(tmp_path / "o.faceshard"))

@@ -273,10 +273,14 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
             opt_state=new_opt,
             ema_params=new_ema,
         )
+        # Global grad norm: classifier lives in shards across `model`,
+        # so combine squared norms before the sqrt.
+        sq = (optax.global_norm(g_params) ** 2 +
+              jax.lax.psum(jnp.sum(jnp.square(g_cls)), MODEL_AXIS))
         metrics = {
             "loss": loss,
             "learning_rate": sched(state.step),
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": jnp.sqrt(sq),
         }
         return new_state, metrics
 
