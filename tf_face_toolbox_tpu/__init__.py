@@ -23,4 +23,30 @@ mount was empty; upstream paths are cited as [UPSTREAM-K] reconstructions).
 
 __version__ = "0.1.0"
 
-from tf_face_toolbox_tpu.models import create_network, list_networks  # noqa: F401
+from tf_face_toolbox_tpu.models import (  # noqa: F401
+    create_network,
+    init_variables,
+    list_networks,
+)
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (keeps bare import light)."""
+    if name in ("make_extract_fn", "flip_averaged_embeddings",
+                "extract_dataset"):
+        import tf_face_toolbox_tpu.extract as m
+        return getattr(m, name)
+    if name in ("TrainConfig", "create_train_state", "make_train_step"):
+        import tf_face_toolbox_tpu.train.trainer as m
+        return getattr(m, name)
+    if name in ("verify_pairs", "cosine_similarity", "similarity_matrix",
+                "identification_rank_k"):
+        import tf_face_toolbox_tpu.ops.verification as m
+        return getattr(m, name)
+    if name == "MarginConfig":
+        from tf_face_toolbox_tpu.ops.losses import MarginConfig
+        return MarginConfig
+    if name == "create_mesh":
+        from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+        return create_mesh
+    raise AttributeError(name)
