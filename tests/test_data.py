@@ -180,3 +180,21 @@ def test_balanced_iterator_rejects_thin_identities(tmp_path):
     with pytest.raises(ValueError, match="identities"):
         next(balanced_batch_iterator(src, ids_per_batch=2, images_per_id=2,
                                      num_threads=1))
+
+
+def test_decode_pool_propagates_errors(tmp_path):
+    """A corrupt record must raise, not deadlock the thread pool."""
+    from tf_face_toolbox_tpu.data.format import write_shard, PAYLOAD_JPEG
+    from tf_face_toolbox_tpu.data.pipeline import _DecodePool
+    path = str(tmp_path / "corrupt.faceshard")
+    write_shard(path, [b"not-a-jpeg", b"also-bad"], [0, 1],
+                payload=PAYLOAD_JPEG)
+    src = FaceShardSource(path)
+    pool = _DecodePool(src, 2)
+    try:
+        with pytest.raises(Exception):
+            pool.decode([0, 1])
+        # pool still alive after the failure: a good record elsewhere
+        # would work; here just ensure close() returns.
+    finally:
+        pool.close()

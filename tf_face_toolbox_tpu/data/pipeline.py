@@ -133,16 +133,25 @@ class _DecodePool:
             if item is None:
                 return
             slot, rid, out, done = item
-            out[slot] = self.source.record(rid)
-            done.put(slot)
+            # A raising record (corrupt JPEG, bad id) must not kill the
+            # worker silently — that would deadlock decode() forever.
+            try:
+                out[slot] = self.source.record(rid)
+                done.put((slot, None))
+            except Exception as e:  # noqa: BLE001 — reraised in decode()
+                done.put((slot, e))
 
     def decode(self, ids) -> list:
         out = [None] * len(ids)
         done: queue.Queue = queue.Queue()
         for i, rid in enumerate(ids):
             self._in.put((i, int(rid), out, done))
+        error = None
         for _ in ids:
-            done.get()
+            _, err = done.get()
+            error = error or err
+        if error is not None:
+            raise error
         return out
 
     def close(self):
