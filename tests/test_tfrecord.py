@@ -86,3 +86,27 @@ def test_missing_key_reports_available(tmp_path):
     with pytest.raises(KeyError, match="found features"):
         convert_tfrecords_to_faceshard([str(p)],
                                        str(tmp_path / "o.faceshard"))
+
+
+def test_arrayrecord_ingest(tmp_path):
+    arm = pytest.importorskip("array_record.python.array_record_module")
+    from tf_face_toolbox_tpu.data.pipeline import FaceShardSource
+    y, x = np.mgrid[0:8, 0:8]
+    img = np.stack([y * 20 % 256, x * 20 % 256, (x + y) % 256],
+                   -1).astype(np.uint8)
+    ex = tf.train.Example(features=tf.train.Features(feature={
+        "image/encoded": tf.train.Feature(
+            bytes_list=tf.train.BytesList(value=[_jpeg(img)])),
+        "image/label": tf.train.Feature(
+            int64_list=tf.train.Int64List(value=[3])),
+    })).SerializeToString()
+    p = str(tmp_path / "d.array_record")
+    w = arm.ArrayRecordWriter(p, "group_size:1")
+    w.write(ex)
+    w.close()
+    out = str(tmp_path / "o.faceshard")
+    n = convert_tfrecords_to_faceshard([p], out)
+    assert n == 1
+    src = FaceShardSource(out)
+    got, lab = src.record(0)
+    assert got.shape == (8, 8, 3) and lab == 3

@@ -120,16 +120,40 @@ def parse_example(raw: bytes) -> dict[str, list]:
     return out
 
 
+def iter_arrayrecords(path: str) -> Iterator[bytes]:
+    """Yield raw record payloads from an ArrayRecord file (the modern
+    JAX-ecosystem successor to TFRecord; array_record is installed)."""
+    from array_record.python.array_record_module import ArrayRecordReader
+
+    reader = ArrayRecordReader(path)
+    try:
+        n = reader.num_records()
+        # read in chunks to bound memory
+        for lo in range(0, n, 1024):
+            for rec in reader.read(list(range(lo, min(lo + 1024, n)))):
+                yield rec
+    finally:
+        reader.close()
+
+
 def convert_tfrecords_to_faceshard(
-        tfrecord_paths: list[str], out_path: str, *,
+        record_paths: list[str], out_path: str, *,
         image_key: str = "image/encoded",
         label_key: str = "image/label") -> int:
-    """Migrate TFRecord face data into a FaceShard (jpeg payloads)."""
+    """Migrate TFRecord/ArrayRecord face data into a FaceShard.
+
+    Records must be tf.train.Example protos; files ending in
+    ``.array_record``/``.arrayrecord`` are read with the ArrayRecord
+    reader, anything else as TFRecord framing.
+    """
     from tf_face_toolbox_tpu.data.format import PAYLOAD_JPEG, write_shard
 
     blobs, labels = [], []
-    for path in tfrecord_paths:
-        for raw in iter_tfrecords(path):
+    for path in record_paths:
+        it = (iter_arrayrecords(path)
+              if path.endswith((".array_record", ".arrayrecord"))
+              else iter_tfrecords(path))
+        for raw in it:
             ex = parse_example(raw)
             if image_key not in ex or label_key not in ex:
                 keys = sorted(ex)
