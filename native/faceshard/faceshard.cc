@@ -199,16 +199,31 @@ void* fs_open(const char* path, int num_threads) {
   s->fd = fd;
   s->map = static_cast<const uint8_t*>(map);
   s->map_len = st.st_size;
+  auto fail = [&]() {
+    munmap(map, st.st_size); close(fd); delete s;
+    return static_cast<void*>(nullptr);
+  };
+  if (s->map_len < sizeof(Header)) return fail();
   memcpy(&s->hdr, s->map, sizeof(Header));
-  if (s->hdr.magic != kMagic || s->hdr.version != kVersion) {
-    munmap(map, st.st_size); close(fd); delete s; return nullptr;
-  }
+  if (s->hdr.magic != kMagic || s->hdr.version != kVersion) return fail();
+  // Truncation guards: the mapping must cover the full index, and the
+  // index's final offset must fit inside the payload region — otherwise
+  // decode would read past the mapping (SIGSEGV, not a clean error).
+  const uint64_t count = s->hdr.count;
+  const uint64_t index_bytes = 8 * (count + 1) + 4 * count;
+  if (count > (s->map_len / 8) ||
+      s->map_len < sizeof(Header) + index_bytes) return fail();
   const uint8_t* p = s->map + sizeof(Header);
   s->offsets = reinterpret_cast<const uint64_t*>(p);
-  p += 8 * (s->hdr.count + 1);
+  p += 8 * (count + 1);
   s->labels = reinterpret_cast<const int32_t*>(p);
-  p += 4 * s->hdr.count;
+  p += 4 * count;
   s->data = p;
+  const uint64_t data_len = s->map_len - (p - s->map);
+  if (s->offsets[count] > data_len) return fail();
+  for (uint64_t i = 0; i < count; ++i) {
+    if (s->offsets[i] > s->offsets[i + 1]) return fail();
+  }
   if (num_threads > 0) s->pool.reset(new ThreadPool(num_threads));
   return s;
 }

@@ -198,3 +198,23 @@ def test_decode_pool_propagates_errors(tmp_path):
         # would work; here just ensure close() returns.
     finally:
         pool.close()
+
+
+def test_batch_iterator_resize_matches_native_semantics(tmp_path):
+    """Python loader with resize_to must give the same pixels as the
+    native loader at the same output geometry (<=1 LSB: PIL vs C++)."""
+    from tf_face_toolbox_tpu.data import native as native_mod
+    if not native_mod.native_available():
+        pytest.skip("native loader unavailable")
+    rng = np.random.default_rng(8)
+    images = rng.integers(0, 256, (8, 24, 24, 3), dtype=np.uint8)
+    path = str(tmp_path / "rz.faceshard")
+    pack_arrays(path, images, np.zeros(8, np.int32))
+    src = FaceShardSource(path, seed=6)
+    from tf_face_toolbox_tpu.data.pipeline import native_batch_iterator
+    b_py = next(batch_iterator(src, 8, num_threads=1, resize_to=(12, 12)))
+    b_nat = next(native_batch_iterator(src, 8, out_h=12, out_w=12,
+                                       num_threads=1))
+    np.testing.assert_array_equal(b_py["label"], b_nat["label"])
+    diff = np.abs(b_py["image"].astype(int) - b_nat["image"].astype(int))
+    assert diff.max() <= 1

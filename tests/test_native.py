@@ -82,3 +82,18 @@ def test_out_of_range_id_raises(tmp_path):
     with pytest.raises(ValueError):
         r.decode_batch([0, 99], 8, 8)
     r.close()
+
+
+def test_truncated_shard_rejected_cleanly(tmp_path):
+    """Corrupt/truncated shards must fail fs_open, not SIGSEGV later."""
+    rng = np.random.default_rng(5)
+    images = rng.integers(0, 256, (10, 8, 8, 3), dtype=np.uint8)
+    path = str(tmp_path / "t.faceshard")
+    pack_arrays(path, images, np.zeros(10, np.int32))
+    data = open(path, "rb").read()
+    # truncate mid-index and mid-payload
+    for cut in (40, len(data) - 50):
+        bad = str(tmp_path / f"bad{cut}.faceshard")
+        open(bad, "wb").write(data[:cut])
+        with pytest.raises(OSError):
+            native.NativeShardReader(bad)

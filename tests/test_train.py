@@ -154,6 +154,9 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == int(state.step)
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # no-EMA checkpoint must report has_ema()==False (orbax metadata
+    # still contains the ema_params key with value_type "None")
+    assert mgr.has_ema() is False
     mgr.close()
 
 
@@ -246,3 +249,26 @@ def test_learning_end_to_end_verification_improves():
     order = np.argsort(np.tile(np.arange(len(same)), 2), kind="stable")
     r = verify_pairs(emb[i1][order], emb[i2][order], labels01[order])
     assert r["accuracy_mean"] > 0.8, r
+
+
+def test_staircase_boundaries_absolute_with_warmup():
+    from tf_face_toolbox_tpu.train.schedule import staircase
+    sched = staircase(0.1, (100, 200), decay=0.1, warmup_steps=10)
+    assert abs(float(sched(0)) - 0.01) < 1e-6      # ramp start
+    assert abs(float(sched(9)) - 0.1) < 1e-6       # ramp done
+    assert abs(float(sched(99)) - 0.1) < 1e-6
+    assert abs(float(sched(100)) - 0.01) < 1e-7    # decay AT 100, not 110
+    assert abs(float(sched(200)) - 0.001) < 1e-8
+
+
+def test_resnext_output_channels_match_paper():
+    from tf_face_toolbox_tpu.models import create_network, init_variables
+    net = create_network("resnext_50", embedding_dim=16)
+    v = init_variables(net, jax.random.key(0), (1, 32, 32, 3))
+    flat = jax.tree_util.tree_flatten_with_path(v["params"])[0]
+    shapes = {tuple(l.shape) for _, l in flat if hasattr(l, "shape")}
+    # stage-0 projection 1x1: 128 -> 256 (expansion 2), and the last
+    # stage emits 2048 channels like the paper
+    assert (1, 1, 128, 256) in shapes
+    assert any(s[-1] == 2048 for s in shapes if len(s) == 4)
+    assert not any(s[-1] == 4096 for s in shapes if len(s) == 4)

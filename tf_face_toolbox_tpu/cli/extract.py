@@ -52,13 +52,14 @@ def load_variables(checkpoint_dir: str, network: str, embedding_dim: int,
         mesh = create_mesh(data=1, devices=jax.devices()[:1])
         # num_classes (and whether EMA was on) are read back from the
         # checkpoint metadata so the template tree matches exactly.
-        meta = _tree_metadata(mgr)
-        has_ema = any(k.startswith("('ema_params'") for k in meta)
+        meta = mgr.tree_metadata()
+        if meta is None:
+            raise FileNotFoundError("no checkpoint found")
         template, _ = create_train_state(
             TrainConfig(network=network, embedding_dim=embedding_dim,
                         image_size=image_size, dtype=dtype,
                         num_classes=_classifier_rows_from(meta),
-                        ema_decay=0.999 if has_ema else 0.0),
+                        ema_decay=0.999 if mgr.has_ema() else 0.0),
             jax.random.key(0), mesh, net=net)
         state = mgr.restore(template)
         params = state.params
@@ -71,18 +72,6 @@ def load_variables(checkpoint_dir: str, network: str, embedding_dim: int,
                      int(jax.device_get(state.step)), checkpoint_dir,
                      use_ema)
     return net, variables
-
-
-def _tree_metadata(mgr) -> dict:
-    """The checkpoint's _METADATA tree (a fresh orbax manager exposes no
-    item metadata before a restore, so read the json directly)."""
-    import json
-    import os
-    step = mgr.latest_step()
-    if step is None:
-        raise FileNotFoundError("no checkpoint found")
-    path = os.path.join(mgr._dir, str(step), "default", "_METADATA")
-    return json.load(open(path))["tree_metadata"]
 
 
 def _classifier_rows_from(tree: dict) -> int:

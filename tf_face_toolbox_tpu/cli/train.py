@@ -183,6 +183,17 @@ def main(argv):
         num_classes = FLAGS.num_classes or source.num_classes
         cfg = build_config(num_classes)
         host_batch = cfg.global_batch // jax.process_count()
+        # Resume: align the data stream with the checkpointed step so a
+        # restarted run continues through the SAME shuffled sequence
+        # instead of replaying epoch 0 (deterministic-resume contract).
+        start_epoch = start_step = 0
+        if FLAGS.train_dir:
+            from tf_face_toolbox_tpu.train.checkpoint import (
+                CheckpointManager)
+            latest = CheckpointManager(FLAGS.train_dir).latest_step()
+            if latest:
+                spe = source.num_records // host_batch
+                start_epoch, start_step = latest // spe, latest % spe
         use_native = FLAGS.loader == "native"
         if FLAGS.loader == "auto":
             from tf_face_toolbox_tpu.data.native import native_available
@@ -190,10 +201,20 @@ def main(argv):
         if use_native:
             batches = native_batch_iterator(
                 source, host_batch,
-                out_h=cfg.crop_from, out_w=cfg.crop_from)
+                out_h=cfg.crop_from, out_w=cfg.crop_from,
+                start_epoch=start_epoch, start_step=start_step)
         else:
-            batches = batch_iterator(source, host_batch)
-    batches = device_prefetch(batches)
+            # resize_to matches the native loader's pixel semantics and
+            # handles mixed-size JPEG datasets.
+            batches = batch_iterator(
+                source, host_batch,
+                resize_to=(cfg.crop_from, cfg.crop_from),
+                start_epoch=start_epoch, start_step=start_step)
+    if jax.process_count() > 1:
+        from tf_face_toolbox_tpu.parallel.mesh import globalize_host_batches
+        batches = globalize_host_batches(batches, mesh)
+    else:
+        batches = device_prefetch(batches)
 
     result = train_loop(
         cfg, mesh, batches,
@@ -205,8 +226,11 @@ def main(argv):
         eval_fn=build_eval_fn(cfg),
         eval_every=FLAGS.eval_every,
     )
+    loss = result.last_metrics.get("loss")
     print(f"done: step={int(jax.device_get(result.state.step))} "
-          f"loss={result.last_metrics.get('loss'):.4f}")
+          f"loss={loss:.4f}" if loss is not None else
+          f"done: step={int(jax.device_get(result.state.step))} "
+          f"(no steps run — already at num_steps)")
 
 
 if __name__ == "__main__":

@@ -82,14 +82,35 @@ class FaceShardSource:
         return img, self.reader.label(rid)
 
 
+def _resize_u8(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Half-pixel bilinear resize — the SAME math as the device resize
+    (ops/preprocess) and the native C++ loader, so the loader choice
+    never changes training pixels. (PIL's BILINEAR antialiases on
+    downscale and diverges badly — don't substitute it.)"""
+    if img.shape[0] == h and img.shape[1] == w:
+        return img
+    from tf_face_toolbox_tpu.ops.preprocess import _bilinear_matrix
+    rh = _bilinear_matrix(h, img.shape[0])          # (h, H)
+    rw = _bilinear_matrix(w, img.shape[1])          # (w, W)
+    out = np.einsum("oh,hwc->owc", rh, img.astype(np.float32))
+    out = np.einsum("pw,owc->opc", rw, out)
+    return np.clip(out + 0.5, 0, 255).astype(np.uint8)
+
+
 def batch_iterator(source: FaceShardSource, batch_size: int, *,
                    start_epoch: int = 0, start_step: int = 0,
                    num_threads: int = 4,
+                   resize_to: tuple[int, int] | None = None,
                    drop_remainder: bool = True) -> Iterator[dict]:
     """Infinite (epoch-cycling) iterator of {'image','label','epoch','step'}.
 
     Resume: pass the (epoch, step-within-epoch) recorded in the
     checkpoint and the stream continues exactly where it left off.
+
+    ``resize_to=(h, w)``: resize decodes to a fixed geometry — REQUIRED
+    for mixed-size JPEG datasets (np.stack needs uniform shapes) and
+    keeps pixel semantics identical to the native loader, which always
+    resizes to its output geometry.
     """
     steps_per_epoch = source.num_records // batch_size
     epoch, step = start_epoch, start_step
@@ -104,6 +125,9 @@ def batch_iterator(source: FaceShardSource, batch_size: int, *,
                     records = pool.decode(ids)
                 else:
                     records = [source.record(int(i)) for i in ids]
+                if resize_to is not None:
+                    records = [(_resize_u8(img, *resize_to), lab)
+                               for img, lab in records]
                 images = np.stack([r[0] for r in records])
                 labels = np.asarray([r[1] for r in records], np.int32)
                 yield {"image": images, "label": labels,

@@ -31,12 +31,17 @@ _REGISTRY: dict[str, tuple[type, dict[str, Any]]] = {
     # SE-ResNet family (ref: upstream nets/se_resnet.py [UPSTREAM-K])
     "se_resnet_50": (ResNet, dict(stage_sizes=(3, 4, 6, 3), se_reduction=16)),
     "se_resnet_101": (ResNet, dict(stage_sizes=(3, 4, 23, 3), se_reduction=16)),
-    # ResNeXt family, 32x4d convention (ref: upstream nets/resnext.py [UPSTREAM-K])
-    "resnext_50": (ResNet, dict(stage_sizes=(3, 4, 6, 3), groups=32, width_per_group=4)),
-    "resnext_101": (ResNet, dict(stage_sizes=(3, 4, 23, 3), groups=32, width_per_group=4)),
+    # ResNeXt family, 32x4d convention: bottleneck width 128 at stage 0
+    # with expansion 2 → stage outputs 256/512/1024/2048, matching the
+    # paper (ref: upstream nets/resnext.py [UPSTREAM-K])
+    "resnext_50": (ResNet, dict(stage_sizes=(3, 4, 6, 3), groups=32,
+                                width_per_group=4, expansion=2)),
+    "resnext_101": (ResNet, dict(stage_sizes=(3, 4, 23, 3), groups=32,
+                                 width_per_group=4, expansion=2)),
     # SE-ResNeXt (composable knobs — free given the shared block library)
     "se_resnext_50": (ResNet, dict(stage_sizes=(3, 4, 6, 3), groups=32,
-                                   width_per_group=4, se_reduction=16)),
+                                   width_per_group=4, expansion=2,
+                                   se_reduction=16)),
     # DenseNet family (ref: upstream nets/densenet.py [UPSTREAM-K])
     "densenet_121": (DenseNet, dict(stage_sizes=(6, 12, 24, 16))),
     "densenet_169": (DenseNet, dict(stage_sizes=(6, 12, 32, 32))),

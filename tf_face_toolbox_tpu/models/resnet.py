@@ -71,6 +71,9 @@ class ResNet(nn.Module):
     width_per_group: int = 64
     groups: int = 1
     se_reduction: int = 0
+    # Output channels = bottleneck width × expansion. ResNet uses 4;
+    # ResNeXt-32x4d uses 2 (width 128 → output 256 at stage 0).
+    expansion: int = 4
     embedding_dim: int = 512
     stem: str = "face"          # "face" | "imagenet"
     head_variant: str = "gap"
@@ -104,6 +107,7 @@ class ResNet(nn.Module):
                     strides=strides,
                     groups=self.groups,
                     se_reduction=self.se_reduction,
+                    expansion=self.expansion,
                     dtype=self.dtype,
                 )(x, train)
 

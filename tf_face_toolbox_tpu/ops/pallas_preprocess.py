@@ -74,10 +74,11 @@ def _kernel(flip_ref, x_ref, rh_ref, rw_ref, rwf_ref, out_ref, *,
     rw = rw_ref[:]                                # (W_in*C, W_out*C)
     rwf = rwf_ref[:]
     # flip flags arrive via scalar prefetch: whole (N,) vector in SMEM.
+    # Select the MATRIX (cheap VPU select) so the dominant width GEMM
+    # runs once per image, not twice.
     flip = flip_ref[pl.program_id(0)] != 0
-    y_plain = jnp.dot(y, rw, preferred_element_type=jnp.float32)
-    y_flip = jnp.dot(y, rwf, preferred_element_type=jnp.float32)
-    y = jnp.where(flip, y_flip, y_plain)          # (H_out, W_out*C)
+    rsel = jnp.where(flip, rwf, rw)
+    y = jnp.dot(y, rsel, preferred_element_type=jnp.float32)
     # tf.image.per_image_standardization (SURVEY.md §8): the
     # rsqrt(num_pixels) floor on the std.
     mean = jnp.mean(y)

@@ -61,6 +61,30 @@ def class_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(MODEL_AXIS, None))
 
 
+def globalize_host_batches(it, mesh: Mesh):
+    """Multi-host adapter: assemble per-process local batches into global
+    jax.Arrays sharded over the mesh's batch axes.
+
+    Each process's iterator yields its own (global/num_hosts, ...) numpy
+    shard; ``jax.make_array_from_process_local_data`` stitches them into
+    the single global array the jitted train step expects. On one
+    process this is pass-through-equivalent (still returns committed
+    device arrays with the right sharding).
+    """
+    import numpy as np
+
+    for item in it:
+        out = dict(item)
+        for key in ("image", "label"):
+            arr = np.asarray(item[key])
+            sharding = NamedSharding(
+                mesh, P(*( [(DATA_AXIS, MODEL_AXIS)] +
+                           [None] * (arr.ndim - 1) )))
+            out[key] = jax.make_array_from_process_local_data(
+                sharding, arr)
+        yield out
+
+
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     n = mesh.shape[DATA_AXIS]
     if global_batch % n:

@@ -32,9 +32,16 @@ class CheckpointManager:
             max_to_keep=keep, create=True, enable_async_checkpointing=True)
         self._mgr = ocp.CheckpointManager(self._dir, options=options)
 
-    def maybe_save(self, state: TrainState, *, force: bool = False) -> bool:
-        """Save if the step hits the cadence (reference: Saver every-N)."""
-        step = int(jax.device_get(state.step))
+    def maybe_save(self, state: TrainState, *, step: int | None = None,
+                   force: bool = False) -> bool:
+        """Save if the step hits the cadence (reference: Saver every-N).
+
+        Pass the host-side ``step`` counter when you have one:
+        ``device_get(state.step)`` blocks on the in-flight train step and
+        would serialize the async-dispatch pipeline every iteration.
+        """
+        if step is None:
+            step = int(jax.device_get(state.step))
         if not force and (self.save_every <= 0 or step % self.save_every):
             return False
         self._mgr.save(step, args=ocp.args.StandardSave(state))
@@ -71,9 +78,15 @@ class CheckpointManager:
             return json.load(f)["tree_metadata"]
 
     def has_ema(self) -> bool:
+        """True if the checkpoint holds real EMA arrays (a None
+        ema_params still appears in the metadata with value_type None)."""
         meta = self.tree_metadata()
-        return bool(meta) and any(k.startswith("('ema_params'")
-                                  for k in meta)
+        if not meta:
+            return False
+        return any(
+            k.startswith("('ema_params'") and
+            v.get("value_metadata", {}).get("value_type") != "None"
+            for k, v in meta.items())
 
     def wait(self):
         """Block until async saves are durable (call before exit)."""

@@ -84,9 +84,9 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
             logger.log(step, {f"eval/{k}": v
                               for k, v in eval_metrics.items()})
         if mgr is not None:
-            mgr.maybe_save(state)
+            mgr.maybe_save(state, step=step)
     if mgr is not None:
-        mgr.maybe_save(state, force=True)
+        mgr.maybe_save(state, step=start, force=True)
         mgr.wait()
     logger.flush()
     host = {k: float(jax.device_get(v)) for k, v in metrics.items()}

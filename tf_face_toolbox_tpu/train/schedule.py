@@ -14,10 +14,22 @@ import optax
 
 def staircase(base_lr: float, boundaries: Sequence[int],
               decay: float = 0.1, warmup_steps: int = 0) -> optax.Schedule:
-    """base_lr, ×decay at each boundary step, optional linear warmup."""
-    sched = optax.piecewise_constant_schedule(
-        base_lr, {int(b): decay for b in boundaries})
-    if warmup_steps <= 0:
-        return sched
-    warmup = optax.linear_schedule(0.0, base_lr, warmup_steps)
-    return optax.join_schedules([warmup, sched], [warmup_steps])
+    """base_lr, ×decay at each boundary step, optional linear warmup.
+
+    Boundaries are ABSOLUTE global steps (optax.join_schedules would
+    shift them late by warmup_steps — the inner schedule sees
+    step-warmup; we implement the staircase directly instead).
+    """
+    import jax.numpy as jnp
+
+    bnd = jnp.asarray(sorted(int(b) for b in boundaries), jnp.int32)
+
+    def sched(step):
+        step = jnp.asarray(step)
+        lr = base_lr * decay ** jnp.sum(step >= bnd)
+        if warmup_steps > 0:
+            ramp = jnp.minimum(1.0, (step + 1) / warmup_steps)
+            lr = lr * ramp
+        return lr
+
+    return sched
