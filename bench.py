@@ -72,7 +72,7 @@ def build_chain(net, e2e: bool = False):
 
 
 def measure(chain, variables, batch: int, *, e2e: bool = False,
-            k1: int = 3, k2: int = 13, repeats: int = 3) -> float:
+            k1: int = 3, k2: int = 13, repeats: int = 6) -> float:
     """faces/sec from differenced chain timings (RTT-free)."""
     if e2e:
         images = jax.random.randint(
