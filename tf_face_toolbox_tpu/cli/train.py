@@ -115,6 +115,11 @@ def build_eval_fn(cfg):
     """Periodic in-training LFW-style verification (optional)."""
     if not (FLAGS.eval_data and FLAGS.eval_pairs and FLAGS.eval_every):
         return None
+    if jax.process_count() > 1:
+        from absl import logging
+        logging.warning("in-training eval is single-host only; skipping "
+                        "under --multihost (extract+eval offline instead)")
+        return None
     import numpy as np
     from tf_face_toolbox_tpu.cli.eval_lfw import load_pairs
     from tf_face_toolbox_tpu.data.pipeline import FaceShardSource
@@ -210,6 +215,8 @@ def main(argv):
                 source, host_batch,
                 resize_to=(cfg.crop_from, cfg.crop_from),
                 start_epoch=start_epoch, start_step=start_step)
+    from tf_face_toolbox_tpu.data.pipeline import host_prefetch
+    batches = host_prefetch(batches)
     if jax.process_count() > 1:
         from tf_face_toolbox_tpu.parallel.mesh import globalize_host_batches
         batches = globalize_host_batches(batches, mesh)

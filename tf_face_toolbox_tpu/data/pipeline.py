@@ -262,6 +262,37 @@ def native_batch_iterator(source: FaceShardSource, batch_size: int, *,
         reader.close()
 
 
+def host_prefetch(it: Iterator[dict], *, depth: int = 2) -> Iterator[dict]:
+    """Run the upstream iterator (decode+batch) in a background thread.
+
+    Without this, each ``next()`` decodes synchronously on the training
+    thread — the decode pool parallelizes within a batch but still sits
+    on the critical path. A bounded queue keeps ``depth`` batches ready.
+    Exceptions (e.g. corrupt records) propagate to the consumer.
+    """
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for item in it:
+                q.put(item)
+        except Exception as e:  # noqa: BLE001 — reraised below
+            q.put(e)
+            return
+        q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, Exception):
+            raise item
+        yield item
+
+
 def device_prefetch(it: Iterator[dict], *, depth: int = 2,
                     put: Callable | None = None) -> Iterator[dict]:
     """Overlap H2D transfer with compute: keep ``depth`` batches in

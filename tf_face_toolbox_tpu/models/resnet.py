@@ -89,6 +89,19 @@ class ResNet(nn.Module):
         elif self.stem == "imagenet":
             x = ConvBN(64, (7, 7), strides=(2, 2), dtype=self.dtype)(x, train)
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        elif self.stem == "space2depth":
+            # TResNet-style stem (PAPERS.md "TResNet: High Performance
+            # GPU-Dedicated Architecture", §SpaceToDepth): losslessly
+            # re-layout 2x2 pixel blocks into channels (H,W,3 → H/2,W/2,
+            # 12), then one 3x3 conv. Same stage resolutions as the
+            # `face` stem (stage 0 runs at stride 1 — the s2d already
+            # downsampled), but the MXU-hostile 3-channel full-res conv
+            # disappears and block-0's pre-stride 1x1s run at half res.
+            n, h, w, c = x.shape
+            x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                n, h // 2, w // 2, 4 * c)
+            x = ConvBN(64, (3, 3), strides=(1, 1), dtype=self.dtype)(x, train)
         else:
             raise ValueError(f"unknown stem: {self.stem}")
 
@@ -96,7 +109,7 @@ class ResNet(nn.Module):
             features = self.width_per_group * self.groups * (2 ** stage_idx)
             for block_idx in range(num_blocks):
                 # Face stem keeps stage 0 at stride 2 too (112 → 56);
-                # imagenet stem already downsampled 4x, so stage 0 is s1.
+                # imagenet/s2d stems already downsampled, so stage 0 is s1.
                 first = block_idx == 0
                 if first and (stage_idx > 0 or self.stem == "face"):
                     strides = (2, 2)
