@@ -104,7 +104,7 @@ def main() -> None:
                    help="batch size (0 = sweep and take best)")
     p.add_argument("--network", default="resnet_v1_50")
     p.add_argument("--stem", default="imagenet",
-                   choices=["imagenet", "face"],
+                   choices=["imagenet", "face", "space2depth"],
                    help="imagenet = 7x7/s2+maxpool (the TF-slim-era stem "
                         "the reference's nets used [UPSTREAM-K]); face = "
                         "3x3/s1 ArcFace-style (4x the FLOPs, higher "

@@ -218,3 +218,38 @@ def test_batch_iterator_resize_matches_native_semantics(tmp_path):
     np.testing.assert_array_equal(b_py["label"], b_nat["label"])
     diff = np.abs(b_py["image"].astype(int) - b_nat["image"].astype(int))
     assert diff.max() <= 1
+
+
+def test_host_prefetch_order_and_errors(tmp_path):
+    from tf_face_toolbox_tpu.data.pipeline import host_prefetch
+    path, images, labels = _raw_shard(tmp_path)
+    src = FaceShardSource(path, seed=9)
+    it_plain = batch_iterator(src, 4, num_threads=1)
+    plain = [next(it_plain) for _ in range(4)]
+    pref = host_prefetch(batch_iterator(src, 4, num_threads=1), depth=2)
+    for want in plain:
+        got = next(pref)
+        np.testing.assert_array_equal(want["image"], got["image"])
+
+    def boom():
+        yield {"image": np.zeros(1)}
+        raise RuntimeError("decode failed")
+    it = host_prefetch(boom(), depth=1)
+    next(it)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(it)
+
+
+def test_globalize_host_batches_single_process(tmp_path):
+    import jax
+    from tf_face_toolbox_tpu.parallel.mesh import (
+        create_mesh, globalize_host_batches)
+    path, images, labels = _raw_shard(tmp_path)
+    src = FaceShardSource(path, seed=2)
+    mesh = create_mesh()
+    it = globalize_host_batches(batch_iterator(src, 8, num_threads=1), mesh)
+    b = next(it)
+    assert isinstance(b["image"], jax.Array)
+    assert b["image"].shape == (8, 8, 8, 3)
+    ref = next(batch_iterator(src, 8, num_threads=1))
+    np.testing.assert_array_equal(np.asarray(b["image"]), ref["image"])
