@@ -82,3 +82,19 @@ def test_bf16_weights_cosine():
     e32 = _extract(net, v, x)
     e16 = _extract(net, v16, x)
     assert _cos(e32, e16).min() >= 0.999
+
+
+def test_int8_quantized_serving_cosine():
+    """Dynamic W8A8 serving mode: same checkpoint tree as fp; embedding
+    cosine vs the bf16 path stays high (documented: PTQ sits below the
+    strict 0.999 gate; it is an opt-in throughput mode)."""
+    net32 = create_network("resnet_v1_50", embedding_dim=64)
+    net8 = create_network("resnet_v1_50", embedding_dim=64,
+                          quantized=True)
+    variables = init_variables(net32, jax.random.key(0), (1, 32, 32, 3))
+    x = jax.random.normal(jax.random.key(5), (4, 32, 32, 3))
+    e32 = _extract(net32, variables, x)
+    e8 = _extract(net8, variables, x)   # same params, int8 convs
+    c = _cos(e32, e8)
+    assert np.isfinite(np.asarray(e8)).all()
+    assert c.min() >= 0.98, c

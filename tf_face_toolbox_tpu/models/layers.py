@@ -32,11 +32,40 @@ conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_n
 dense_kernel_init = nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal")
 
 
+def int8_conv(x: jax.Array, kernel: jax.Array,
+              strides: tuple[int, int], groups: int = 1) -> jax.Array:
+    """Dynamic W8A8 convolution on the int8 MXU path (v5e: 2x bf16 peak).
+
+    - weights: symmetric per-output-channel scales (zero accuracy cost
+      for conv weights, standard PTQ practice)
+    - activations: dynamic per-tensor scale (a max-reduce per layer —
+      VPU-cheap next to the conv, and needs no calibration pass)
+    - accumulation in int32; dequantized output in float32
+
+    Serving-only: the training path stays bf16.
+    """
+    ks = jnp.max(jnp.abs(kernel), axis=(0, 1, 2), keepdims=True) / 127.0
+    ks = jnp.maximum(ks, 1e-12)
+    kq = jnp.round(kernel / ks).astype(jnp.int8)
+    x = x.astype(jnp.float32)
+    xs = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, kq, strides, "SAME",
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * (xs * ks.reshape(1, 1, 1, -1))
+
+
 class ConvBN(nn.Module):
     """Conv → BatchNorm, optionally → ReLU, shaped for XLA fusion.
 
     Equivalent of the reference's conv+BN pairs inside every backbone
     block (ref: upstream nets/resnet.py [UPSTREAM-K]).
+
+    ``quantized``: eval-mode convs run dynamic W8A8 on the int8 MXU
+    path (training always uses ``dtype``).
     """
 
     features: int
@@ -48,20 +77,25 @@ class ConvBN(nn.Module):
     # (identity-at-init residual blocks: stabilizes large-batch training).
     bn_scale_init: Callable = nn.initializers.ones
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        x = nn.Conv(
-            self.features,
-            self.kernel_size,
-            strides=self.strides,
-            padding="SAME",
-            use_bias=False,
-            feature_group_count=self.groups,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=conv_kernel_init,
-        )(x)
+        # One explicit kernel param shared by the fp and int8 paths, so
+        # a checkpoint loads into either mode unchanged.
+        kernel = self.param(
+            "kernel", conv_kernel_init,
+            (*self.kernel_size, x.shape[-1] // self.groups,
+             self.features), jnp.float32)
+        if self.quantized and not train:
+            x = int8_conv(x, kernel, self.strides, self.groups)
+            x = x.astype(self.dtype)
+        else:
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                self.strides, "SAME",
+                feature_group_count=self.groups,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,

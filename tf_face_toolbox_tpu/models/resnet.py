@@ -43,24 +43,29 @@ class BottleneckBlock(nn.Module):
     se_reduction: int = 0  # 0 = no SE
     expansion: int = 4
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         out_features = self.features * self.expansion
         residual = x
-        y = ConvBN(self.features, (1, 1), dtype=self.dtype)(x, train)
+        q = self.quantized
+        y = ConvBN(self.features, (1, 1), dtype=self.dtype,
+                   quantized=q)(x, train)
         y = ConvBN(self.features, (3, 3), strides=self.strides,
-                   groups=self.groups, dtype=self.dtype)(y, train)
+                   groups=self.groups, dtype=self.dtype,
+                   quantized=q)(y, train)
         # Zero-init the last BN scale: block starts as identity, which
         # stabilizes the large-batch margin-softmax training regime.
         y = ConvBN(out_features, (1, 1), relu=False,
                    bn_scale_init=nn.initializers.zeros,
-                   dtype=self.dtype)(y, train)
+                   dtype=self.dtype, quantized=q)(y, train)
         if self.se_reduction > 0:
             y = SqueezeExcite(self.se_reduction, dtype=self.dtype)(y)
         if residual.shape != y.shape:
             residual = ConvBN(out_features, (1, 1), strides=self.strides,
-                              relu=False, dtype=self.dtype)(residual, train)
+                              relu=False, dtype=self.dtype,
+                              quantized=q)(residual, train)
         return nn.relu(residual + y)
 
 
@@ -79,6 +84,8 @@ class ResNet(nn.Module):
     head_variant: str = "gap"
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # serving-only dynamic W8A8 convs (training always runs ``dtype``)
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
@@ -122,6 +129,7 @@ class ResNet(nn.Module):
                     se_reduction=self.se_reduction,
                     expansion=self.expansion,
                     dtype=self.dtype,
+                    quantized=self.quantized,
                 )(x, train)
 
         return EmbeddingHead(
