@@ -23,6 +23,12 @@ flags.DEFINE_string("checkpoint_dir", "",
 flags.DEFINE_string("data", None, "FaceShard of eval faces")
 flags.DEFINE_string("output", None, "output .npy path")
 flags.DEFINE_string("network", "resnet_v1_50", "backbone name")
+flags.DEFINE_enum("stem", "face", ["face", "imagenet", "space2depth"],
+                  "backbone stem (must match the trained checkpoint)")
+flags.DEFINE_enum("head", "gap", ["gap", "flatten"],
+                  "embedding head variant (must match the checkpoint)")
+flags.DEFINE_bool("quantized", False,
+                  "serve with dynamic W8A8 int8 convs")
 flags.DEFINE_integer("embedding_dim", 512, "embedding size")
 flags.DEFINE_integer("image_size", 112, "eval crop size")
 flags.DEFINE_integer("batch", 256, "extraction batch size")
@@ -34,11 +40,17 @@ flags.mark_flag_as_required("output")
 
 
 def load_variables(checkpoint_dir: str, network: str, embedding_dim: int,
-                   image_size: int, dtype, use_ema: bool = False):
+                   image_size: int, dtype, use_ema: bool = False,
+                   stem: str = "face", head: str = "gap",
+                   quantized: bool = False):
     """Backbone variables from a train checkpoint (or fresh init)."""
     from tf_face_toolbox_tpu.models import create_network, init_variables
 
-    net = create_network(network, embedding_dim=embedding_dim, dtype=dtype)
+    kwargs = dict(stem=stem, head_variant=head)
+    if quantized:
+        kwargs["quantized"] = True
+    net = create_network(network, embedding_dim=embedding_dim, dtype=dtype,
+                         **kwargs)
     variables = init_variables(net, jax.random.key(0),
                                (1, image_size, image_size, 3))
     if checkpoint_dir:
@@ -56,7 +68,8 @@ def load_variables(checkpoint_dir: str, network: str, embedding_dim: int,
         if meta is None:
             raise FileNotFoundError("no checkpoint found")
         template, _ = create_train_state(
-            TrainConfig(network=network, embedding_dim=embedding_dim,
+            TrainConfig(network=network, stem=stem, head_variant=head,
+                        embedding_dim=embedding_dim,
                         image_size=image_size, dtype=dtype,
                         num_classes=_classifier_rows_from(meta),
                         ema_decay=0.999 if mgr.has_ema() else 0.0),
@@ -90,7 +103,8 @@ def main(argv):
     dtype = jnp.bfloat16 if FLAGS.bf16 else jnp.float32
     net, variables = load_variables(
         FLAGS.checkpoint_dir, FLAGS.network, FLAGS.embedding_dim,
-        FLAGS.image_size, dtype, use_ema=FLAGS.use_ema)
+        FLAGS.image_size, dtype, use_ema=FLAGS.use_ema,
+        stem=FLAGS.stem, head=FLAGS.head, quantized=FLAGS.quantized)
     extract_fn = make_extract_fn(net, donate=False)
 
     source = FaceShardSource(FLAGS.data)

@@ -29,6 +29,11 @@ flags.DEFINE_string("data", "synthetic",
                     "FaceShard path, or 'synthetic' for random data")
 flags.DEFINE_string("train_dir", "", "checkpoint/summary directory")
 flags.DEFINE_string("network", "resnet_v1_50", "backbone name")
+flags.DEFINE_enum("stem", "face", ["face", "imagenet", "space2depth"],
+                  "backbone stem: face=3x3/s1 (accuracy), imagenet="
+                  "7x7/s2+pool (throughput), space2depth=TResNet-style")
+flags.DEFINE_enum("head", "gap", ["gap", "flatten"],
+                  "embedding head variant")
 flags.DEFINE_integer("embedding_dim", 512, "embedding size")
 flags.DEFINE_integer("num_classes", 0,
                      "identity count (0 = infer from data)")
@@ -91,6 +96,8 @@ def build_config(num_classes: int) -> "TrainConfig":
             m1 = FLAGS.margin_value
     return TrainConfig(
         network=FLAGS.network,
+        stem=FLAGS.stem,
+        head_variant=FLAGS.head,
         embedding_dim=FLAGS.embedding_dim,
         num_classes=num_classes,
         image_size=FLAGS.image_size,
@@ -129,7 +136,8 @@ def build_eval_fn(cfg):
     from tf_face_toolbox_tpu.ops.verification import verify_pairs
 
     net = create_network(cfg.network, embedding_dim=cfg.embedding_dim,
-                         dtype=cfg.dtype)
+                         dtype=cfg.dtype, stem=cfg.stem,
+                         head_variant=cfg.head_variant)
     source = FaceShardSource(FLAGS.eval_data)
     images = np.stack([source.record(i)[0]
                        for i in range(source.index.count)])

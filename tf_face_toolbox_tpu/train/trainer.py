@@ -50,6 +50,8 @@ class TrainConfig:
     """All training hyperparameters (rebuild of the reference's tf.app.flags
     surface [TF1-IDIOM]; see utils/flags.py for the CLI binding)."""
     network: str = "resnet_v1_50"
+    stem: str = "face"          # "face" | "imagenet" | "space2depth"
+    head_variant: str = "gap"
     embedding_dim: int = 512
     num_classes: int = 10572          # CASIA-WebFace identity count
     image_size: int = 112
@@ -111,8 +113,12 @@ def create_train_state(cfg: TrainConfig, rng: jax.Array,
     ``net`` lets tests inject a tiny custom backbone.
     """
     if net is None:
+        kwargs = {}
+        if cfg.network.startswith(("resnet", "se_resnet", "resnext",
+                                   "se_resnext", "densenet")):
+            kwargs = dict(stem=cfg.stem, head_variant=cfg.head_variant)
         net = create_network(cfg.network, embedding_dim=cfg.embedding_dim,
-                             dtype=cfg.dtype)
+                             dtype=cfg.dtype, **kwargs)
     k_init, k_cls, k_step = jax.random.split(rng, 3)
     variables = init_variables(
         net, k_init, (1, cfg.image_size, cfg.image_size, 3))
