@@ -100,17 +100,21 @@ _LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_last_good.json")
 
 
-def _arm_watchdog(seconds: float) -> None:
+def _arm_watchdog(seconds: float, config: str) -> None:
     """The TPU tunnel on this image can wedge (execution never
     completes, CPU idle). If the whole bench exceeds ``seconds``, print
     the last successful measurement (clearly marked) and exit, so the
-    driver records a real number instead of a timeout."""
+    driver records a real number instead of a timeout. The cache is
+    keyed by the full benchmark configuration — a last-good from a
+    different network/stem/e2e combination is never reused."""
     import threading
 
     def fire():
         try:
             with open(_LAST_GOOD) as f:
                 result = json.load(f)
+            if result.pop("config", None) != config:
+                raise ValueError("cached result is for another config")
             result["note"] = "tunnel stalled; cached last-good measurement"
             print(json.dumps(result), flush=True)
         except Exception:
@@ -147,8 +151,9 @@ def main() -> None:
                    help="seconds before falling back to the cached "
                         "last-good result (0 = off)")
     args = p.parse_args()
+    config_key = f"{args.network}/{args.stem}/e2e={args.e2e}/b={args.batch}"
     if args.watchdog:
-        _arm_watchdog(args.watchdog)
+        _arm_watchdog(args.watchdog, config_key)
 
     from tf_face_toolbox_tpu.models import create_network, init_variables
 
@@ -188,7 +193,7 @@ def main() -> None:
     if best > 0:
         try:
             with open(_LAST_GOOD, "w") as f:
-                json.dump(result, f)
+                json.dump({**result, "config": config_key}, f)
         except OSError:
             pass
     print(json.dumps(result))

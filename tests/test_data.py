@@ -253,3 +253,19 @@ def test_globalize_host_batches_single_process(tmp_path):
     assert b["image"].shape == (8, 8, 8, 3)
     ref = next(batch_iterator(src, 8, num_threads=1))
     np.testing.assert_array_equal(np.asarray(b["image"]), ref["image"])
+
+
+def test_shard_writer_streaming(tmp_path):
+    from tf_face_toolbox_tpu.data.format import ShardWriter, read_index, ShardReader
+    path = str(tmp_path / "stream.faceshard")
+    with ShardWriter(path) as w:
+        for i in range(5):
+            w.add(bytes([i]) * (i + 1), i * 2)
+    idx = read_index(path)
+    assert idx.count == 5
+    r = ShardReader(idx)
+    assert r.blob(3) == bytes([3]) * 4
+    assert r.label(3) == 6
+    # temp files cleaned up
+    assert not any(f.endswith(".tmp") for f in
+                   __import__("os").listdir(tmp_path))

@@ -110,3 +110,10 @@ def test_arrayrecord_ingest(tmp_path):
     src = FaceShardSource(out)
     got, lab = src.record(0)
     assert got.shape == (8, 8, 3) and lab == 3
+
+
+def test_negative_int64_label_roundtrip(tmp_path):
+    p = tmp_path / "neg.tfrecord"
+    _write_tfrecord(p, [{"image/encoded": b"blob", "image/label": -1}])
+    ex = parse_example(next(iter_tfrecords(str(p))))
+    assert ex["image/label"][0] == -1

@@ -72,7 +72,7 @@ def load_variables(checkpoint_dir: str, network: str, embedding_dim: int,
                         embedding_dim=embedding_dim,
                         image_size=image_size, dtype=dtype,
                         num_classes=_classifier_rows_from(meta),
-                        ema_decay=0.999 if mgr.has_ema() else 0.0),
+                        ema_decay=0.999 if mgr.has_ema(meta) else 0.0),
             jax.random.key(0), mesh, net=net)
         state = mgr.restore(template)
         params = state.params
@@ -100,6 +100,11 @@ def main(argv):
     from tf_face_toolbox_tpu.ops.preprocess import preprocess_eval_resize
     from tf_face_toolbox_tpu.train.checkpoint import save_embeddings
 
+    if FLAGS.network.startswith("densenet") and (
+            FLAGS.quantized or FLAGS.stem == "space2depth"):
+        raise SystemExit(
+            "--quantized / --stem=space2depth are resnet-family options; "
+            "densenet supports stem=face|imagenet, fp only")
     dtype = jnp.bfloat16 if FLAGS.bf16 else jnp.float32
     net, variables = load_variables(
         FLAGS.checkpoint_dir, FLAGS.network, FLAGS.embedding_dim,

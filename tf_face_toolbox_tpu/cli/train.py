@@ -160,19 +160,25 @@ def build_eval_fn(cfg):
 
 
 def synthetic_batches(cfg, seed: int):
-    """Random-identity batches shaped like the real pipeline's output."""
-    rng = np.random.default_rng(seed)
+    """Random-identity batches shaped like the real pipeline's output:
+    per-HOST shards (global/process_count rows, process-distinct seed)
+    so the multihost globalizer assembles a correct global batch."""
+    host_batch = cfg.global_batch // jax.process_count()
+    rng = np.random.default_rng((seed, jax.process_index()))
     while True:
         images = rng.integers(
-            0, 256, (cfg.global_batch, cfg.crop_from, cfg.crop_from, 3),
+            0, 256, (host_batch, cfg.crop_from, cfg.crop_from, 3),
             dtype=np.uint8)
         labels = rng.integers(0, cfg.num_classes,
-                              cfg.global_batch).astype(np.int32)
+                              host_batch).astype(np.int32)
         yield {"image": images, "label": labels}
 
 
 def main(argv):
     del argv
+    if FLAGS.network.startswith("densenet") and FLAGS.stem == "space2depth":
+        raise SystemExit("--stem=space2depth is resnet-family only; "
+                         "densenet supports stem=face|imagenet")
     from tf_face_toolbox_tpu.cli import setup_platform
     setup_platform()
     if FLAGS.multihost:
@@ -204,8 +210,12 @@ def main(argv):
             from tf_face_toolbox_tpu.train.checkpoint import (
                 CheckpointManager)
             latest = CheckpointManager(FLAGS.train_dir).latest_step()
+            spe = source.num_records // host_batch
+            if spe == 0:
+                raise ValueError(
+                    f"per-host dataset ({source.num_records} records) is "
+                    f"smaller than the per-host batch ({host_batch})")
             if latest:
-                spe = source.num_records // host_batch
                 start_epoch, start_step = latest // spe, latest % spe
         use_native = FLAGS.loader == "native"
         if FLAGS.loader == "auto":

@@ -84,6 +84,65 @@ def write_shard(path: str, blobs: Iterable[bytes], labels: Sequence[int],
     return len(blobs)
 
 
+class ShardWriter:
+    """Streaming FaceShard writer: O(1) memory in the dataset size.
+
+    Payload bytes stream to a temp file while sizes/labels accumulate;
+    ``close()`` writes header+index and splices the payload in — so
+    converting an MS1M-scale dataset never holds the images in RAM.
+    """
+
+    def __init__(self, path: str, *, payload: int = PAYLOAD_JPEG,
+                 shape: tuple[int, int, int] | None = None):
+        if payload == PAYLOAD_RAW and shape is None:
+            raise ValueError("raw payload requires shape")
+        self._path = path
+        self._payload = payload
+        self._shape = shape
+        self._data_tmp = path + ".data.tmp"
+        self._data = open(self._data_tmp, "wb")
+        self._sizes: list[int] = []
+        self._labels: list[int] = []
+
+    @property
+    def count(self) -> int:
+        return len(self._labels)
+
+    def add(self, blob: bytes, label: int) -> None:
+        self._data.write(blob)
+        self._sizes.append(len(blob))
+        self._labels.append(int(label))
+
+    def close(self) -> int:
+        self._data.close()
+        offsets = np.zeros(len(self._sizes) + 1, np.uint64)
+        np.cumsum(np.asarray(self._sizes, np.uint64), out=offsets[1:])
+        h, w, c = self._shape if self._shape else (0, 0, 0)
+        tmp = self._path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(_HEADER.pack(MAGIC, VERSION, self._payload, h, w, c,
+                                 len(self._labels)))
+            f.write(offsets.tobytes())
+            f.write(np.asarray(self._labels, np.int32).tobytes())
+            with open(self._data_tmp, "rb") as data:
+                while chunk := data.read(1 << 22):
+                    f.write(chunk)
+        os.replace(tmp, self._path)
+        os.unlink(self._data_tmp)
+        return len(self._labels)
+
+    def __enter__(self) -> "ShardWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.close()
+        else:  # leave no temp litter on failure
+            self._data.close()
+            if os.path.exists(self._data_tmp):
+                os.unlink(self._data_tmp)
+
+
 def read_index(path: str) -> ShardIndex:
     """Read the index (offsets+labels) without touching payloads."""
     with open(path, "rb") as f:

@@ -113,6 +113,10 @@ def batch_iterator(source: FaceShardSource, batch_size: int, *,
     resizes to its output geometry.
     """
     steps_per_epoch = source.num_records // batch_size
+    if steps_per_epoch == 0:
+        raise ValueError(
+            f"dataset has {source.num_records} records (per host) — "
+            f"smaller than one batch of {batch_size}")
     epoch, step = start_epoch, start_step
 
     pool = _DecodePool(source, num_threads) if num_threads > 1 else None
@@ -121,13 +125,15 @@ def batch_iterator(source: FaceShardSource, batch_size: int, *,
             order = source.epoch_order(epoch)
             while step < steps_per_epoch:
                 ids = order[step * batch_size:(step + 1) * batch_size]
+                transform = ((lambda im: _resize_u8(im, *resize_to))
+                             if resize_to is not None else None)
                 if pool is not None:
-                    records = pool.decode(ids)
+                    records = pool.decode(ids, transform)
                 else:
                     records = [source.record(int(i)) for i in ids]
-                if resize_to is not None:
-                    records = [(_resize_u8(img, *resize_to), lab)
-                               for img, lab in records]
+                    if transform is not None:
+                        records = [(transform(img), lab)
+                                   for img, lab in records]
                 images = np.stack([r[0] for r in records])
                 labels = np.asarray([r[1] for r in records], np.int32)
                 yield {"image": images, "label": labels,
@@ -156,20 +162,23 @@ class _DecodePool:
             item = self._in.get()
             if item is None:
                 return
-            slot, rid, out, done = item
+            slot, rid, out, done, transform = item
             # A raising record (corrupt JPEG, bad id) must not kill the
             # worker silently — that would deadlock decode() forever.
             try:
-                out[slot] = self.source.record(rid)
+                img, lab = self.source.record(rid)
+                if transform is not None:
+                    img = transform(img)
+                out[slot] = (img, lab)
                 done.put((slot, None))
             except Exception as e:  # noqa: BLE001 — reraised in decode()
                 done.put((slot, e))
 
-    def decode(self, ids) -> list:
+    def decode(self, ids, transform=None) -> list:
         out = [None] * len(ids)
         done: queue.Queue = queue.Queue()
         for i, rid in enumerate(ids):
-            self._in.put((i, int(rid), out, done))
+            self._in.put((i, int(rid), out, done, transform))
         error = None
         for _ in ids:
             _, err = done.get()
@@ -246,6 +255,11 @@ def native_batch_iterator(source: FaceShardSource, batch_size: int, *,
 
     reader = NativeShardReader(source.index.path, num_threads=num_threads)
     steps_per_epoch = source.num_records // batch_size
+    if steps_per_epoch == 0:
+        reader.close()
+        raise ValueError(
+            f"dataset has {source.num_records} records (per host) — "
+            f"smaller than one batch of {batch_size}")
     epoch, step = start_epoch, start_step
     try:
         while True:

@@ -49,6 +49,12 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
         shift += 7
 
 
+def _to_int64(v: int) -> int:
+    # proto int64 varints are two's-complement: sign-extend (a -1 label
+    # otherwise comes back as 2^64-1).
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _iter_fields(buf: bytes) -> Iterator[tuple[int, int, bytes | int]]:
     """Yield (field_number, wire_type, value) over a message buffer."""
     pos = 0
@@ -112,9 +118,9 @@ def parse_example(raw: bytes) -> dict[str, list]:
                                     pos = 0
                                     while pos < len(iv):
                                         n, pos = _read_varint(iv, pos)
-                                        values.append(n)
+                                        values.append(_to_int64(n))
                                 else:
-                                    values.append(iv)
+                                    values.append(_to_int64(iv))
             if name is not None:
                 out[name] = values
     return out
@@ -146,20 +152,20 @@ def convert_tfrecords_to_faceshard(
     ``.array_record``/``.arrayrecord`` are read with the ArrayRecord
     reader, anything else as TFRecord framing.
     """
-    from tf_face_toolbox_tpu.data.format import PAYLOAD_JPEG, write_shard
+    from tf_face_toolbox_tpu.data.format import PAYLOAD_JPEG, ShardWriter
 
-    blobs, labels = [], []
-    for path in record_paths:
-        it = (iter_arrayrecords(path)
-              if path.endswith((".array_record", ".arrayrecord"))
-              else iter_tfrecords(path))
-        for raw in it:
-            ex = parse_example(raw)
-            if image_key not in ex or label_key not in ex:
-                keys = sorted(ex)
-                raise KeyError(
-                    f"record missing '{image_key}'/'{label_key}'; "
-                    f"found features {keys}")
-            blobs.append(bytes(ex[image_key][0]))
-            labels.append(int(ex[label_key][0]))
-    return write_shard(out_path, blobs, labels, payload=PAYLOAD_JPEG)
+    with ShardWriter(out_path, payload=PAYLOAD_JPEG) as writer:
+        for path in record_paths:
+            it = (iter_arrayrecords(path)
+                  if path.endswith((".array_record", ".arrayrecord"))
+                  else iter_tfrecords(path))
+            for raw in it:
+                ex = parse_example(raw)
+                if image_key not in ex or label_key not in ex:
+                    keys = sorted(ex)
+                    raise KeyError(
+                        f"record missing '{image_key}'/'{label_key}'; "
+                        f"found features {keys}")
+                writer.add(bytes(ex[image_key][0]),
+                           int(ex[label_key][0]))
+        return writer.count

@@ -48,7 +48,11 @@ def int8_conv(x: jax.Array, kernel: jax.Array,
     ks = jnp.maximum(ks, 1e-12)
     kq = jnp.round(kernel / ks).astype(jnp.int8)
     x = x.astype(jnp.float32)
-    xs = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-12)
+    # PER-SAMPLE activation scale: a per-batch max would make each
+    # image's quantization grid depend on its co-batched images
+    # (non-reproducible embeddings across batchings).
+    xs = jnp.maximum(
+        jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True) / 127.0, 1e-12)
     xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
         xq, kq, strides, "SAME",

@@ -81,6 +81,7 @@ def apply_flip_mask(images: jax.Array, mask: jax.Array) -> jax.Array:
 # resize as matmul
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=64)
 def _bilinear_matrix(out_size: int, in_size: int) -> np.ndarray:
     """(out, in) dense bilinear interpolation matrix, half-pixel centers.
 

@@ -77,10 +77,11 @@ class CheckpointManager:
         with open(path) as f:
             return json.load(f)["tree_metadata"]
 
-    def has_ema(self) -> bool:
+    def has_ema(self, meta: dict | None = None) -> bool:
         """True if the checkpoint holds real EMA arrays (a None
-        ema_params still appears in the metadata with value_type None)."""
-        meta = self.tree_metadata()
+        ema_params still appears in the metadata with value_type None).
+        Pass an already-loaded ``tree_metadata()`` to avoid re-parsing."""
+        meta = self.tree_metadata() if meta is None else meta
         if not meta:
             return False
         return any(
