@@ -103,3 +103,27 @@ def test_cli_pipeline(tmp_path):
                 "--folds=10"])
     report = json.loads(out)
     assert 0.5 <= report["accuracy_mean"] <= 1.0
+
+
+def test_convert_tfrecord_cli(tmp_path):
+    """The migration CLI end-to-end (TFRecord → FaceShard)."""
+    tf = pytest.importorskip("tensorflow")
+    from PIL import Image
+    import io as _io
+    with tf.io.TFRecordWriter(str(tmp_path / "d.tfrecord")) as w:
+        for i in range(3):
+            arr = (np.mgrid[0:8, 0:8][0] * (i + 9) % 256).astype(np.uint8)
+            arr = np.stack([arr] * 3, -1)
+            buf = _io.BytesIO()
+            Image.fromarray(arr).save(buf, "JPEG")
+            ex = tf.train.Example(features=tf.train.Features(feature={
+                "image/encoded": tf.train.Feature(
+                    bytes_list=tf.train.BytesList(value=[buf.getvalue()])),
+                "image/label": tf.train.Feature(
+                    int64_list=tf.train.Int64List(value=[i])),
+            }))
+            w.write(ex.SerializeToString())
+    out = _run(["tf_face_toolbox_tpu.cli.convert_tfrecord",
+                f"--tfrecords={tmp_path/'d.tfrecord'}",
+                f"--output={tmp_path/'d.faceshard'}"])
+    assert "converted 3 records" in out
