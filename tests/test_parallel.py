@@ -96,3 +96,28 @@ def test_sharded_softmax_padded_classes():
     loss_pad = float(jax.jit(f)(emb, w_pad, labels))
     loss_ref = float(margin_softmax_loss(emb, w, labels, cfg))
     np.testing.assert_allclose(loss_pad, loss_ref, rtol=1e-5)
+
+
+def test_sharded_softmax_pad_overflow_no_nan():
+    """A padded column whose raw logit exceeds the valid max by >~88
+    must not overflow exp() into inf*0=NaN (regression: shift/exp the
+    masked logits)."""
+    d = 16
+    # 2 real classes anti-aligned with the embedding; pad rows aligned.
+    emb = jnp.ones((4, d), jnp.float32)
+    w_real = -jnp.ones((2, d), jnp.float32)            # cos = -1
+    w_pad = jnp.ones((6, d), jnp.float32)              # cos = +1 (pads)
+    w = jnp.concatenate([w_real, w_pad])
+    labels = jnp.zeros((4,), jnp.int32)
+    cfg = MarginConfig.softmax(scale=64.0)
+
+    mesh = create_mesh(data=1, model=8)
+    f = shard_map(
+        functools.partial(sharded_margin_softmax_loss, cfg=cfg,
+                          axis_name=MODEL_AXIS, total_classes=2),
+        mesh=mesh, in_specs=(P(), P(MODEL_AXIS, None), P()),
+        out_specs=P())
+    loss = float(jax.jit(f)(emb, w, labels))
+    assert np.isfinite(loss), loss
+    ref = float(margin_softmax_loss(emb, w_real, labels, cfg))
+    np.testing.assert_allclose(loss, ref, rtol=1e-5)

@@ -74,6 +74,7 @@ flags.DEFINE_string("eval_data", "",
 flags.DEFINE_string("eval_pairs", "",
                     "pairs file 'idx1 idx2 label' over eval_data")
 flags.DEFINE_integer("eval_every", 0, "run verification every N steps")
+flags.DEFINE_integer("eval_batch", 256, "extraction batch for the hook")
 
 _MARGINS = {  # (m1, m2, m3) defaults per variant
     "softmax": (1.0, 0.0, 0.0),
@@ -129,20 +130,28 @@ def build_eval_fn(cfg):
         return None
     import numpy as np
     from tf_face_toolbox_tpu.cli.eval_lfw import load_pairs
-    from tf_face_toolbox_tpu.data.pipeline import FaceShardSource
+    from tf_face_toolbox_tpu.data.pipeline import FaceShardSource, _resize_u8
     from tf_face_toolbox_tpu.extract import flip_averaged_embeddings
     from tf_face_toolbox_tpu.models import create_network
-    from tf_face_toolbox_tpu.ops.preprocess import preprocess_eval_resize
+    from tf_face_toolbox_tpu.ops.preprocess import preprocess_eval
     from tf_face_toolbox_tpu.ops.verification import verify_pairs
 
     net = create_network(cfg.network, embedding_dim=cfg.embedding_dim,
                          dtype=cfg.dtype, stem=cfg.stem,
                          head_variant=cfg.head_variant)
     source = FaceShardSource(FLAGS.eval_data)
-    images = np.stack([source.record(i)[0]
-                       for i in range(source.index.count)])
-    x = preprocess_eval_resize(jnp.asarray(images),
-                               cfg.image_size, cfg.image_size)
+    # Match the training scale: host-resize to crop_from, center-crop
+    # image_size on device; extract in bounded chunks (a 13k-face LFW
+    # shard in ONE forward pass would OOM the chip).
+    n = source.index.count
+    eb = FLAGS.eval_batch
+    chunks = []
+    for lo in range(0, n, eb):
+        imgs = np.stack([
+            _resize_u8(source.record(i)[0], cfg.crop_from, cfg.crop_from)
+            for i in range(lo, min(lo + eb, n))])
+        chunks.append(preprocess_eval(jnp.asarray(imgs),
+                                      cfg.image_size, cfg.image_size))
     i1, i2, labels = load_pairs(FLAGS.eval_pairs)
     extract = jax.jit(lambda v, im: flip_averaged_embeddings(
         lambda vv, xx: net.apply(vv, xx, train=False), v, im))
@@ -151,7 +160,8 @@ def build_eval_fn(cfg):
         params = (state.ema_params if state.ema_params is not None
                   else state.params)
         variables = {"params": params, "batch_stats": state.batch_stats}
-        emb = np.asarray(extract(variables, x))
+        emb = np.concatenate(
+            [np.asarray(extract(variables, x)) for x in chunks])
         report = verify_pairs(emb[i1], emb[i2], labels)
         return {"lfw_accuracy": report["accuracy_mean"],
                 "lfw_std": report["accuracy_std"]}

@@ -184,18 +184,18 @@ class ShardReader:
 def pack_image_list(list_path: str, out_path: str, *,
                     root: str = "") -> int:
     """Pack an ``image_path label`` list file (the reference's input
-    convention [TF1-IDIOM]) into a FaceShard of JPEG payloads."""
-    blobs, labels = [], []
-    with open(list_path) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            p, lab = line.rsplit(" ", 1)
-            with open(os.path.join(root, p), "rb") as img:
-                blobs.append(img.read())
-            labels.append(int(lab))
-    return write_shard(out_path, blobs, labels, payload=PAYLOAD_JPEG)
+    convention [TF1-IDIOM]) into a FaceShard of JPEG payloads.
+    Streams through ShardWriter — O(1) memory at MS1M scale."""
+    with ShardWriter(out_path, payload=PAYLOAD_JPEG) as writer:
+        with open(list_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                p, lab = line.rsplit(" ", 1)
+                with open(os.path.join(root, p), "rb") as img:
+                    writer.add(img.read(), int(lab))
+        return writer.count
 
 
 def pack_arrays(out_path: str, images: np.ndarray,

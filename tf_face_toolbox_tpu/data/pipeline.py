@@ -100,8 +100,7 @@ def _resize_u8(img: np.ndarray, h: int, w: int) -> np.ndarray:
 def batch_iterator(source: FaceShardSource, batch_size: int, *,
                    start_epoch: int = 0, start_step: int = 0,
                    num_threads: int = 4,
-                   resize_to: tuple[int, int] | None = None,
-                   drop_remainder: bool = True) -> Iterator[dict]:
+                   resize_to: tuple[int, int] | None = None) -> Iterator[dict]:
     """Infinite (epoch-cycling) iterator of {'image','label','epoch','step'}.
 
     Resume: pass the (epoch, step-within-epoch) recorded in the

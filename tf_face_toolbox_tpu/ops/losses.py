@@ -75,16 +75,16 @@ def cosine_logits(embeddings: jax.Array, weights: jax.Array) -> jax.Array:
 
 
 def apply_margin(cos_theta: jax.Array, labels: jax.Array,
-                 cfg: MarginConfig, num_classes: int | None = None) -> jax.Array:
+                 cfg: MarginConfig) -> jax.Array:
     """Apply the combined margin to the target class column; scale all.
 
-    cos_theta: (N, C) f32; labels: (N,) int. Returns scaled logits (N, C).
-    ``num_classes`` overrides C for one-hot construction (used by the
-    class-sharded head where labels are global but C is a local shard).
+    cos_theta: (N, C) f32; labels: (N,) int in [0, C). The class-sharded
+    head does NOT route through here — it builds its own ownership mask
+    (parallel/sharded_softmax.local_margin_logits).
     """
     cos_theta = cos_theta.astype(jnp.float32)
-    c = num_classes or cos_theta.shape[-1]
-    one_hot = jax.nn.one_hot(labels, c, dtype=jnp.float32)
+    one_hot = jax.nn.one_hot(labels, cos_theta.shape[-1],
+                             dtype=jnp.float32)
     # Guard acos domain: bf16 GEMM rounding can spill past ±1.
     cos_c = jnp.clip(cos_theta, -1.0 + 1e-7, 1.0 - 1e-7)
 

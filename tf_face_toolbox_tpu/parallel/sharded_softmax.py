@@ -89,6 +89,9 @@ def sharded_margin_softmax_loss(embeddings: jax.Array, w_shard: jax.Array,
     else:
         valid = jnp.ones((1, c_local), jnp.float32)
     # Numerically stable distributed log-softmax (f32 throughout).
+    # IMPORTANT: shift/exp the MASKED logits — a padded column's raw
+    # logit can exceed the max over valid columns by enough that
+    # exp(raw - max) overflows to inf, and inf * 0-mask = NaN.
     neg_inf = jnp.float32(-1e30)
     masked_logits = jnp.where(valid > 0, logits, neg_inf)
     local_max = jnp.max(masked_logits, axis=-1)
@@ -96,7 +99,7 @@ def sharded_margin_softmax_loss(embeddings: jax.Array, w_shard: jax.Array,
     # gradient is zero by construction — and pmax has no VJP rule anyway.
     global_max = jax.lax.pmax(
         jax.lax.stop_gradient(local_max), axis_name)
-    shifted = logits - global_max[:, None]
+    shifted = masked_logits - global_max[:, None]
     local_denom = jnp.sum(jnp.exp(shifted) * valid, axis=-1)
     denom = jax.lax.psum(local_denom, axis_name)
     local_target = jnp.sum(shifted * one_hot, axis=-1)
