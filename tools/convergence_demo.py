@@ -11,8 +11,11 @@ this image's TPU tunnel are slow (~10 MB/s effective), so feeding fresh
 numpy arrays per step is transfer-bound. Real deployments use the
 device_prefetch pipeline over local PCIe/DMA instead.
 
-Run: python tools/convergence_demo.py  (from the repo root)
+Run: python tools/convergence_demo.py  (any cwd)
 """
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import time, jax, jax.numpy as jnp, numpy as np, dataclasses
 jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)

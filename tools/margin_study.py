@@ -11,6 +11,9 @@ Measured on v5e-1 (400 steps, batch 256):
 The canonical margin ordering reproduces end-to-end through this stack.
 Run: python tools/margin_study.py  (from the repo root; ~15 min)
 """
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import time, jax, jax.numpy as jnp, numpy as np, dataclasses
 jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
