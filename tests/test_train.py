@@ -272,3 +272,27 @@ def test_resnext_output_channels_match_paper():
     assert (1, 1, 128, 256) in shapes
     assert any(s[-1] == 2048 for s in shapes if len(s) == 4)
     assert not any(s[-1] == 4096 for s in shapes if len(s) == 4)
+
+
+def test_remat_blocks_train_and_match():
+    """remat=True must be numerically identical forward (same params)."""
+    import dataclasses
+    from tf_face_toolbox_tpu.models.resnet import ResNet
+    net = ResNet(**TINY)
+    net_r = ResNet(**TINY, remat=True)
+    x = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))
+    v = create_train_state(CFG, jax.random.key(1), create_mesh(),
+                           net=net)[0]
+    variables = {"params": v.params, "batch_stats": v.batch_stats}
+    a = net.apply(variables, x, train=False)
+    b = net_r.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # and a train step runs
+    cfg = CFG
+    state, nr = create_train_state(cfg, jax.random.key(1), create_mesh(),
+                                   net=net_r)
+    fn = make_train_step(nr, cfg, create_mesh(), state)
+    imgs, labels = _synthetic_batch(jax.random.key(2), cfg.global_batch,
+                                    cfg.image_size, cfg.num_classes)
+    state, m = fn(state, imgs, labels)
+    assert np.isfinite(float(m["loss"]))
