@@ -276,7 +276,6 @@ def test_resnext_output_channels_match_paper():
 
 def test_remat_blocks_train_and_match():
     """remat=True must be numerically identical forward (same params)."""
-    import dataclasses
     from tf_face_toolbox_tpu.models.resnet import ResNet
     net = ResNet(**TINY)
     net_r = ResNet(**TINY, remat=True)

@@ -34,7 +34,8 @@ flags.DEFINE_integer("image_size", 112, "eval crop size")
 flags.DEFINE_integer("crop_from", 0,
                      "resize source images to this size before the "
                      "center crop (0 = image_size + 8, matching the "
-                     "training pipeline's scale)")
+                     "training pipeline's scale; pass crop_from == "
+                     "image_size for whole-image resize semantics)")
 flags.DEFINE_integer("batch", 256, "extraction batch size")
 flags.DEFINE_bool("bf16", True, "bfloat16 compute")
 flags.DEFINE_bool("use_ema", False,
@@ -99,9 +100,8 @@ def main(argv):
     del argv
     from tf_face_toolbox_tpu.cli import setup_platform
     setup_platform()
-    from tf_face_toolbox_tpu.data.pipeline import FaceShardSource, _resize_u8
-    from tf_face_toolbox_tpu.extract import make_extract_fn
-    from tf_face_toolbox_tpu.ops.preprocess import preprocess_eval
+    from tf_face_toolbox_tpu.data.pipeline import FaceShardSource
+    from tf_face_toolbox_tpu.extract import extract_shard
     from tf_face_toolbox_tpu.train.checkpoint import save_embeddings
 
     if FLAGS.network.startswith("densenet") and (
@@ -114,26 +114,12 @@ def main(argv):
         FLAGS.checkpoint_dir, FLAGS.network, FLAGS.embedding_dim,
         FLAGS.image_size, dtype, use_ema=FLAGS.use_ema,
         stem=FLAGS.stem, head=FLAGS.head, quantized=FLAGS.quantized)
-    extract_fn = make_extract_fn(net, donate=False)
-
     source = FaceShardSource(FLAGS.data)
-    crop_from = FLAGS.crop_from or FLAGS.image_size + 8
-    n = source.index.count
-    outs = []
-    for lo in range(0, n, FLAGS.batch):
-        ids = range(lo, min(lo + FLAGS.batch, n))
-        # Host resize to the training pipeline's source size (handles
-        # mixed-size JPEGs; same half-pixel bilinear math as training),
-        # then the reference's eval chain: center crop + standardize —
-        # so eval faces are at the SAME scale training saw.
-        images = np.stack([
-            _resize_u8(source.record(i)[0], crop_from, crop_from)
-            for i in ids])
-        x = preprocess_eval(
-            jnp.asarray(images), FLAGS.image_size, FLAGS.image_size)
-        outs.append(np.asarray(extract_fn(variables, x)))
-        logging.info("extracted %d / %d", min(lo + FLAGS.batch, n), n)
-    emb = np.concatenate(outs)
+    emb = extract_shard(
+        net, variables, source,
+        image_size=FLAGS.image_size, crop_from=FLAGS.crop_from,
+        batch=FLAGS.batch,
+        progress=lambda done, n: logging.info("extracted %d / %d", done, n))
     save_embeddings(FLAGS.output, emb)
     print(f"wrote {emb.shape} embeddings to {FLAGS.output}")
 

@@ -128,40 +128,31 @@ def build_eval_fn(cfg):
         logging.warning("in-training eval is single-host only; skipping "
                         "under --multihost (extract+eval offline instead)")
         return None
-    import numpy as np
     from tf_face_toolbox_tpu.cli.eval_lfw import load_pairs
-    from tf_face_toolbox_tpu.data.pipeline import FaceShardSource, _resize_u8
-    from tf_face_toolbox_tpu.extract import flip_averaged_embeddings
+    from tf_face_toolbox_tpu.data.pipeline import FaceShardSource
+    from tf_face_toolbox_tpu.extract import extract_shard, make_extract_fn
     from tf_face_toolbox_tpu.models import create_network
-    from tf_face_toolbox_tpu.ops.preprocess import preprocess_eval
     from tf_face_toolbox_tpu.ops.verification import verify_pairs
 
     net = create_network(cfg.network, embedding_dim=cfg.embedding_dim,
                          dtype=cfg.dtype, stem=cfg.stem,
                          head_variant=cfg.head_variant)
     source = FaceShardSource(FLAGS.eval_data)
-    # Match the training scale: host-resize to crop_from, center-crop
-    # image_size on device; extract in bounded chunks (a 13k-face LFW
-    # shard in ONE forward pass would OOM the chip).
-    n = source.index.count
-    eb = FLAGS.eval_batch
-    chunks = []
-    for lo in range(0, n, eb):
-        imgs = np.stack([
-            _resize_u8(source.record(i)[0], cfg.crop_from, cfg.crop_from)
-            for i in range(lo, min(lo + eb, n))])
-        chunks.append(preprocess_eval(jnp.asarray(imgs),
-                                      cfg.image_size, cfg.image_size))
     i1, i2, labels = load_pairs(FLAGS.eval_pairs)
-    extract = jax.jit(lambda v, im: flip_averaged_embeddings(
-        lambda vv, xx: net.apply(vv, xx, train=False), v, im))
+    extract_fn = make_extract_fn(net, donate=False)
 
     def eval_fn(state):
         params = (state.ema_params if state.ema_params is not None
                   else state.params)
         variables = {"params": params, "batch_stats": state.batch_stats}
-        emb = np.concatenate(
-            [np.asarray(extract(variables, x)) for x in chunks])
+        # Same path as the offline extract CLI (extract_shard): scale-
+        # matched host resize + center crop, bounded chunks — nothing
+        # eval-shard-sized stays resident in HBM between evals.
+        emb = extract_shard(net, variables, source,
+                            image_size=cfg.image_size,
+                            crop_from=cfg.crop_from,
+                            batch=FLAGS.eval_batch,
+                            extract_fn=extract_fn)
         report = verify_pairs(emb[i1], emb[i2], labels)
         return {"lfw_accuracy": report["accuracy_mean"],
                 "lfw_std": report["accuracy_std"]}

@@ -74,6 +74,60 @@ def make_extract_fn(net, *, donate: bool = True, mesh=None) -> Callable:
     )
 
 
+def extract_shard(net, variables, source, *, image_size: int,
+                  crop_from: int = 0, batch: int = 256,
+                  num_threads: int = 4,
+                  extract_fn: Callable | None = None,
+                  progress: Callable[[int, int], None] | None = None,
+                  ) -> np.ndarray:
+    """Extract embeddings for every record of a FaceShardSource.
+
+    The shared eval-extraction path (offline extract CLI and the
+    in-training eval hook both route through here so their embeddings
+    can never diverge):
+
+    - host: parallel decode + half-pixel bilinear resize to
+      ``crop_from`` (training's source scale; handles mixed-size JPEGs)
+    - device: center crop to ``image_size`` + standardize
+      (the reference's eval chain) and flip-averaged extraction,
+      in ``batch``-sized chunks so HBM use is bounded.
+
+    ``crop_from`` defaults to image_size + 8 (the training default);
+    pass crop_from == image_size for whole-image resize semantics.
+    """
+    from tf_face_toolbox_tpu.data.pipeline import _DecodePool, _resize_u8
+    from tf_face_toolbox_tpu.ops.preprocess import preprocess_eval
+
+    crop_from = crop_from or image_size + 8
+    if crop_from < image_size:
+        raise ValueError(
+            f"crop_from ({crop_from}) must be >= image_size "
+            f"({image_size}): the eval chain center-crops image_size "
+            f"out of the crop_from-sized resize")
+    fn = extract_fn or make_extract_fn(net, donate=False)
+    transform = lambda im: _resize_u8(im, crop_from, crop_from)  # noqa: E731
+    pool = _DecodePool(source, num_threads) if num_threads > 1 else None
+    n = source.index.count
+    outs = []
+    try:
+        for lo in range(0, n, batch):
+            ids = list(range(lo, min(lo + batch, n)))
+            if pool is not None:
+                records = pool.decode(ids, transform)
+            else:
+                records = [(transform(source.record(i)[0]), 0)
+                           for i in ids]
+            images = np.stack([r[0] for r in records])
+            x = preprocess_eval(jnp.asarray(images), image_size, image_size)
+            outs.append(np.asarray(fn(variables, x)))
+            if progress is not None:
+                progress(min(lo + batch, n), n)
+    finally:
+        if pool is not None:
+            pool.close()
+    return np.concatenate(outs)
+
+
 def extract_dataset(net, variables, batches: Iterable[np.ndarray],
                     extract_fn: Callable | None = None) -> np.ndarray:
     """Extract embeddings for a stream of image batches (host loop).
