@@ -70,3 +70,15 @@ def test_constant_image_rsqrt_floor():
     got = fused_eval_preprocess(imgs, 12, 12, interpret=True)
     assert np.isfinite(np.asarray(got)).all()
     np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-5)
+
+
+def test_large_frame_falls_back_to_xla():
+    """Frames whose interpolation matrices exceed the VMEM budget route
+    through the XLA chain — same semantics, no Mosaic OOM."""
+    imgs = _u8((1, 512, 512, 3), seed=9)
+    mask = jnp.asarray([1], jnp.int32)
+    got = fused_preprocess(imgs, mask, out_h=112, out_w=112,
+                           interpret=True)
+    want = _oracle(imgs, mask, 112, 112)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4)

@@ -107,6 +107,22 @@ def fused_preprocess(images: jax.Array, flip_mask: jax.Array, *,
     Returns (N, out_h, out_w, C) standardized pixels in ``out_dtype``.
     """
     n, h, w, c = images.shape
+
+    # VMEM budget guard: the two (W·C × W'·C) width matrices + the image
+    # blocks must fit on-chip (~16 MB/core). For big frames (e.g. 512²+)
+    # the matrices alone blow the budget — fall back to the pure-XLA
+    # chain, which is numerically identical (tests/test_pallas_preprocess
+    # asserts parity) and lets XLA tile HBM-resident matmuls.
+    est_bytes = 4 * (h * w * c            # input block (f32 in VMEM)
+                     + out_h * out_w * c  # output block
+                     + out_h * h          # height matrix
+                     + 2 * (w * c) * (out_w * c))
+    if est_bytes > 12 * 1024 * 1024:
+        from tf_face_toolbox_tpu.ops import preprocess as _pp
+        x = _pp.resize_bilinear(images, out_h, out_w)
+        x = _pp.apply_flip_mask(x, flip_mask.astype(bool))
+        return _pp.per_image_standardization(x).astype(out_dtype)
+
     x = images.reshape(n, h, w * c)
     rh = jnp.asarray(_bilinear_matrix(out_h, h))
     rw = jnp.asarray(_width_channel_matrix(out_w, w, c, flip=False))
