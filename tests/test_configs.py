@@ -30,3 +30,54 @@ def test_eval_configs_reference_known_networks():
 def test_unknown_config_raises():
     with pytest.raises(ValueError):
         get_config("nope")
+
+
+def test_config5_runs_on_v5e8_shaped_mesh():
+    """CONFIG_5 is executable truth, not documentation: build its 8-way
+    data mesh and run ONE real train step with the preset's LR schedule,
+    margin, weight-decay and bf16 settings (VERDICT r1 item 10).
+
+    Only the extents that don't change the program structure are scaled
+    down for the 1-CPU box: backbone depth (resnet_tiny), image size,
+    class count and per-chip batch. Mesh shape, sharding, warmup/LR
+    math, margin head and dtype are the preset's own.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+    from tf_face_toolbox_tpu.train.schedule import staircase
+    from tf_face_toolbox_tpu.train.trainer import (
+        create_train_state,
+        make_train_step,
+    )
+
+    preset = get_config("v5e8_data_parallel")
+    mesh = create_mesh()  # the config-5 mesh: all 8 devices on `data`
+    assert dict(mesh.shape) == {"data": 8, "model": 1}
+    assert preset.global_batch % mesh.shape["data"] == 0
+
+    cfg = dataclasses.replace(
+        preset, network="resnet_tiny", embedding_dim=16, num_classes=24,
+        image_size=12, crop_from=16, global_batch=16)
+    assert cfg.dtype == jnp.bfloat16 and cfg.margin_m3 == 0.35
+    state, net = create_train_state(cfg, jax.random.key(0), mesh)
+    step_fn = make_train_step(net, cfg, mesh, state)
+    images = jax.random.randint(
+        jax.random.key(1), (cfg.global_batch, cfg.crop_from,
+                            cfg.crop_from, 3), 0, 256, jnp.int32
+    ).astype(jnp.uint8)
+    labels = jnp.arange(cfg.global_batch, dtype=jnp.int32) % cfg.num_classes
+    state, metrics = step_fn(state, images, labels)
+    assert jnp.isfinite(jax.device_get(metrics["loss"]))
+    assert int(jax.device_get(state.step)) == 1
+
+    # the preset's warmup/staircase schedule evaluates to sane values
+    lr = staircase(preset.base_lr, preset.lr_boundaries, preset.lr_decay,
+                   preset.warmup_steps)
+    assert float(lr(0)) < preset.base_lr * 0.01  # warmup start
+    assert float(lr(preset.warmup_steps)) == pytest.approx(preset.base_lr)
+    assert float(lr(preset.lr_boundaries[0] + 1)) == pytest.approx(
+        preset.base_lr * preset.lr_decay)

@@ -117,3 +117,68 @@ def test_negative_int64_label_roundtrip(tmp_path):
     _write_tfrecord(p, [{"image/encoded": b"blob", "image/label": -1}])
     ex = parse_example(next(iter_tfrecords(str(p))))
     assert ex["image/label"][0] == -1
+
+
+# ---------------------------------------------------------------------------
+# masked CRC32C verification (default on)
+# ---------------------------------------------------------------------------
+
+def test_corrupt_data_byte_raises(tmp_path):
+    p = str(tmp_path / "c.tfrecord")
+    _write_tfrecord(p, [{"image/encoded": b"payload", "image/label": 1}])
+    blob = bytearray(open(p, "rb").read())
+    blob[14] ^= 0xFF  # flip a byte inside the record data
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="data CRC"):
+        list(iter_tfrecords(p))
+    # verification off: framing still parses (old behavior, opt-in)
+    assert len(list(iter_tfrecords(p, verify_crc=False))) == 1
+
+
+def test_corrupt_length_header_raises(tmp_path):
+    p = str(tmp_path / "h.tfrecord")
+    _write_tfrecord(p, [{"image/encoded": b"payload", "image/label": 1}])
+    blob = bytearray(open(p, "rb").read())
+    blob[1] ^= 0x01  # corrupt the u64 length without changing its CRC
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="length CRC"):
+        list(iter_tfrecords(p))
+
+
+def test_truncated_tail_raises(tmp_path):
+    p = str(tmp_path / "t.tfrecord")
+    _write_tfrecord(p, [{"image/encoded": b"payload" * 10,
+                         "image/label": 1}])
+    blob = open(p, "rb").read()
+    open(p, "wb").write(blob[:-6])  # chop mid-footer
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_tfrecords(p))
+
+
+def test_pure_python_crc_matches_c_extension():
+    """The table fallback must agree with google_crc32c (and hence with
+    the TF writer whose records the other tests verify end-to-end)."""
+    import importlib
+    import tf_face_toolbox_tpu.data.tfrecord as tfr
+
+    pure = None
+    # reconstruct the fallback table exactly as the module would
+    table = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+        table.append(c)
+
+    def pure(data):
+        crc = 0xFFFFFFFF
+        for b in data:
+            crc = (crc >> 8) ^ table[(crc ^ b) & 0xFF]
+        return crc ^ 0xFFFFFFFF
+
+    from google_crc32c import value as c_ext
+    for blob in [b"", b"a", b"123456789", b"\x00" * 32,
+                 bytes(range(256)) * 3]:
+        assert pure(blob) == c_ext(blob)
+    # known-answer vector: CRC32C("123456789") = 0xE3069283
+    assert pure(b"123456789") == 0xE3069283

@@ -8,9 +8,10 @@ cli/convert_tfrecord.py to migrate datasets to FaceShard.
 
 TFRecord framing (tensorflow/core/io/record_writer.h):
     u64 length | u32 masked_crc(length) | data | u32 masked_crc(data)
-CRCs are verified only when ``verify_crc`` (needs the crc32c package;
-absent in this image, so default off — corrupt records still fail at
-JPEG decode).
+Both CRCs are verified by default (masked CRC32C, Castagnoli): a
+truncated-but-framing-valid record is caught at read time instead of
+surfacing later as a cryptic JPEG decode failure. Uses the installed
+google_crc32c C extension when present, else a pure-Python table.
 """
 
 from __future__ import annotations
@@ -18,19 +19,65 @@ from __future__ import annotations
 import struct
 from typing import Iterator
 
+# ---------------------------------------------------------------------------
+# masked CRC32C (the TFRecord checksum)
+# ---------------------------------------------------------------------------
 
-def iter_tfrecords(path: str) -> Iterator[bytes]:
-    """Yield raw record payloads from one TFRecord file."""
+try:
+    from google_crc32c import value as _crc32c  # C extension, fast
+except ImportError:                              # pure-Python fallback
+    _CRC32C_TABLE = []
+    for _i in range(256):
+        _c = _i
+        for _ in range(8):
+            _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+        _CRC32C_TABLE.append(_c)
+
+    def _crc32c(data: bytes) -> int:
+        crc = 0xFFFFFFFF
+        for b in data:
+            crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+        return crc ^ 0xFFFFFFFF
+
+
+_MASK_DELTA = 0xA282EAD8
+
+
+def masked_crc32c(data: bytes) -> int:
+    """TFRecord's masked checksum: rotate-right-15 then add a constant
+    (record_writer.h MaskedCrc) so CRCs of CRCs stay well distributed."""
+    crc = _crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + _MASK_DELTA) & 0xFFFFFFFF
+
+
+def iter_tfrecords(path: str, *, verify_crc: bool = True) -> Iterator[bytes]:
+    """Yield raw record payloads from one TFRecord file.
+
+    ``verify_crc`` (default on) checks both the length CRC and the data
+    CRC; pass False only for speed on trusted local files.
+    """
     with open(path, "rb") as f:
         while True:
             header = f.read(12)
-            if len(header) < 12:
+            if not header:
                 return
+            if len(header) < 12:
+                raise ValueError(f"{path}: truncated record header")
             (length,) = struct.unpack("<Q", header[:8])
+            if verify_crc:
+                (length_crc,) = struct.unpack("<I", header[8:12])
+                if masked_crc32c(header[:8]) != length_crc:
+                    raise ValueError(f"{path}: corrupt record length CRC")
             data = f.read(length)
             if len(data) < length:
                 raise ValueError(f"{path}: truncated record")
-            f.read(4)  # data crc
+            footer = f.read(4)
+            if verify_crc:
+                if len(footer) < 4:
+                    raise ValueError(f"{path}: truncated record footer")
+                (data_crc,) = struct.unpack("<I", footer)
+                if masked_crc32c(data) != data_crc:
+                    raise ValueError(f"{path}: corrupt record data CRC")
             yield data
 
 
