@@ -173,11 +173,18 @@ def main() -> None:
     p.add_argument("--e2e", action="store_true",
                    help="serving path: uint8 120x120 in, fused Pallas "
                         "resize+standardize included in the measurement")
+    p.add_argument("--quant", default="none",
+                   choices=["none", "dynamic", "static"],
+                   help="int8 serving: static = calibrated scales + "
+                        "int8 residual carry (measured ~1.45x bf16 on "
+                        "the imagenet stem; puts the face stem over "
+                        "the 10k/chip bar)")
     p.add_argument("--watchdog", type=float, default=1500.0,
                    help="seconds before falling back to the cached "
                         "last-good result (0 = off)")
     args = p.parse_args()
-    config_key = f"{args.network}/{args.stem}/e2e={args.e2e}/b={args.batch}"
+    config_key = (f"{args.network}/{args.stem}/e2e={args.e2e}"
+                  f"/q={args.quant}/b={args.batch}")
     if args.watchdog:
         _arm_watchdog(args.watchdog, config_key)
 
@@ -186,16 +193,27 @@ def main() -> None:
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
 
-    net = create_network(args.network, dtype=jnp.bfloat16, stem=args.stem)
-    variables = init_variables(net, jax.random.key(0), (1, 112, 112, 3))
+    quant = False if args.quant == "none" else args.quant
+    net = create_network(args.network, dtype=jnp.bfloat16, stem=args.stem,
+                         quantized=quant)
+    variables = init_variables(
+        create_network(args.network, dtype=jnp.bfloat16, stem=args.stem),
+        jax.random.key(0), (1, 112, 112, 3))
+    if quant == "static":
+        from tf_face_toolbox_tpu.models import calibrate_quant_stats
+        variables = calibrate_quant_stats(
+            args.network, variables,
+            [jax.random.normal(jax.random.key(i), (16, 112, 112, 3))
+             for i in range(2)],
+            dtype=jnp.bfloat16, stem=args.stem)
     # Serving config: weights stored bf16 (halves weight HBM traffic;
     # embeddings stay f32 — parity gate covered by tests/test_parity.py).
     variables = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         variables)
     print(f"# network={args.network} stem={args.stem} 112x112 "
-          f"flip-averaged bf16 weights+compute e2e={args.e2e}",
-          file=sys.stderr)
+          f"flip-averaged bf16 weights+compute e2e={args.e2e} "
+          f"quant={args.quant}", file=sys.stderr)
     chain = build_chain(net, e2e=args.e2e)
 
     batches = [args.batch] if args.batch else ([128, 256, 512] if on_tpu

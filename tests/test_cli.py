@@ -90,6 +90,19 @@ def test_cli_pipeline(tmp_path):
     emb = np.load(emb_path)
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-4)
 
+    # --- extract, static-int8 serving mode ------------------------------
+    emb8_path = str(tmp_path / "emb8.npy")
+    out = _run(["tf_face_toolbox_tpu.cli.extract",
+                f"--checkpoint_dir={train_dir}", f"--data={shard}",
+                f"--output={emb8_path}", "--network=resnet_tiny",
+                "--embedding_dim=16", "--image_size=12", "--batch=8",
+                "--nobf16", "--quant_mode=static",
+                "--calibrate_batches=2"])
+    assert "wrote (24, 16)" in out
+    emb8 = np.load(emb8_path)
+    cos = (emb * emb8).sum(1)
+    assert cos.min() >= 0.98, cos  # PTQ gate vs the fp extraction
+
     # --- eval_lfw --------------------------------------------------------
     # pairs: same-image pairs (sim == 1) vs cross-label pairs
     pair_lines = []

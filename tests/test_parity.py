@@ -98,3 +98,88 @@ def test_int8_quantized_serving_cosine():
     c = _cos(e32, e8)
     assert np.isfinite(np.asarray(e8)).all()
     assert c.min() >= 0.98, c
+
+
+# ---------------------------------------------------------------------------
+# static-calibration int8 (round 2)
+# ---------------------------------------------------------------------------
+
+def test_int8_static_calibrated_cosine():
+    """Calibrate → quantized='static' serving: frozen per-tensor scales,
+    cosine vs fp stays within the PTQ gate and the checkpoint tree
+    (params/batch_stats) is untouched."""
+    from tf_face_toolbox_tpu.models import calibrate_quant_stats
+
+    net32 = create_network("resnet_v1_50", embedding_dim=64)
+    variables = init_variables(net32, jax.random.key(0), (1, 32, 32, 3))
+    calib_batches = [
+        jax.random.normal(jax.random.key(10 + i), (4, 32, 32, 3))
+        for i in range(2)]
+    v_cal = calibrate_quant_stats(
+        "resnet_v1_50", variables, calib_batches, embedding_dim=64)
+    assert "quant_stats" in v_cal
+    # params/batch_stats identical objects → same checkpoint serves all
+    assert v_cal["params"] is variables["params"]
+
+    net8 = create_network("resnet_v1_50", embedding_dim=64,
+                          quantized="static")
+    x = jax.random.normal(jax.random.key(5), (4, 32, 32, 3))
+    e32 = _extract(net32, variables, x)
+    e8 = _extract(net8, v_cal, x)
+    c = _cos(e32, e8)
+    assert np.isfinite(np.asarray(e8)).all()
+    assert c.min() >= 0.98, c
+
+
+def test_int8_static_requires_calibration():
+    import pytest
+
+    net8 = create_network("resnet_v1_50", embedding_dim=64,
+                          quantized="static")
+    variables = init_variables(
+        create_network("resnet_v1_50", embedding_dim=64),
+        jax.random.key(0), (1, 32, 32, 3))
+    x = jax.random.normal(jax.random.key(5), (2, 32, 32, 3))
+    with pytest.raises(ValueError, match="calibrate"):
+        _extract(net8, variables, x)
+
+
+def test_int8_static_batch_independent_embeddings():
+    """Frozen scales ⇒ an image's embedding can't depend on what it was
+    batched with (the property dynamic per-sample scales also have, and
+    per-batch scales would violate)."""
+    from tf_face_toolbox_tpu.models import calibrate_quant_stats
+
+    variables = init_variables(
+        create_network("resnet_v1_50", embedding_dim=32),
+        jax.random.key(0), (1, 32, 32, 3))
+    v_cal = calibrate_quant_stats(
+        "resnet_v1_50", variables,
+        [jax.random.normal(jax.random.key(3), (4, 32, 32, 3))],
+        embedding_dim=32)
+    net8 = create_network("resnet_v1_50", embedding_dim=32,
+                          quantized="static")
+    x = jax.random.normal(jax.random.key(6), (4, 32, 32, 3))
+    e_full = np.asarray(_extract(net8, v_cal, x))
+    e_solo = np.asarray(_extract(net8, v_cal, x[:1]))
+    np.testing.assert_allclose(e_full[:1], e_solo, rtol=1e-5, atol=1e-5)
+
+
+def test_calibration_stats_monotone():
+    """act_max only grows as more batches are seen."""
+    from tf_face_toolbox_tpu.models import calibrate_quant_stats
+
+    variables = init_variables(
+        create_network("resnet_v1_50", embedding_dim=32),
+        jax.random.key(0), (1, 32, 32, 3))
+    small = [0.1 * jax.random.normal(jax.random.key(1), (2, 32, 32, 3))]
+    big = small + [3.0 * jax.random.normal(jax.random.key(2),
+                                           (2, 32, 32, 3))]
+    v1 = calibrate_quant_stats("resnet_v1_50", variables, small,
+                               embedding_dim=32)
+    v2 = calibrate_quant_stats("resnet_v1_50", variables, big,
+                               embedding_dim=32)
+    l1 = jax.tree_util.tree_leaves(v1["quant_stats"])
+    l2 = jax.tree_util.tree_leaves(v2["quant_stats"])
+    assert all(float(b) >= float(a) for a, b in zip(l1, l2))
+    assert any(float(b) > float(a) for a, b in zip(l1, l2))

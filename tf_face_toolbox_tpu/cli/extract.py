@@ -28,7 +28,16 @@ flags.DEFINE_enum("stem", "face", ["face", "imagenet", "space2depth"],
 flags.DEFINE_enum("head", "gap", ["gap", "flatten"],
                   "embedding head variant (must match the checkpoint)")
 flags.DEFINE_bool("quantized", False,
-                  "serve with dynamic W8A8 int8 convs")
+                  "serve with dynamic W8A8 int8 convs "
+                  "(alias for --quant_mode=dynamic)")
+flags.DEFINE_enum("quant_mode", "none", ["none", "dynamic", "static"],
+                  "int8 serving mode: dynamic = per-sample scales (no "
+                  "calibration, modest gain); static = frozen scales "
+                  "calibrated on the first --calibrate_batches of the "
+                  "eval data (the fast path: int8 residual carry, "
+                  "~1.45x bf16 on the imagenet stem, ~1.55x on face)")
+flags.DEFINE_integer("calibrate_batches", 4,
+                     "calibration batches for --quant_mode=static")
 flags.DEFINE_integer("embedding_dim", 512, "embedding size")
 flags.DEFINE_integer("image_size", 112, "eval crop size")
 flags.DEFINE_integer("crop_from", 0,
@@ -47,16 +56,21 @@ flags.mark_flag_as_required("output")
 def load_variables(checkpoint_dir: str, network: str, embedding_dim: int,
                    image_size: int, dtype, use_ema: bool = False,
                    stem: str = "face", head: str = "gap",
-                   quantized: bool = False):
+                   quantized: bool | str = False):
     """Backbone variables from a train checkpoint (or fresh init)."""
     from tf_face_toolbox_tpu.models import create_network, init_variables
 
     kwargs = dict(stem=stem, head_variant=head)
     if quantized:
-        kwargs["quantized"] = True
+        kwargs["quantized"] = quantized
     net = create_network(network, embedding_dim=embedding_dim, dtype=dtype,
                          **kwargs)
-    variables = init_variables(net, jax.random.key(0),
+    # Init with the fp twin: a quantized='static' module can't run
+    # before calibration, and the param tree is identical by design.
+    init_net = (net if not quantized else create_network(
+        network, embedding_dim=embedding_dim, dtype=dtype,
+        stem=stem, head_variant=head))
+    variables = init_variables(init_net, jax.random.key(0),
                                (1, image_size, image_size, 3))
     if checkpoint_dir:
         from tf_face_toolbox_tpu.parallel.mesh import create_mesh
@@ -78,7 +92,7 @@ def load_variables(checkpoint_dir: str, network: str, embedding_dim: int,
                         image_size=image_size, dtype=dtype,
                         num_classes=_classifier_rows_from(meta),
                         ema_decay=0.999 if mgr.has_ema(meta) else 0.0),
-            jax.random.key(0), mesh, net=net)
+            jax.random.key(0), mesh, net=init_net)
         state = mgr.restore(template)
         params = state.params
         if use_ema:
@@ -104,17 +118,30 @@ def main(argv):
     from tf_face_toolbox_tpu.extract import extract_shard
     from tf_face_toolbox_tpu.train.checkpoint import save_embeddings
 
+    quant = FLAGS.quant_mode if FLAGS.quant_mode != "none" else (
+        "dynamic" if FLAGS.quantized else False)
     if FLAGS.network.startswith("densenet") and (
-            FLAGS.quantized or FLAGS.stem == "space2depth"):
+            quant or FLAGS.stem == "space2depth"):
         raise SystemExit(
-            "--quantized / --stem=space2depth are resnet-family options; "
-            "densenet supports stem=face|imagenet, fp only")
+            "--quant_mode / --stem=space2depth are resnet-family "
+            "options; densenet supports stem=face|imagenet, fp only")
     dtype = jnp.bfloat16 if FLAGS.bf16 else jnp.float32
     net, variables = load_variables(
         FLAGS.checkpoint_dir, FLAGS.network, FLAGS.embedding_dim,
         FLAGS.image_size, dtype, use_ema=FLAGS.use_ema,
-        stem=FLAGS.stem, head=FLAGS.head, quantized=FLAGS.quantized)
+        stem=FLAGS.stem, head=FLAGS.head, quantized=quant)
     source = FaceShardSource(FLAGS.data)
+    if quant == "static":
+        from tf_face_toolbox_tpu.extract import calibrate_on_shard
+        logging.info("calibrating static int8 scales on %d batches",
+                     FLAGS.calibrate_batches)
+        variables = calibrate_on_shard(
+            FLAGS.network, variables, source,
+            image_size=FLAGS.image_size, crop_from=FLAGS.crop_from,
+            batch=min(FLAGS.batch, 128),
+            num_batches=FLAGS.calibrate_batches,
+            embedding_dim=FLAGS.embedding_dim, dtype=dtype,
+            stem=FLAGS.stem, head_variant=FLAGS.head)
     emb = extract_shard(
         net, variables, source,
         image_size=FLAGS.image_size, crop_from=FLAGS.crop_from,

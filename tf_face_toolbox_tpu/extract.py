@@ -95,6 +95,25 @@ def extract_shard(net, variables, source, *, image_size: int,
     ``crop_from`` defaults to image_size + 8 (the training default);
     pass crop_from == image_size for whole-image resize semantics.
     """
+    fn = extract_fn or make_extract_fn(net, donate=False)
+    n = source.index.count
+    outs = []
+    done = 0
+    for x in _standardized_batches(source, image_size=image_size,
+                                   crop_from=crop_from, batch=batch,
+                                   num_threads=num_threads):
+        outs.append(np.asarray(fn(variables, x)))
+        done += x.shape[0]
+        if progress is not None:
+            progress(done, n)
+    return np.concatenate(outs)
+
+
+def _standardized_batches(source, *, image_size: int, crop_from: int = 0,
+                          batch: int = 256, num_threads: int = 4,
+                          limit_batches: int = 0):
+    """Yield the eval-chain standardized image batches of a shard
+    (decode → resize to crop_from → center crop → standardize)."""
     from tf_face_toolbox_tpu.data.pipeline import _DecodePool, _resize_u8
     from tf_face_toolbox_tpu.ops.preprocess import preprocess_eval
 
@@ -104,13 +123,13 @@ def extract_shard(net, variables, source, *, image_size: int,
             f"crop_from ({crop_from}) must be >= image_size "
             f"({image_size}): the eval chain center-crops image_size "
             f"out of the crop_from-sized resize")
-    fn = extract_fn or make_extract_fn(net, donate=False)
     transform = lambda im: _resize_u8(im, crop_from, crop_from)  # noqa: E731
     pool = _DecodePool(source, num_threads) if num_threads > 1 else None
     n = source.index.count
-    outs = []
     try:
-        for lo in range(0, n, batch):
+        for bi, lo in enumerate(range(0, n, batch)):
+            if limit_batches and bi >= limit_batches:
+                return
             ids = list(range(lo, min(lo + batch, n)))
             if pool is not None:
                 records = pool.decode(ids, transform)
@@ -118,14 +137,29 @@ def extract_shard(net, variables, source, *, image_size: int,
                 records = [(transform(source.record(i)[0]), 0)
                            for i in ids]
             images = np.stack([r[0] for r in records])
-            x = preprocess_eval(jnp.asarray(images), image_size, image_size)
-            outs.append(np.asarray(fn(variables, x)))
-            if progress is not None:
-                progress(min(lo + batch, n), n)
+            yield preprocess_eval(jnp.asarray(images), image_size,
+                                  image_size)
     finally:
         if pool is not None:
             pool.close()
-    return np.concatenate(outs)
+
+
+def calibrate_on_shard(network: str, variables, source, *,
+                       image_size: int, crop_from: int = 0,
+                       batch: int = 128, num_batches: int = 4,
+                       embedding_dim: int = 512,
+                       dtype=jnp.float32, **net_kwargs):
+    """Static-int8 calibration over the first ``num_batches`` batches of
+    an eval shard (the serving distribution). Returns ``variables`` with
+    the frozen ``quant_stats`` for ``quantized="static"`` serving."""
+    from tf_face_toolbox_tpu.models import calibrate_quant_stats
+
+    batches = _standardized_batches(
+        source, image_size=image_size, crop_from=crop_from, batch=batch,
+        limit_batches=num_batches)
+    return calibrate_quant_stats(network, variables, batches,
+                                 embedding_dim=embedding_dim,
+                                 dtype=dtype, **net_kwargs)
 
 
 def extract_dataset(net, variables, batches: Iterable[np.ndarray],

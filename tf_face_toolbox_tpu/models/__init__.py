@@ -73,6 +73,47 @@ def create_network(name: str, *, embedding_dim: int = 512,
     return cls(**merged)
 
 
+def calibrate_quant_stats(name: str, variables, batches, *,
+                          embedding_dim: int = 512,
+                          dtype: jnp.dtype = jnp.float32,
+                          **overrides: Any):
+    """Static-int8 calibration pass: max-|activation| stats per conv.
+
+    Runs ``batches`` (an iterable of standardized (N, S, S, 3) float
+    images from the serving distribution) through the network in
+    full-precision eval mode, recording each conv's running max |input|
+    into the ``quant_stats`` collection. Returns ``variables`` with the
+    frozen stats added — ready for ``create_network(...,
+    quantized="static")`` serving, where the activation quantize is a
+    single fusable elementwise op (no dynamic max pass).
+
+    The returned tree's params/batch_stats are untouched: the same
+    checkpoint serves fp, dynamic-int8 and static-int8 modes.
+    """
+    overrides.pop("quantized", None)
+    calib = create_network(name, embedding_dim=embedding_dim, dtype=dtype,
+                           quantized="calibrate", **overrides)
+
+    @jax.jit
+    def update(v, x):
+        _, mutated = calib.apply(v, x, train=False,
+                                 mutable=["quant_stats"])
+        return mutated["quant_stats"]
+
+    variables = dict(variables)
+    for x in batches:
+        if "quant_stats" not in variables:
+            # first batch also CREATES the stat tree (separate trace)
+            _, mutated = calib.apply(variables, x, train=False,
+                                     mutable=["quant_stats"])
+            variables["quant_stats"] = mutated["quant_stats"]
+        else:
+            variables["quant_stats"] = update(variables, x)
+    if "quant_stats" not in variables:
+        raise ValueError("calibrate_quant_stats: empty batch iterable")
+    return variables
+
+
 def init_variables(net, rng: jax.Array, input_shape: tuple[int, ...]):
     """Jit-compiled variable init (params + batch_stats).
 

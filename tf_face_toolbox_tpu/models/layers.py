@@ -33,13 +33,17 @@ dense_kernel_init = nn.initializers.variance_scaling(1.0, "fan_in", "truncated_n
 
 
 def int8_conv(x: jax.Array, kernel: jax.Array,
-              strides: tuple[int, int], groups: int = 1) -> jax.Array:
-    """Dynamic W8A8 convolution on the int8 MXU path (v5e: 2x bf16 peak).
+              strides: tuple[int, int], groups: int = 1,
+              act_scale: jax.Array | None = None) -> jax.Array:
+    """W8A8 convolution on the int8 MXU path (v5e: 2x bf16 peak).
 
     - weights: symmetric per-output-channel scales (zero accuracy cost
       for conv weights, standard PTQ practice)
-    - activations: dynamic per-tensor scale (a max-reduce per layer —
-      VPU-cheap next to the conv, and needs no calibration pass)
+    - activations: ``act_scale=None`` → dynamic per-sample scale (a
+      max-reduce per layer — needs no calibration but costs an extra
+      pass over the activations, which on bandwidth-bound stages eats
+      the MXU gain); else a FROZEN per-tensor scale from calibration —
+      the quantize collapses to one fusable elementwise op.
     - accumulation in int32; dequantized output in float32
 
     Serving-only: the training path stays bf16.
@@ -48,18 +52,58 @@ def int8_conv(x: jax.Array, kernel: jax.Array,
     ks = jnp.maximum(ks, 1e-12)
     kq = jnp.round(kernel / ks).astype(jnp.int8)
     x = x.astype(jnp.float32)
-    # PER-SAMPLE activation scale: a per-batch max would make each
-    # image's quantization grid depend on its co-batched images
-    # (non-reproducible embeddings across batchings).
-    xs = jnp.maximum(
-        jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True) / 127.0, 1e-12)
+    if act_scale is None:
+        # PER-SAMPLE activation scale: a per-batch max would make each
+        # image's quantization grid depend on its co-batched images
+        # (non-reproducible embeddings across batchings).
+        xs = jnp.maximum(
+            jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True) / 127.0,
+            1e-12)
+        xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, kq, strides, "SAME",
+            feature_group_count=groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        return y.astype(jnp.float32) * (xs * ks.reshape(1, 1, 1, -1))
+    # STATIC scale: quantize with the frozen per-tensor scale, then the
+    # shared int8-conv + dequant path below.
+    xs = jnp.maximum(act_scale, 1e-12)
     xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+    return int8_conv_prequant(xq, xs, kernel, strides, groups,
+                              _ks=(kq, ks))
+
+
+def int8_conv_prequant(xq: jax.Array, xs: jax.Array, kernel: jax.Array,
+                       strides: tuple[int, int], groups: int = 1,
+                       _ks=None) -> jax.Array:
+    """int8 conv over an ALREADY-quantized activation tensor.
+
+    Used by the static-int8 residual carry: the block stream between
+    residual blocks is materialized once as s8 (plus its frozen scalar
+    scale) and every consumer — bottleneck conv, projection conv, and
+    the dequantized skip connection — reads that one buffer.
+
+    The conv asks the MXU drain for bf16 output — int32 accumulation
+    happens inside the MXU either way, but the materialized conv output
+    halves from 4 to 2 bytes/elem (measured: s32 conv outputs alone
+    were 11.2 GB/batch on the face stem, the single largest HBM
+    consumer of the whole network).
+    """
+    if _ks is None:
+        ks = jnp.max(jnp.abs(kernel), axis=(0, 1, 2),
+                     keepdims=True) / 127.0
+        ks = jnp.maximum(ks, 1e-12)
+        kq = jnp.round(kernel / ks).astype(jnp.int8)
+    else:
+        kq, ks = _ks
     y = jax.lax.conv_general_dilated(
         xq, kq, strides, "SAME",
         feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32)
-    return y.astype(jnp.float32) * (xs * ks.reshape(1, 1, 1, -1))
+        preferred_element_type=jnp.bfloat16)
+    scale = (xs * ks.reshape(1, 1, 1, -1)).astype(jnp.bfloat16)
+    return (y * scale).astype(jnp.float32)
 
 
 class ConvBN(nn.Module):
@@ -68,8 +112,16 @@ class ConvBN(nn.Module):
     Equivalent of the reference's conv+BN pairs inside every backbone
     block (ref: upstream nets/resnet.py [UPSTREAM-K]).
 
-    ``quantized``: eval-mode convs run dynamic W8A8 on the int8 MXU
-    path (training always uses ``dtype``).
+    ``quantized`` (eval-mode only; training always uses ``dtype``):
+      - ``False``: full-precision convs.
+      - ``True`` / ``"dynamic"``: W8A8 with per-sample dynamic
+        activation scales (no calibration; extra max pass per layer).
+      - ``"calibrate"``: full-precision math, but records the running
+        max |input| of every conv into the ``quant_stats`` collection
+        (apply with ``mutable=["quant_stats"]``).
+      - ``"static"``: W8A8 with the frozen per-tensor scales from a
+        prior calibration pass — the quantize is one fusable
+        elementwise op, so the int8 bandwidth/MXU win is kept intact.
     """
 
     features: int
@@ -81,17 +133,44 @@ class ConvBN(nn.Module):
     # (identity-at-init residual blocks: stabilizes large-batch training).
     bn_scale_init: Callable = nn.initializers.ones
     dtype: jnp.dtype = jnp.float32
-    quantized: bool = False
+    quantized: bool | str = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool,
+                 prequant: tuple[jax.Array, jax.Array] | None = None
+                 ) -> jax.Array:
         # One explicit kernel param shared by the fp and int8 paths, so
         # a checkpoint loads into either mode unchanged.
+        in_features = (prequant[0].shape[-1] if prequant is not None
+                       else x.shape[-1])
         kernel = self.param(
             "kernel", conv_kernel_init,
-            (*self.kernel_size, x.shape[-1] // self.groups,
+            (*self.kernel_size, in_features // self.groups,
              self.features), jnp.float32)
-        if self.quantized and not train:
+        mode = ("dynamic" if self.quantized is True else self.quantized)
+        if mode == "calibrate" and not train:
+            stat = self.variable("quant_stats", "act_max",
+                                 lambda: jnp.zeros((), jnp.float32))
+            stat.value = jnp.maximum(
+                stat.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+            mode = False  # fall through to the fp conv below
+        if mode == "static" and not train:
+            if prequant is not None:
+                # Input already int8 (the block-level residual carry):
+                # no quantize here, just the int8 conv + dequant.
+                xq, xs = prequant
+                x = int8_conv_prequant(xq, xs, kernel, self.strides,
+                                       self.groups)
+            else:
+                if not self.has_variable("quant_stats", "act_max"):
+                    raise ValueError(
+                        "quantized='static' needs calibrated quant_stats;"
+                        " run models.calibrate_quant_stats(...) first")
+                act_max = self.get_variable("quant_stats", "act_max")
+                x = int8_conv(x, kernel, self.strides, self.groups,
+                              act_scale=act_max / 127.0)
+            x = x.astype(self.dtype)
+        elif mode == "dynamic" and not train:
             x = int8_conv(x, kernel, self.strides, self.groups)
             x = x.astype(self.dtype)
         else:

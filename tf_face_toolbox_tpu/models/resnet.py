@@ -43,15 +43,30 @@ class BottleneckBlock(nn.Module):
     se_reduction: int = 0  # 0 = no SE
     expansion: int = 4
     dtype: jnp.dtype = jnp.float32
-    quantized: bool = False
+    quantized: bool | str = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool,
+                 prequant=None) -> jax.Array:
+        """``prequant=(xq s8, scale)``: static-int8 residual carry — the
+        block input arrives already quantized; the bottleneck path, the
+        projection shortcut, and the (dequantized) identity skip all
+        read that single s8 buffer, so no bf16 copy of the inter-block
+        stream ever hits HBM."""
         out_features = self.features * self.expansion
-        residual = x
         q = self.quantized
-        y = ConvBN(self.features, (1, 1), dtype=self.dtype,
-                   quantized=q)(x, train)
+        if prequant is not None:
+            xq, xs = prequant
+            residual = (xq.astype(self.dtype)
+                        * xs.astype(self.dtype))  # fuses into final add
+            in_shape = xq.shape
+            y = ConvBN(self.features, (1, 1), dtype=self.dtype,
+                       quantized=q)(None, train, prequant=prequant)
+        else:
+            residual = x
+            in_shape = x.shape
+            y = ConvBN(self.features, (1, 1), dtype=self.dtype,
+                       quantized=q)(x, train)
         y = ConvBN(self.features, (3, 3), strides=self.strides,
                    groups=self.groups, dtype=self.dtype,
                    quantized=q)(y, train)
@@ -62,10 +77,13 @@ class BottleneckBlock(nn.Module):
                    dtype=self.dtype, quantized=q)(y, train)
         if self.se_reduction > 0:
             y = SqueezeExcite(self.se_reduction, dtype=self.dtype)(y)
-        if residual.shape != y.shape:
-            residual = ConvBN(out_features, (1, 1), strides=self.strides,
-                              relu=False, dtype=self.dtype,
-                              quantized=q)(residual, train)
+        if in_shape[-1] != out_features or self.strides != (1, 1):
+            proj = ConvBN(out_features, (1, 1), strides=self.strides,
+                          relu=False, dtype=self.dtype, quantized=q)
+            if prequant is not None:
+                residual = proj(None, train, prequant=prequant)
+            else:
+                residual = proj(residual, train)
         return nn.relu(residual + y)
 
 
@@ -84,8 +102,9 @@ class ResNet(nn.Module):
     head_variant: str = "gap"
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
-    # serving-only dynamic W8A8 convs (training always runs ``dtype``)
-    quantized: bool = False
+    # serving-only W8A8 convs: False | True/"dynamic" | "calibrate" |
+    # "static" (training always runs ``dtype``) — see layers.ConvBN
+    quantized: bool | str = False
     # Rematerialize blocks in backward (jax.checkpoint): trades ~1 extra
     # forward of FLOPs for O(depth) less activation memory. Measured 7%
     # SLOWER on r50@112/b512 v5e (the step is bandwidth-bound but XLA's
@@ -122,6 +141,12 @@ class ResNet(nn.Module):
         # (nn.remat otherwise renames the scope to remat(Checkpoint...)).
         block_cls = (nn.remat(BottleneckBlock, static_argnums=(2,))
                      if self.remat else BottleneckBlock)
+        # Static-int8 residual carry: quantize the inter-block stream
+        # ONCE per boundary with a frozen block-level scale; the block's
+        # convs and its skip path all read the same s8 buffer, so the
+        # bf16 copy of every 56²/28²/14² activation vanishes from HBM.
+        carry_int8 = self.quantized == "static" and not train
+        record_carry = self.quantized == "calibrate" and not train
         block_counter = 0
         for stage_idx, num_blocks in enumerate(self.stage_sizes):
             features = self.width_per_group * self.groups * (2 ** stage_idx)
@@ -133,7 +158,7 @@ class ResNet(nn.Module):
                     strides = (2, 2)
                 else:
                     strides = (1, 1)
-                x = block_cls(
+                block = block_cls(
                     features=features,
                     strides=strides,
                     groups=self.groups,
@@ -142,7 +167,31 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     quantized=self.quantized,
                     name=f"BottleneckBlock_{block_counter}",
-                )(x, train)
+                )
+                if record_carry:
+                    stat = self.variable(
+                        "quant_stats", f"block_{block_counter}_in_max",
+                        lambda: jnp.zeros((), jnp.float32))
+                    stat.value = jnp.maximum(
+                        stat.value,
+                        jnp.max(jnp.abs(x.astype(jnp.float32))))
+                    x = block(x, train)
+                elif carry_int8:
+                    key = f"block_{block_counter}_in_max"
+                    if not self.has_variable("quant_stats", key):
+                        raise ValueError(
+                            "quantized='static' needs calibrated "
+                            "quant_stats; run "
+                            "models.calibrate_quant_stats(...) first")
+                    in_scale = jnp.maximum(
+                        self.get_variable("quant_stats", key),
+                        1e-12) / 127.0
+                    xq = jnp.clip(
+                        jnp.round(x.astype(jnp.float32) / in_scale),
+                        -127, 127).astype(jnp.int8)
+                    x = block(None, train, prequant=(xq, in_scale))
+                else:
+                    x = block(x, train)
                 block_counter += 1
 
         return EmbeddingHead(
