@@ -97,3 +97,35 @@ def test_space2depth_stem():
     flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
     shapes = {tuple(l.shape) for _, l in flat if hasattr(l, "shape")}
     assert (3, 3, 12, 64) in shapes
+
+
+def test_save_convs_remat_grads_match():
+    """remat='save_convs' (save only conv outputs, recompute BN/ReLU in
+    backward) must be a pure scheduling change: identical grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tf_face_toolbox_tpu.models.resnet import ResNet
+
+    kwargs = dict(stage_sizes=(1, 1), width_per_group=16,
+                  embedding_dim=8, stem="face")
+    base = ResNet(**kwargs)
+    remat = ResNet(remat="save_convs", **kwargs)
+    x = jax.random.normal(jax.random.key(1), (2, 16, 16, 3))
+    v = jax.jit(lambda r: base.init(r, x, train=False))(jax.random.key(0))
+
+    def loss(net):
+        def f(params):
+            out, _ = net.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return jnp.sum(out ** 2)
+        return jax.jit(jax.grad(f))(v["params"])
+
+    g1 = loss(base)
+    g2 = loss(remat)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

@@ -179,6 +179,10 @@ class ConvBN(nn.Module):
                 self.strides, "SAME",
                 feature_group_count=self.groups,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            # Tag for the "save_convs" remat policy (models.resnet):
+            # backward keeps conv outputs, recomputes BN/ReLU from them.
+            from jax.ad_checkpoint import checkpoint_name
+            x = checkpoint_name(x, "conv_out")
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,

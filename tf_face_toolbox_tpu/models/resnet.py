@@ -105,12 +105,16 @@ class ResNet(nn.Module):
     # serving-only W8A8 convs: False | True/"dynamic" | "calibrate" |
     # "static" (training always runs ``dtype``) — see layers.ConvBN
     quantized: bool | str = False
-    # Rematerialize blocks in backward (jax.checkpoint): trades ~1 extra
-    # forward of FLOPs for O(depth) less activation memory. Measured 7%
-    # SLOWER on r50@112/b512 v5e (the step is bandwidth-bound but XLA's
-    # fusion already keeps intra-block intermediates local) — use only
-    # when a deep variant / big batch would otherwise OOM.
-    remat: bool = False
+    # Rematerialization in backward:
+    #   True / "full": jax.checkpoint whole blocks — ~1 extra forward of
+    #     FLOPs for O(depth) less activation memory. Measured 7% SLOWER
+    #     on r50@112/b512 v5e; use only to avoid OOM.
+    #   "save_convs": selective policy — save ONLY conv outputs
+    #     (checkpoint_name "conv_out" in layers.ConvBN); BN/ReLU/add
+    #     chains are recomputed in backward from them. Convs are never
+    #     recomputed, the recompute is VPU-cheap, and the saved-residual
+    #     traffic drops.
+    remat: bool | str = False
 
     @nn.compact
     def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
@@ -139,8 +143,15 @@ class ResNet(nn.Module):
 
         # Explicit names keep the param tree identical with/without remat
         # (nn.remat otherwise renames the scope to remat(Checkpoint...)).
-        block_cls = (nn.remat(BottleneckBlock, static_argnums=(2,))
-                     if self.remat else BottleneckBlock)
+        if self.remat == "save_convs":
+            block_cls = nn.remat(
+                BottleneckBlock, static_argnums=(2,),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "conv_out"))
+        elif self.remat:
+            block_cls = nn.remat(BottleneckBlock, static_argnums=(2,))
+        else:
+            block_cls = BottleneckBlock
         # Static-int8 residual carry: quantize the inter-block stream
         # ONCE per boundary with a frozen block-level scale; the block's
         # convs and its skip path all read the same s8 buffer, so the
