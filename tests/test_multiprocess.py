@@ -48,7 +48,7 @@ _COMMON = textwrap.dedent("""
         labels = (np.arange({gb}) % {nc}).astype(np.int32)
         return images, labels
 
-    def run_steps(mesh, host_slice):
+    def run_steps(mesh, host_slice, return_state=False):
         import jax
         import jax.numpy as jnp
         from tf_face_toolbox_tpu.parallel.mesh import (
@@ -71,6 +71,8 @@ _COMMON = textwrap.dedent("""
             state, metrics = step_fn(state, batch["image"],
                                      batch["label"])
             losses.append(float(jax.device_get(metrics["loss"])))
+        if return_state:
+            return losses, state, net
         return losses
 """).format(gb=GLOBAL_BATCH, nc=NUM_CLASSES, cfg_kwargs=repr(CFG_KWARGS),
             n_steps=N_STEPS)
@@ -90,8 +92,26 @@ _WORKER = _COMMON + textwrap.dedent("""
     from tf_face_toolbox_tpu.parallel.mesh import create_mesh
     mesh = create_mesh()          # all 8 global devices on `data`
     half = {gb} // 2
-    losses = run_steps(mesh, slice(pid * half, (pid + 1) * half))
-    json.dump({{"pid": pid, "losses": losses}}, open(out, "w"))
+    losses, state, net = run_steps(
+        mesh, slice(pid * half, (pid + 1) * half), return_state=True)
+
+    # the in-training eval hook's mechanism (cli/train.py): process 0
+    # pulls its addressable copy of the replicated state and runs a
+    # single-device local jit — legal divergent host work in
+    # multi-controller JAX.
+    eval_ok = True
+    if pid == 0:
+        import numpy as np
+        import jax.numpy as jnp
+        variables = {{"params": state.params,
+                      "batch_stats": state.batch_stats}}
+        local = jax.tree.map(
+            lambda a: np.asarray(a.addressable_data(0)), variables)
+        emb = jax.jit(lambda v, t: net.apply(v, t, train=False))(
+            local, jnp.zeros((2, 12, 12, 3), jnp.float32))
+        eval_ok = bool(np.isfinite(np.asarray(emb)).all())
+    json.dump({{"pid": pid, "losses": losses, "eval_ok": eval_ok}},
+              open(out, "w"))
     print("worker", pid, "done", losses)
 """).format(gb=GLOBAL_BATCH)
 
@@ -135,6 +155,8 @@ def test_two_process_training_matches_single_process(tmp_path):
     # both processes see the identical replicated loss
     np.testing.assert_allclose(
         results[0]["losses"], results[1]["losses"], rtol=0, atol=0)
+    # the eval-hook mechanism (localize + process-0 local jit) works
+    assert all(r["eval_ok"] for r in results)
 
     # ... and it equals the single-process 8-device run
     ref_out = str(tmp_path / "single.json")

@@ -123,11 +123,11 @@ def build_eval_fn(cfg):
     """Periodic in-training LFW-style verification (optional)."""
     if not (FLAGS.eval_data and FLAGS.eval_pairs and FLAGS.eval_every):
         return None
-    if jax.process_count() > 1:
-        from absl import logging
-        logging.warning("in-training eval is single-host only; skipping "
-                        "under --multihost (extract+eval offline instead)")
-        return None
+    multihost = jax.process_count() > 1
+    if multihost and jax.process_index() != 0:
+        # Process 0 runs the eval alone on its local device; everyone
+        # else just proceeds to the next step's collective and waits.
+        return lambda state: {}
     from tf_face_toolbox_tpu.cli.eval_lfw import load_pairs
     from tf_face_toolbox_tpu.data.pipeline import FaceShardSource
     from tf_face_toolbox_tpu.extract import extract_shard, make_extract_fn
@@ -141,10 +141,21 @@ def build_eval_fn(cfg):
     i1, i2, labels = load_pairs(FLAGS.eval_pairs)
     extract_fn = make_extract_fn(net, donate=False)
 
+    def _localize(tree):
+        """Multihost: state leaves are global (replicated) arrays whose
+        shards span processes; pull this process's addressable copy so
+        the single-device eval jit can consume them."""
+        import numpy as np
+
+        return jax.tree.map(
+            lambda a: np.asarray(a.addressable_data(0)), tree)
+
     def eval_fn(state):
         params = (state.ema_params if state.ema_params is not None
                   else state.params)
         variables = {"params": params, "batch_stats": state.batch_stats}
+        if multihost:
+            variables = _localize(variables)
         # Same path as the offline extract CLI (extract_shard): scale-
         # matched host resize + center crop, bounded chunks — nothing
         # eval-shard-sized stays resident in HBM between evals.
