@@ -3,16 +3,26 @@
 Rebuild of the reference's offline eval (SURVEY.md §3.3): pairs file +
 embeddings → 10-fold cross-validated accuracy.
 
-Pairs file format: one pair per line, ``idx1 idx2 label`` where idx are
-row indices into the embeddings array and label is 1 (same) / 0 (diff).
+Two pairs-file formats are accepted (auto-detected):
+
+1. Index format: ``idx1 idx2 label`` per line, idx = row indices into
+   the embeddings array, label 1 (same) / 0 (diff).
+2. The OFFICIAL LFW ``pairs.txt`` (view 2) the reference era consumed
+   [TF1-IDIOM]: an optional ``<folds>\t<per_fold>`` header, then
+   ``name  n1  n2`` lines for matched pairs and
+   ``name1  n1  name2  n2`` for mismatched ones. This format needs
+   ``--names`` — the pack list file (image paths in shard order) — to
+   resolve ``Name_0001``-style identifiers to embedding rows.
 
     python -m tf_face_toolbox_tpu.cli.eval_lfw \
-        --embeddings=/tmp/lfw_embeddings.npy --pairs=/data/pairs.txt
+        --embeddings=/tmp/lfw_embeddings.npy --pairs=/data/pairs.txt \
+        --names=/data/lfw_list.txt
 """
 
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 from absl import app, flags
@@ -20,13 +30,18 @@ from absl import app, flags
 FLAGS = flags.FLAGS
 
 flags.DEFINE_string("embeddings", None, ".npy from cli.extract")
-flags.DEFINE_string("pairs", None, "pairs file: 'idx1 idx2 label' lines")
+flags.DEFINE_string("pairs", None,
+                    "pairs file ('idx1 idx2 label' or official LFW)")
+flags.DEFINE_string("names", "",
+                    "pack list file mapping embedding rows to image "
+                    "paths (needed for official-LFW pairs format)")
 flags.DEFINE_integer("folds", 10, "cross-validation folds")
 flags.mark_flag_as_required("embeddings")
 flags.mark_flag_as_required("pairs")
 
 
 def load_pairs(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Index-format pairs: 'idx1 idx2 label' lines."""
     i1, i2, lab = [], [], []
     with open(path) as f:
         for line in f:
@@ -39,6 +54,71 @@ def load_pairs(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return np.asarray(i1), np.asarray(i2), np.asarray(lab)
 
 
+def _name_index(names_path: str) -> dict[tuple[str, int], int]:
+    """(person name, photo number) → embedding row, from the pack list
+    file (one image path per line, optionally followed by a label, in
+    shard order). Accepts LFW's ``.../Name/Name_0001.jpg`` layout or
+    any path whose basename ends in ``_<number>``."""
+    index: dict[tuple[str, int], int] = {}
+    with open(names_path) as f:
+        row = 0
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            stem = os.path.splitext(os.path.basename(parts[0]))[0]
+            name, _, num = stem.rpartition("_")
+            if name and num.isdigit():
+                index[(name, int(num))] = row
+            row += 1
+    return index
+
+
+def _is_official_lfw(path: str) -> bool:
+    """Official format detector: any data line whose first field is
+    non-numeric (a person name)."""
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) in (3, 4) and parts and not (
+                    parts[0].lstrip("-").isdigit()):
+                return True
+    return False
+
+
+def load_lfw_pairs(path: str, names_path: str):
+    """Official LFW pairs.txt → (i1, i2, labels) row indices.
+
+    Matched line: ``name n1 n2``; mismatched: ``name1 n1 name2 n2``.
+    The header line(s) of ints are skipped. Raises KeyError naming the
+    missing photo if the embeddings don't cover a referenced image.
+    """
+    index = _name_index(names_path)
+
+    def lookup(name: str, num: str) -> int:
+        key = (name, int(num))
+        if key not in index:
+            raise KeyError(
+                f"pairs file references {name}_{int(num):04d} but it is "
+                f"not in --names ({names_path})")
+        return index[key]
+
+    i1, i2, lab = [], [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) == 3 and not parts[0].lstrip("-").isdigit():
+                i1.append(lookup(parts[0], parts[1]))
+                i2.append(lookup(parts[0], parts[2]))
+                lab.append(1)
+            elif len(parts) == 4:
+                i1.append(lookup(parts[0], parts[1]))
+                i2.append(lookup(parts[2], parts[3]))
+                lab.append(0)
+            # header / blank lines fall through
+    return np.asarray(i1), np.asarray(i2), np.asarray(lab)
+
+
 def main(argv):
     del argv
     from tf_face_toolbox_tpu.cli import setup_platform
@@ -47,7 +127,14 @@ def main(argv):
     from tf_face_toolbox_tpu.ops.verification import verify_pairs
 
     emb, _ = load_embeddings(FLAGS.embeddings)
-    i1, i2, labels = load_pairs(FLAGS.pairs)
+    if _is_official_lfw(FLAGS.pairs):
+        if not FLAGS.names:
+            raise SystemExit(
+                "official-LFW pairs format detected; pass --names="
+                "<pack list file> to map names to embedding rows")
+        i1, i2, labels = load_lfw_pairs(FLAGS.pairs, FLAGS.names)
+    else:
+        i1, i2, labels = load_pairs(FLAGS.pairs)
     report = verify_pairs(emb[i1], emb[i2], labels, n_folds=FLAGS.folds)
     print(json.dumps(report, indent=2))
 
