@@ -187,3 +187,92 @@ def test_resnet50_face_stem_full_parity():
     feat_tf /= np.linalg.norm(feat_tf, axis=-1, keepdims=True)
     cos2 = _cosine_rows(feat_jax, feat_tf)
     assert cos2.min() >= 0.999, f"flip-avg cosine per face: {cos2}"
+
+
+def test_variables_npz_roundtrip(tmp_path):
+    """flatten -> npz -> unflatten is lossless (the import_keras
+    hand-off format)."""
+    from tf_face_toolbox_tpu.interop.port import (
+        load_variables_npz,
+        save_variables_npz,
+    )
+
+    net = ResNet(stage_sizes=(1,), width_per_group=16, embedding_dim=8,
+                 stem="face")
+    variables = _warmed_variables(net, 16, seed=2, steps=1)
+    p = str(tmp_path / "v.npz")
+    save_variables_npz(p, variables)
+    back = load_variables_npz(p)
+    orig = jax.tree_util.tree_leaves_with_path(variables)
+    rt_map = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(orig) == len(rt_map)
+    for path, leaf in orig:
+        np.testing.assert_array_equal(np.asarray(leaf), rt_map[path])
+
+
+@pytest.mark.slow
+def test_import_keras_cli_roundtrip(tmp_path):
+    """Full migration path: Keras model file -> import_keras CLI ->
+    extract CLI --variables_npz; embeddings match the in-process port."""
+    import os
+    import subprocess
+    import sys
+
+    from PIL import Image
+
+    from tf_face_toolbox_tpu.data.format import PAYLOAD_JPEG, ShardWriter
+    from tf_face_toolbox_tpu.extract import extract_shard
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run_cli(args):
+        env = dict(os.environ, TFFT_PLATFORM="cpu")
+        r = subprocess.run([sys.executable, "-m"] + args, env=env,
+                           cwd=repo, capture_output=True, text=True)
+        assert r.returncode == 0, f"{args}:\n{r.stdout}\n{r.stderr}"
+        return r.stdout
+
+    # a Keras twin of resnet_tiny with its own (TF-born) weights
+    model = build_keras_resnet(stage_sizes=(1,), width_per_group=16,
+                               embedding_dim=16, stem="face",
+                               image_size=12)
+    keras_path = str(tmp_path / "tiny.keras")
+    model.save(keras_path)
+
+    npz = str(tmp_path / "ported.npz")
+    out = run_cli(["tf_face_toolbox_tpu.cli.import_keras",
+                   f"--keras_model={keras_path}", f"--output={npz}",
+                   "--network=resnet_tiny", "--embedding_dim=16",
+                   "--image_size=12"])
+    assert "imported" in out
+
+    # tiny shard to extract from
+    rng = np.random.default_rng(0)
+    shard = str(tmp_path / "d.faceshard")
+    with ShardWriter(shard, payload=PAYLOAD_JPEG) as w:
+        for i in range(6):
+            arr = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+            from io import BytesIO
+            buf = BytesIO()
+            Image.fromarray(arr).save(buf, "JPEG", quality=95)
+            w.add(buf.getvalue(), i % 3)
+
+    emb_path = str(tmp_path / "e.npy")
+    out = run_cli(["tf_face_toolbox_tpu.cli.extract",
+                   f"--variables_npz={npz}", f"--data={shard}",
+                   f"--output={emb_path}", "--network=resnet_tiny",
+                   "--embedding_dim=16", "--image_size=12", "--batch=6",
+                   "--nobf16"])
+    assert "wrote (6, 16)" in out
+    emb_cli = np.load(emb_path)
+
+    # in-process reference: port the same model, same extraction path
+    from tf_face_toolbox_tpu.data.pipeline import FaceShardSource
+
+    net = ResNet(stage_sizes=(1,), width_per_group=16, embedding_dim=16,
+                 stem="face")
+    template = _warmed_variables(net, 12, seed=0, steps=0)
+    variables = keras_to_jax(model, template)
+    emb_ref = extract_shard(net, variables, FaceShardSource(shard),
+                            image_size=12, batch=6)
+    np.testing.assert_allclose(emb_cli, emb_ref, rtol=1e-4, atol=1e-4)

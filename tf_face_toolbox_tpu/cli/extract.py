@@ -20,6 +20,10 @@ FLAGS = flags.FLAGS
 
 flags.DEFINE_string("checkpoint_dir", "",
                     "train dir with checkpoints ('' = random init)")
+flags.DEFINE_string("variables_npz", "",
+                    "serve from a ported .npz variables file "
+                    "(cli.import_keras output) instead of a train "
+                    "checkpoint")
 flags.DEFINE_string("data", None, "FaceShard of eval faces")
 flags.DEFINE_string("output", None, "output .npy path")
 flags.DEFINE_string("network", "resnet_v1_50", "backbone name")
@@ -126,10 +130,27 @@ def main(argv):
             "--quant_mode / --stem=space2depth are resnet-family "
             "options; densenet supports stem=face|imagenet, fp only")
     dtype = jnp.bfloat16 if FLAGS.bf16 else jnp.float32
-    net, variables = load_variables(
-        FLAGS.checkpoint_dir, FLAGS.network, FLAGS.embedding_dim,
-        FLAGS.image_size, dtype, use_ema=FLAGS.use_ema,
-        stem=FLAGS.stem, head=FLAGS.head, quantized=quant)
+    if FLAGS.variables_npz:
+        if FLAGS.checkpoint_dir:
+            raise SystemExit(
+                "--variables_npz and --checkpoint_dir are exclusive")
+        from tf_face_toolbox_tpu.interop.port import load_variables_npz
+        from tf_face_toolbox_tpu.models import create_network
+
+        kwargs = dict(stem=FLAGS.stem, head_variant=FLAGS.head)
+        if quant:
+            kwargs["quantized"] = quant
+        net = create_network(FLAGS.network,
+                             embedding_dim=FLAGS.embedding_dim,
+                             dtype=dtype, **kwargs)
+        variables = load_variables_npz(FLAGS.variables_npz)
+        logging.info("serving ported variables from %s",
+                     FLAGS.variables_npz)
+    else:
+        net, variables = load_variables(
+            FLAGS.checkpoint_dir, FLAGS.network, FLAGS.embedding_dim,
+            FLAGS.image_size, dtype, use_ema=FLAGS.use_ema,
+            stem=FLAGS.stem, head=FLAGS.head, quantized=quant)
     source = FaceShardSource(FLAGS.data)
     if quant == "static":
         from tf_face_toolbox_tpu.extract import calibrate_on_shard

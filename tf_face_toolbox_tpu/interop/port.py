@@ -140,3 +140,41 @@ def keras_to_jax(model, variables_template: dict) -> dict:
     if "batch_stats" in variables_template:
         out["batch_stats"] = stats
     return out
+
+
+# ---------------------------------------------------------------------------
+# portable on-disk form for ported variables
+# ---------------------------------------------------------------------------
+
+def flatten_variables(variables: dict) -> dict[str, "np.ndarray"]:
+    """Nested variables tree -> {"collection/a/b/leaf": array} flat dict
+    (the .npz key space used by save/load_variables_npz)."""
+    flat = {}
+    for collection, tree in variables.items():
+        for path in _leaf_paths(_to_mutable(tree)):
+            flat["/".join((collection,) + path)] = np.asarray(
+                _get(tree, list(path)))
+    return flat
+
+
+def unflatten_variables(flat: dict) -> dict:
+    out: dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.asarray(value)
+    return out
+
+
+def save_variables_npz(path: str, variables: dict) -> None:
+    """Write a ported variables tree as a single portable .npz — the
+    hand-off format of cli.import_keras, served directly by
+    cli.extract --variables_npz."""
+    np.savez(path, **flatten_variables(variables))
+
+
+def load_variables_npz(path: str) -> dict:
+    with np.load(path) as data:
+        return unflatten_variables({k: data[k] for k in data.files})
