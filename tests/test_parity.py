@@ -183,3 +183,24 @@ def test_calibration_stats_monotone():
     l2 = jax.tree_util.tree_leaves(v2["quant_stats"])
     assert all(float(b) >= float(a) for a, b in zip(l1, l2))
     assert any(float(b) > float(a) for a, b in zip(l1, l2))
+
+
+def test_int8_static_composes_with_se_and_groups():
+    """The int8 residual carry must compose with SE gating and grouped
+    convs (se_resnext family), not just plain ResNet."""
+    from tf_face_toolbox_tpu.models import calibrate_quant_stats
+
+    name = "se_resnext_50"
+    net32 = create_network(name, embedding_dim=32)
+    variables = init_variables(net32, jax.random.key(0), (1, 32, 32, 3))
+    v_cal = calibrate_quant_stats(
+        name, variables,
+        [jax.random.normal(jax.random.key(9), (4, 32, 32, 3))],
+        embedding_dim=32)
+    net8 = create_network(name, embedding_dim=32, quantized="static")
+    x = jax.random.normal(jax.random.key(8), (4, 32, 32, 3))
+    e32 = _extract(net32, variables, x)
+    e8 = _extract(net8, v_cal, x)
+    c = _cos(e32, e8)
+    assert np.isfinite(np.asarray(e8)).all()
+    assert c.min() >= 0.98, c
