@@ -35,13 +35,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_FACES_PER_SEC = 10_000.0
 
 
-def build_chain(net, e2e: bool = False):
+def build_chain(net, e2e: bool = False, apply_fn=None):
     """e2e=True: input is raw uint8 120x120 and the chain includes the
-    fused Pallas resize+standardize input kernel (the serving path)."""
+    fused Pallas resize+standardize input kernel (the serving path).
+    ``apply_fn``: override the eval forward (the serving engine passes
+    its BN-folded fused-block forward here)."""
     from tf_face_toolbox_tpu.extract import flip_averaged_embeddings
 
-    def apply_fn(v, x):
-        return net.apply(v, x, train=False)
+    if apply_fn is None:
+        def apply_fn(v, x):
+            return net.apply(v, x, train=False)
 
     if e2e:
         from tf_face_toolbox_tpu.ops.pallas_preprocess import (
@@ -173,6 +176,13 @@ def main() -> None:
     p.add_argument("--e2e", action="store_true",
                    help="serving path: uint8 120x120 in, fused Pallas "
                         "resize+standardize included in the measurement")
+    p.add_argument("--impl", default="flax",
+                   choices=["flax", "folded", "fused"],
+                   help="flax = net.apply (XLA); folded = serving engine "
+                        "with BN folded into conv scales/biases, pure "
+                        "XLA; fused = folded + whole residual blocks as "
+                        "single Pallas kernels (one HBM read/write per "
+                        "block run)")
     p.add_argument("--quant", default="none",
                    choices=["none", "dynamic", "static"],
                    help="int8 serving: static = calibrated scales + "
@@ -183,8 +193,10 @@ def main() -> None:
                    help="seconds before falling back to the cached "
                         "last-good result (0 = off)")
     args = p.parse_args()
+    if args.impl != "flax" and args.quant != "none":
+        p.error("--impl folded/fused serves fp; int8 uses --impl flax")
     config_key = (f"{args.network}/{args.stem}/e2e={args.e2e}"
-                  f"/q={args.quant}/b={args.batch}")
+                  f"/q={args.quant}/b={args.batch}/impl={args.impl}")
     if args.watchdog:
         _arm_watchdog(args.watchdog, config_key)
 
@@ -213,8 +225,13 @@ def main() -> None:
         variables)
     print(f"# network={args.network} stem={args.stem} 112x112 "
           f"flip-averaged bf16 weights+compute e2e={args.e2e} "
-          f"quant={args.quant}", file=sys.stderr)
-    chain = build_chain(net, e2e=args.e2e)
+          f"quant={args.quant} impl={args.impl}", file=sys.stderr)
+    apply_fn = None
+    if args.impl != "flax":
+        from tf_face_toolbox_tpu.serving import make_serving_apply
+        apply_fn = make_serving_apply(
+            net, variables, use_pallas=args.impl == "fused")
+    chain = build_chain(net, e2e=args.e2e, apply_fn=apply_fn)
 
     batches = [args.batch] if args.batch else ([128, 256, 512] if on_tpu
                                                else [16])
