@@ -90,6 +90,18 @@ def test_cli_pipeline(tmp_path):
     emb = np.load(emb_path)
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-4)
 
+    # --- extract through the BN-folded serving engine -------------------
+    embf_path = str(tmp_path / "embf.npy")
+    out = _run(["tf_face_toolbox_tpu.cli.extract",
+                f"--checkpoint_dir={train_dir}", f"--data={shard}",
+                f"--output={embf_path}", "--network=resnet_tiny",
+                "--embedding_dim=16", "--image_size=12", "--batch=8",
+                "--nobf16", "--engine=folded"])
+    assert "wrote (24, 16)" in out
+    embf = np.load(embf_path)
+    cosf = (emb * embf).sum(1)
+    assert cosf.min() >= 0.999, cosf  # fold is exact modulo f32 assoc
+
     # --- extract, static-int8 serving mode ------------------------------
     emb8_path = str(tmp_path / "emb8.npy")
     out = _run(["tf_face_toolbox_tpu.cli.extract",

@@ -50,6 +50,12 @@ flags.DEFINE_integer("crop_from", 0,
                      "training pipeline's scale; pass crop_from == "
                      "image_size for whole-image resize semantics)")
 flags.DEFINE_integer("batch", 256, "extraction batch size")
+flags.DEFINE_enum("engine", "flax", ["flax", "folded", "fused"],
+                  "serving engine: flax = net.apply; folded = BN folded "
+                  "into conv scales/biases (serving/, ~4% faster on "
+                  "bandwidth-bound stems, fp only); fused = folded + "
+                  "Pallas fused blocks (experimental; measured slower "
+                  "than XLA on v5e — see docs/design.md)")
 flags.DEFINE_bool("bf16", True, "bfloat16 compute")
 flags.DEFINE_bool("use_ema", False,
                   "extract with the EMA weights (if trained with EMA)")
@@ -163,10 +169,21 @@ def main(argv):
             num_batches=FLAGS.calibrate_batches,
             embedding_dim=FLAGS.embedding_dim, dtype=dtype,
             stem=FLAGS.stem, head_variant=FLAGS.head)
+    extract_fn = None
+    if FLAGS.engine != "flax":
+        if quant:
+            raise SystemExit("--engine folded/fused serves fp; int8 "
+                             "uses --engine flax (models/layers.py)")
+        from tf_face_toolbox_tpu.extract import flip_averaged_embeddings
+        from tf_face_toolbox_tpu.serving import make_serving_apply
+        apply_fn = make_serving_apply(
+            net, variables, use_pallas=FLAGS.engine == "fused")
+        extract_fn = jax.jit(
+            lambda v, x: flip_averaged_embeddings(apply_fn, v, x))
     emb = extract_shard(
         net, variables, source,
         image_size=FLAGS.image_size, crop_from=FLAGS.crop_from,
-        batch=FLAGS.batch,
+        batch=FLAGS.batch, extract_fn=extract_fn,
         progress=lambda done, n: logging.info("extracted %d / %d", done, n))
     save_embeddings(FLAGS.output, emb)
     print(f"wrote {emb.shape} embeddings to {FLAGS.output}")
