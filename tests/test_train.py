@@ -123,6 +123,48 @@ def test_dp_tp_mesh_matches_single_device():
     np.testing.assert_allclose(c24, c1, atol=2e-4)
 
 
+def test_multislice_mesh_matches_single_device():
+    """2-slice hybrid mesh (slice-major data axis over 2x4 virtual
+    slices) trains identically to single-device — the collectives are
+    the same logical pmean; only the device order changes."""
+    from tf_face_toolbox_tpu.parallel.mesh import create_multislice_mesh
+
+    mesh2s = create_multislice_mesh(slices=2)        # 8 devs -> 2x4
+    assert mesh2s.shape == {"data": 8, "model": 1}
+    mesh1 = create_mesh(data=1, devices=jax.devices()[:1])
+    s2s, l2s = _run_steps(mesh2s, 2, seed=7, net=_TinyNoBN())
+    s1, l1 = _run_steps(mesh1, 2, seed=7, net=_TinyNoBN())
+    np.testing.assert_allclose(l2s, l1, rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(s2s.params),
+                    jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4)
+
+
+def test_multislice_mesh_grouping():
+    """Devices listed interleaved across slices come out slice-major on
+    the data axis, and the model axis must stay inside one slice."""
+    from tf_face_toolbox_tpu.parallel.mesh import create_multislice_mesh
+
+    devs = jax.devices()
+    interleaved = [devs[i % 2 * 4 + i // 2] for i in range(8)]
+    ids = [0, 1] * 4
+    mesh = create_multislice_mesh(devices=interleaved, slice_ids=ids)
+    # slice 0 = devs[0:4], slice 1 = devs[4:8], each contiguous
+    flat = list(mesh.devices.flat)
+    assert flat == devs[:8]
+    mesh_tp = create_multislice_mesh(model=2, devices=interleaved,
+                                     slice_ids=ids)
+    # each model pair must be two devices of the SAME slice
+    for row in mesh_tp.devices:
+        slices = {devs.index(d) // 4 for d in row}
+        assert len(slices) == 1, mesh_tp.devices
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not divisible"):
+        create_multislice_mesh(model=8, devices=interleaved,
+                               slice_ids=ids)
+
+
 def test_augment_path_runs():
     cfg = TrainConfig(
         num_classes=12, embedding_dim=16, image_size=12, global_batch=8,

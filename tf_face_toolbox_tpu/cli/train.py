@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from absl import app, flags
+from absl import app, flags, logging
 
 FLAGS = flags.FLAGS
 
@@ -57,6 +57,12 @@ flags.DEFINE_float("margin_value", -1.0,
                    "margin (-1 = variant default)")
 flags.DEFINE_integer("mesh_model", 1,
                      "model-axis size (class-sharded head; Partial-FC)")
+flags.DEFINE_integer("mesh_slices", 0,
+                     "TPU slices (multi-slice pods): 0 = auto-detect "
+                     "from device slice_index. >1 orders the data axis "
+                     "slice-major so gradient all-reduces decompose "
+                     "into ICI within each slice + one DCN exchange "
+                     "across (parallel/mesh.create_multislice_mesh)")
 flags.DEFINE_bool("bf16", True, "bfloat16 compute")
 flags.DEFINE_integer("save_every", 1000, "checkpoint cadence")
 flags.DEFINE_integer("log_every", 100, "metric log cadence")
@@ -198,10 +204,19 @@ def main(argv):
     from tf_face_toolbox_tpu.data.pipeline import (
         FaceShardSource, batch_iterator, device_prefetch,
         native_batch_iterator)
-    from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+    from tf_face_toolbox_tpu.parallel.mesh import (
+        create_mesh, create_multislice_mesh)
     from tf_face_toolbox_tpu.train.loop import train_loop
 
-    mesh = create_mesh(model=FLAGS.mesh_model)
+    n_slices = FLAGS.mesh_slices or len(
+        {getattr(d, "slice_index", None) or 0 for d in jax.devices()})
+    if n_slices > 1:
+        mesh = create_multislice_mesh(model=FLAGS.mesh_model,
+                                      slices=n_slices)
+        logging.info("multi-slice mesh: %d slices, shape %s", n_slices,
+                     dict(mesh.shape))
+    else:
+        mesh = create_mesh(model=FLAGS.mesh_model)
     if FLAGS.data == "synthetic":
         num_classes = FLAGS.num_classes or 100
         cfg = build_config(num_classes)

@@ -47,6 +47,55 @@ def create_mesh(data: int | None = None, model: int = 1,
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def create_multislice_mesh(model: int = 1, slices: int | None = None,
+                           devices: list | None = None,
+                           slice_ids: list[int] | None = None) -> Mesh:
+    """Multi-slice (data, model) mesh with slice-major data ordering.
+
+    Multi-slice pods connect chips WITHIN a slice over ICI and slices
+    over DCN (much lower bandwidth). The trainer's collectives are
+    unchanged — one logical ``pmean`` over `data` — but the device
+    order here puts each slice's chips contiguous along the data axis,
+    which is what lets XLA decompose the all-reduce hierarchically:
+    reduce-scatter/all-gather on ICI inside each slice, one small
+    cross-slice exchange on DCN (SURVEY.md §2d "DCN collectives for
+    multi-slice"). Single-slice it degenerates to :func:`create_mesh`.
+
+    ``slices``/``slice_ids``: explicit slice count / per-device slice
+    assignment — used on backends whose devices don't expose
+    ``slice_index`` (CPU tests) and to validate grouping logic.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if slice_ids is None:
+        slice_ids = [getattr(d, "slice_index", None) or 0 for d in devs]
+    if len(slice_ids) != len(devs):
+        raise ValueError("slice_ids must match devices")
+    by_slice: dict[int, list] = {}
+    for d, s in zip(devs, slice_ids):
+        by_slice.setdefault(s, []).append(d)
+    n_slices = slices or len(by_slice)
+    if len(by_slice) == 1 and n_slices > 1:
+        # virtual testing: split the flat device list into equal groups
+        per = len(devs) // n_slices
+        by_slice = {i: devs[i * per:(i + 1) * per]
+                    for i in range(n_slices)}
+    if len(by_slice) != n_slices:
+        raise ValueError(
+            f"found {len(by_slice)} slices, expected {n_slices}")
+    sizes = {len(v) for v in by_slice.values()}
+    if len(sizes) != 1:
+        raise ValueError(f"uneven slices: {sorted(by_slice)}")
+    per = sizes.pop()
+    if per % model:
+        raise ValueError(
+            f"{per} chips/slice not divisible by model={model}; the "
+            "model axis must stay inside one slice (its all_gather/psum "
+            "run per-sample — keep them on ICI)")
+    ordered = [d for s in sorted(by_slice) for d in by_slice[s]]
+    grid = np.asarray(ordered).reshape(n_slices * (per // model), model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim over `data`; replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS))
