@@ -13,6 +13,7 @@
 //
 // Build: `make` in this directory → libfaceshard.so
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <condition_variable>
@@ -248,6 +249,41 @@ int fs_payload(void* handle) {
 void fs_labels(void* handle, int32_t* out) {
   auto* s = static_cast<Shard*>(handle);
   memcpy(out, s->labels, 4 * s->hdr.count);
+}
+
+// Hint the kernel to page in records `ids[0..n)` (madvise WILLNEED on
+// the mmap'd byte ranges, coalescing adjacent/overlapping pages). The
+// pipeline calls this for batch k+1 while batch k decodes, so cold
+// shards (bigger than page cache, first epoch, network filesystems)
+// overlap their read latency with decode instead of stalling the
+// decode pool on major faults. Returns the number of madvise calls.
+int fs_prefetch(void* handle, const int64_t* ids, int n) {
+  auto* s = static_cast<Shard*>(handle);
+  const long page = sysconf(_SC_PAGESIZE);
+  // Collect per-record page ranges, then merge to minimize syscalls.
+  std::vector<std::pair<uintptr_t, uintptr_t>> ranges;
+  ranges.reserve(n);
+  for (int i = 0; i < n; ++i) {
+    int64_t id = ids[i];
+    if (id < 0 || uint64_t(id) >= s->hdr.count) continue;
+    uintptr_t beg = reinterpret_cast<uintptr_t>(s->data + s->offsets[id]);
+    uintptr_t end =
+        reinterpret_cast<uintptr_t>(s->data + s->offsets[id + 1]);
+    beg -= beg % page;
+    end = (end + page - 1) / page * page;
+    if (end > beg) ranges.emplace_back(beg, end);
+  }
+  std::sort(ranges.begin(), ranges.end());
+  int calls = 0;
+  size_t i = 0;
+  while (i < ranges.size()) {
+    uintptr_t beg = ranges[i].first, end = ranges[i].second;
+    while (++i < ranges.size() && ranges[i].first <= end)
+      end = ranges[i].second > end ? ranges[i].second : end;
+    madvise(reinterpret_cast<void*>(beg), end - beg, MADV_WILLNEED);
+    ++calls;
+  }
+  return calls;
 }
 
 // Decode records `ids[0..n)` into out (uint8[n, out_h, out_w, 3]),

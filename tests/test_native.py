@@ -32,6 +32,25 @@ def test_raw_batch_matches_python(tmp_path):
     r.close()
 
 
+def test_prefetch_hint_and_decode_unchanged(tmp_path):
+    """fs_prefetch is a pure readahead hint: it coalesces ranges into
+    >=1 madvise call and decode output is byte-identical after it."""
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 256, (16, 8, 8, 3), dtype=np.uint8)
+    labels = np.zeros(16, np.int32)
+    path = str(tmp_path / "raw.faceshard")
+    pack_arrays(path, images, labels)
+
+    r = native.NativeShardReader(path, num_threads=2)
+    base = r.decode_batch(list(range(16)), 8, 8)
+    calls = r.prefetch([0, 1, 2, 3, 15])
+    assert calls >= 1
+    assert r.prefetch([-5, 999]) == 0       # out-of-range ids: no-ops
+    after = r.decode_batch(list(range(16)), 8, 8)
+    np.testing.assert_array_equal(base, after)
+    r.close()
+
+
 def test_jpeg_batch_matches_python_decoder(tmp_path):
     from PIL import Image
     blobs, labels = [], []

@@ -47,6 +47,9 @@ def _load_library():
     lib.fs_decode_batch.argtypes = [
         ctypes.c_void_p, np.ctypeslib.ndpointer(np.int64), ctypes.c_int,
         np.ctypeslib.ndpointer(np.uint8), ctypes.c_int, ctypes.c_int]
+    lib.fs_prefetch.restype = ctypes.c_int
+    lib.fs_prefetch.argtypes = [
+        ctypes.c_void_p, np.ctypeslib.ndpointer(np.int64), ctypes.c_int]
     _lib = lib
     return lib
 
@@ -83,6 +86,12 @@ class NativeShardReader:
         if failures:
             raise ValueError(f"{failures} records failed to decode")
         return out
+
+    def prefetch(self, ids: Sequence[int]) -> int:
+        """Readahead hint for an upcoming batch: madvise(WILLNEED) the
+        records' mmap ranges (coalesced). Returns syscalls issued."""
+        ids = np.ascontiguousarray(ids, np.int64)
+        return int(self._lib.fs_prefetch(self._h, ids, len(ids)))
 
     def close(self):
         if self._h:

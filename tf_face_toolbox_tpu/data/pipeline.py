@@ -265,6 +265,13 @@ def native_batch_iterator(source: FaceShardSource, batch_size: int, *,
             order = source.epoch_order(epoch)
             while step < steps_per_epoch:
                 ids = order[step * batch_size:(step + 1) * batch_size]
+                if step + 1 < steps_per_epoch:
+                    # IO lookahead: page in batch k+1's records while
+                    # batch k decodes (madvise WILLNEED — overlaps
+                    # cold-shard read latency with decode).
+                    reader.prefetch(
+                        order[(step + 1) * batch_size:
+                              (step + 2) * batch_size])
                 images = reader.decode_batch(ids, out_h, out_w)
                 labels = reader.labels[ids]
                 yield {"image": images, "label": labels,
