@@ -129,3 +129,19 @@ def test_save_convs_remat_grads_match():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_fake_quant_ste_grid_and_gradient():
+    """STE fake-quant: forward lands exactly on the int8 grid (clipped
+    at ±127·scale), backward is identity."""
+    import jax
+    import jax.numpy as jnp
+    from tf_face_toolbox_tpu.models.layers import fake_quant_ste
+
+    scale = jnp.float32(0.5)
+    x = jnp.asarray([0.2, 0.26, -0.74, 63.6, 100.0, -100.0], jnp.float32)
+    y = fake_quant_ste(x, scale)
+    np.testing.assert_allclose(
+        np.asarray(y), [0.0, 0.5, -0.5, 63.5, 63.5, -63.5])
+    g = jax.grad(lambda v: fake_quant_ste(v, scale).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), np.ones(6))

@@ -73,6 +73,11 @@ flags.DEFINE_float("ema_decay", 0.0,
                    "weight EMA decay (0 = off; reference-era 0.999/0.9999)")
 flags.DEFINE_bool("pallas_input", False,
                   "fused Pallas augmentation kernel (TPU)")
+flags.DEFINE_bool("qat", False,
+                  "quantization-aware training: fake-quantize convs + "
+                  "the inter-block stream onto the int8 grid (STE "
+                  "backward) so the checkpoint serves via "
+                  "--quant_mode=static with minimal embedding drift")
 flags.DEFINE_bool("multihost", False,
                   "call jax.distributed.initialize() (TPU pod slices)")
 flags.DEFINE_string("eval_data", "",
@@ -122,6 +127,7 @@ def build_config(num_classes: int) -> "TrainConfig":
         crop_from=FLAGS.crop_from or FLAGS.image_size + 8,
         ema_decay=FLAGS.ema_decay,
         pallas_input=FLAGS.pallas_input,
+        quantized="qat" if FLAGS.qat else False,
     )
 
 
@@ -194,9 +200,11 @@ def synthetic_batches(cfg, seed: int):
 
 def main(argv):
     del argv
-    if FLAGS.network.startswith("densenet") and FLAGS.stem == "space2depth":
-        raise SystemExit("--stem=space2depth is resnet-family only; "
-                         "densenet supports stem=face|imagenet")
+    if FLAGS.network.startswith("densenet") and (
+            FLAGS.stem == "space2depth" or FLAGS.qat):
+        raise SystemExit("--stem=space2depth / --qat are resnet-family "
+                         "options; densenet supports stem=face|imagenet, "
+                         "fp training")
     from tf_face_toolbox_tpu.cli import setup_platform
     setup_platform()
     if FLAGS.multihost:

@@ -106,13 +106,25 @@ def int8_conv_prequant(xq: jax.Array, xs: jax.Array, kernel: jax.Array,
     return (y * scale).astype(jnp.float32)
 
 
+def fake_quant_ste(x: jax.Array, scale: jax.Array) -> jax.Array:
+    """Symmetric int8 fake-quantization with a straight-through gradient.
+
+    Forward: round(clip(x/scale)) * scale — the exact value grid the
+    int8 serving path (int8_conv) produces. Backward: identity (the
+    classic STE), so training sees the quantization error as forward
+    noise and learns weights that sit well on the int8 grid.
+    """
+    q = jnp.clip(jnp.round(x / scale), -127, 127) * scale
+    return x + jax.lax.stop_gradient(q - x)
+
+
 class ConvBN(nn.Module):
     """Conv → BatchNorm, optionally → ReLU, shaped for XLA fusion.
 
     Equivalent of the reference's conv+BN pairs inside every backbone
     block (ref: upstream nets/resnet.py [UPSTREAM-K]).
 
-    ``quantized`` (eval-mode only; training always uses ``dtype``):
+    ``quantized`` (training always runs ``dtype`` except "qat"):
       - ``False``: full-precision convs.
       - ``True`` / ``"dynamic"``: W8A8 with per-sample dynamic
         activation scales (no calibration; extra max pass per layer).
@@ -122,6 +134,12 @@ class ConvBN(nn.Module):
       - ``"static"``: W8A8 with the frozen per-tensor scales from a
         prior calibration pass — the quantize is one fusable
         elementwise op, so the int8 bandwidth/MXU win is kept intact.
+      - ``"qat"``: quantization-aware TRAINING — the train forward
+        fake-quantizes the conv input (per-tensor dynamic scale) and
+        kernel (per-output-channel) onto the int8 grid with
+        straight-through gradients, mimicking the "static" serving
+        math; eval mode is full precision (serve the result via
+        calibrate → static as usual).
     """
 
     features: int
@@ -148,6 +166,21 @@ class ConvBN(nn.Module):
             (*self.kernel_size, in_features // self.groups,
              self.features), jnp.float32)
         mode = ("dynamic" if self.quantized is True else self.quantized)
+        if mode == "qat":
+            if train:
+                # QAT in f32 (quantization error << bf16 resolution),
+                # cast to the compute dtype only for the conv itself.
+                xf = x.astype(jnp.float32)
+                xs = jnp.maximum(
+                    jnp.max(jnp.abs(jax.lax.stop_gradient(xf))) / 127.0,
+                    1e-12)
+                x = fake_quant_ste(xf, xs)
+                ks = jnp.maximum(
+                    jnp.max(jnp.abs(jax.lax.stop_gradient(kernel)),
+                            axis=(0, 1, 2), keepdims=True) / 127.0,
+                    1e-12)
+                kernel = fake_quant_ste(kernel, ks)
+            mode = False  # fall through to the fp conv below
         if mode == "calibrate" and not train:
             stat = self.variable("quant_stats", "act_max",
                                  lambda: jnp.zeros((), jnp.float32))

@@ -158,6 +158,10 @@ class ResNet(nn.Module):
         # bf16 copy of every 56²/28²/14² activation vanishes from HBM.
         carry_int8 = self.quantized == "static" and not train
         record_carry = self.quantized == "calibrate" and not train
+        # QAT: fake-quantize the inter-block stream too, mirroring the
+        # static-int8 residual carry the model will serve with (the
+        # skip path reads the dequantized s8 buffer at serving time).
+        qat_carry = self.quantized == "qat" and train
         block_counter = 0
         for stage_idx, num_blocks in enumerate(self.stage_sizes):
             features = self.width_per_group * self.groups * (2 ** stage_idx)
@@ -187,6 +191,15 @@ class ResNet(nn.Module):
                         stat.value,
                         jnp.max(jnp.abs(x.astype(jnp.float32))))
                     x = block(x, train)
+                elif qat_carry:
+                    from tf_face_toolbox_tpu.models.layers import (
+                        fake_quant_ste)
+                    xf = x.astype(jnp.float32)
+                    xs = jnp.maximum(
+                        jnp.max(jnp.abs(jax.lax.stop_gradient(xf)))
+                        / 127.0, 1e-12)
+                    x = block(fake_quant_ste(xf, xs).astype(self.dtype),
+                              train)
                 elif carry_int8:
                     key = f"block_{block_counter}_in_max"
                     if not self.has_variable("quant_stats", key):

@@ -174,11 +174,6 @@ def pick_images_per_step(n: int, hw: int, cin: int, c: int, b: int,
     return 0  # not even one image fits: caller falls back to XLA
 
 
-def fits_vmem(hw: int, cin: int, c: int, b: int, k: int,
-              itemsize: int = 2) -> bool:
-    return _vmem_bytes(1, hw, cin, c, b, k, itemsize) <= _VMEM_BUDGET
-
-
 @functools.partial(
     jax.jit, static_argnames=("h", "w", "images_per_step", "interpret"))
 def fused_bottleneck_stack(x: jax.Array, entry, tail, *, h: int, w: int,

@@ -77,6 +77,10 @@ class TrainConfig:
     # Route augmentation through the fused Pallas input kernel (TPU;
     # the XLA chain is the fallback and the CPU-test path).
     pallas_input: bool = False
+    # "qat": quantization-aware training — train forward fake-quantizes
+    # convs + the inter-block stream onto the int8 grid (STE backward)
+    # so static-int8 serving matches fp embeddings (models/layers.py).
+    quantized: Any = False
 
     @property
     def margin(self) -> MarginConfig:
@@ -117,6 +121,8 @@ def create_train_state(cfg: TrainConfig, rng: jax.Array,
         if cfg.network.startswith(("resnet", "se_resnet", "resnext",
                                    "se_resnext", "densenet")):
             kwargs = dict(stem=cfg.stem, head_variant=cfg.head_variant)
+        if cfg.quantized:
+            kwargs["quantized"] = cfg.quantized
         net = create_network(cfg.network, embedding_dim=cfg.embedding_dim,
                              dtype=cfg.dtype, **kwargs)
     k_init, k_cls, k_step = jax.random.split(rng, 3)
