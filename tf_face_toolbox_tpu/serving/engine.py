@@ -26,7 +26,7 @@ hierarchy (SURVEY.md §2b "fused kernels" row).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Sequence
 
 import jax
@@ -86,8 +86,6 @@ class ServingPlan:
     head_dense: tuple[jax.Array, jax.Array]       # folded (W, b)
     head_prebn: tuple[jax.Array, jax.Array] | None  # flatten variant
     compute_dtype: Any = jnp.bfloat16
-    # per-stage fused operands, built lazily by make_serving_apply
-    fused: tuple = field(default=(), compare=False)
 
 
 def _fold_block(params: Any, stats: Any, *, strides, dtype) -> BlockPlan:

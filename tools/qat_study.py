@@ -73,10 +73,10 @@ def _templates_dev():
 
 
 @jax.jit
-def make_batch(key):
+def make_batch(templates, key):
     kl, kn = jax.random.split(key)
     labels = jax.random.randint(kl, (B,), 0, NUM_IDS)
-    imgs = (_templates_dev()[labels]
+    imgs = (templates[labels]
             + 2.5 * jax.random.normal(kn, (B, SIZE, SIZE, 3)))
     return imgs, labels.astype(jnp.int32)
 
@@ -92,8 +92,9 @@ def train(quantized, steps):
     state, net = create_train_state(cfg, jax.random.key(0), mesh)
     step_fn = make_train_step(net, cfg, mesh, state)
     t0 = time.time()
+    tpl = _templates_dev()
     for step in range(steps):
-        imgs, labels = make_batch(jax.random.key(1000 + step))
+        imgs, labels = make_batch(tpl, jax.random.key(1000 + step))
         state, m = step_fn(state, imgs, labels)
         if step == 0 or (step + 1) % 100 == 0:
             print(f"  [{quantized or 'fp'}] step {step+1} "
