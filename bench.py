@@ -220,9 +220,14 @@ def main() -> None:
             dtype=jnp.bfloat16, stem=args.stem)
     # Serving config: weights stored bf16 (halves weight HBM traffic;
     # embeddings stay f32 — parity gate covered by tests/test_parity.py).
-    variables = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        variables)
+    # quant_stats stay f32: the static-int8 grid must use the exact
+    # calibrated scales the parity tests gate (cli/extract.py keeps
+    # them f32 too).
+    variables = {
+        col: tree if col == "quant_stats" else jax.tree.map(
+            lambda x: (x.astype(jnp.bfloat16)
+                       if x.dtype == jnp.float32 else x), tree)
+        for col, tree in variables.items()}
     print(f"# network={args.network} stem={args.stem} 112x112 "
           f"flip-averaged bf16 weights+compute e2e={args.e2e} "
           f"quant={args.quant} impl={args.impl}", file=sys.stderr)

@@ -34,6 +34,28 @@ def test_official_format_detected(tmp_path):
     assert not _is_official_lfw(str(q))
 
 
+def test_commented_index_file_not_misdetected(tmp_path):
+    """A 3/4-token comment or annotation line must not flip an
+    index-format file into the official-LFW branch (regression: the
+    detector used to fire on ANY non-numeric first token while
+    load_pairs skipped the same line)."""
+    q = tmp_path / "idx.txt"
+    q.write_text("# idx1 idx2 label\n0 1 1\nnote: holdout fold\n2 3 0\n")
+    assert not _is_official_lfw(str(q))
+    i1, i2, lab = load_pairs(str(q))
+    np.testing.assert_array_equal(i1, [0, 2])
+    np.testing.assert_array_equal(lab, [1, 0])
+
+
+def test_official_loader_skips_comment_lines(tmp_path):
+    p = tmp_path / "pairs.txt"
+    p.write_text("# name n1 n2\n" + OFFICIAL)
+    n = tmp_path / "list.txt"
+    n.write_text(NAMES)
+    i1, i2, lab = load_lfw_pairs(str(p), str(n))
+    np.testing.assert_array_equal(lab, [1, 1, 0, 0])
+
+
 def test_official_pairs_resolve_to_rows(tmp_path):
     p = tmp_path / "pairs.txt"
     p.write_text(OFFICIAL)

@@ -156,29 +156,27 @@ def test_truncated_tail_raises(tmp_path):
 
 
 def test_pure_python_crc_matches_c_extension():
-    """The table fallback must agree with google_crc32c (and hence with
-    the TF writer whose records the other tests verify end-to-end)."""
+    """The module's OWN except-ImportError fallback must agree with
+    google_crc32c (and hence with the TF writer whose records the other
+    tests verify end-to-end). google_crc32c IS installed on this image,
+    so the fallback branch is exercised by reloading the module with the
+    import forced to fail — testing the real code, not a local copy."""
     import importlib
+    import sys
+
     import tf_face_toolbox_tpu.data.tfrecord as tfr
-
-    pure = None
-    # reconstruct the fallback table exactly as the module would
-    table = []
-    for i in range(256):
-        c = i
-        for _ in range(8):
-            c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
-        table.append(c)
-
-    def pure(data):
-        crc = 0xFFFFFFFF
-        for b in data:
-            crc = (crc >> 8) ^ table[(crc ^ b) & 0xFF]
-        return crc ^ 0xFFFFFFFF
-
     from google_crc32c import value as c_ext
-    for blob in [b"", b"a", b"123456789", b"\x00" * 32,
-                 bytes(range(256)) * 3]:
-        assert pure(blob) == c_ext(blob)
-    # known-answer vector: CRC32C("123456789") = 0xE3069283
-    assert pure(b"123456789") == 0xE3069283
+
+    sys.modules["google_crc32c"] = None  # makes the import raise
+    try:
+        importlib.reload(tfr)
+        assert tfr._CRC32C_TABLE, "fallback branch did not run"
+        pure = tfr._crc32c
+        for blob in [b"", b"a", b"123456789", b"\x00" * 32,
+                     bytes(range(256)) * 3]:
+            assert pure(blob) == c_ext(blob)
+        # known-answer vector: CRC32C("123456789") = 0xE3069283
+        assert pure(b"123456789") == 0xE3069283
+    finally:
+        del sys.modules["google_crc32c"]
+        importlib.reload(tfr)  # restore the C-extension path

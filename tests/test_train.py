@@ -213,6 +213,9 @@ def test_multislice_mesh_grouping():
     with _pytest.raises(ValueError, match="not divisible"):
         create_multislice_mesh(model=8, devices=interleaved,
                                slice_ids=ids)
+    # virtual split must not silently drop devices (8 % 3 != 0)
+    with _pytest.raises(ValueError, match="not divisible"):
+        create_multislice_mesh(slices=3)
 
 
 def test_augment_path_runs():

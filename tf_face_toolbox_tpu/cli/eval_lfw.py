@@ -46,8 +46,8 @@ def load_pairs(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     with open(path) as f:
         for line in f:
             parts = line.split()
-            if len(parts) != 3:
-                continue
+            if len(parts) != 3 or not all(map(_isint, parts)):
+                continue  # comment / annotation / header line
             i1.append(int(parts[0]))
             i2.append(int(parts[1]))
             lab.append(int(parts[2]))
@@ -74,15 +74,27 @@ def _name_index(names_path: str) -> dict[tuple[str, int], int]:
     return index
 
 
+def _isint(tok: str) -> bool:
+    return tok.lstrip("-").isdigit()
+
+
 def _is_official_lfw(path: str) -> bool:
-    """Official format detector: any data line whose first field is
-    non-numeric (a person name)."""
+    """Official format detector. The first line that parses as either
+    format decides; lines that parse as neither (comments, annotations,
+    headers) are ignored — mirroring ``load_pairs``, which skips
+    non-pair lines, so a ``# idx1 idx2 label`` comment can't flip an
+    index-format file into the official branch."""
     with open(path) as f:
         for line in f:
             parts = line.split()
-            if len(parts) in (3, 4) and parts and not (
-                    parts[0].lstrip("-").isdigit()):
-                return True
+            if len(parts) == 3 and all(map(_isint, parts)):
+                return False  # index-format data line
+            if ((len(parts) == 3 and not _isint(parts[0])
+                 and _isint(parts[1]) and _isint(parts[2]))
+                    or (len(parts) == 4 and not _isint(parts[0])
+                        and _isint(parts[1]) and not _isint(parts[2])
+                        and _isint(parts[3]))):
+                return True  # official matched/mismatched data line
     return False
 
 
@@ -107,15 +119,18 @@ def load_lfw_pairs(path: str, names_path: str):
     with open(path) as f:
         for line in f:
             parts = line.split()
-            if len(parts) == 3 and not parts[0].lstrip("-").isdigit():
+            if (len(parts) == 3 and not _isint(parts[0])
+                    and _isint(parts[1]) and _isint(parts[2])):
                 i1.append(lookup(parts[0], parts[1]))
                 i2.append(lookup(parts[0], parts[2]))
                 lab.append(1)
-            elif len(parts) == 4:
+            elif (len(parts) == 4 and not _isint(parts[0])
+                    and _isint(parts[1]) and not _isint(parts[2])
+                    and _isint(parts[3])):
                 i1.append(lookup(parts[0], parts[1]))
                 i2.append(lookup(parts[2], parts[3]))
                 lab.append(0)
-            # header / blank lines fall through
+            # header / comment / blank lines fall through
     return np.asarray(i1), np.asarray(i2), np.asarray(lab)
 
 

@@ -76,6 +76,10 @@ def create_multislice_mesh(model: int = 1, slices: int | None = None,
     n_slices = slices or len(by_slice)
     if len(by_slice) == 1 and n_slices > 1:
         # virtual testing: split the flat device list into equal groups
+        if len(devs) % n_slices:
+            raise ValueError(
+                f"{len(devs)} devices not divisible into "
+                f"{n_slices} slices")
         per = len(devs) // n_slices
         by_slice = {i: devs[i * per:(i + 1) * per]
                     for i in range(n_slices)}

@@ -236,7 +236,7 @@ def _plan_stage_fusion(blocks: Sequence[BlockPlan]) -> tuple:
     return start if entry is None else 0, entry, tail
 
 
-def make_serving_apply(net, variables: Any, *, use_pallas: bool = True,
+def make_serving_apply(net, variables: Any, *, use_pallas: bool = False,
                        interpret: bool = False) -> Callable:
     """Build ``apply(variables_ignored, images) -> (N, D) f32 embeddings``.
 
@@ -245,8 +245,12 @@ def make_serving_apply(net, variables: Any, *, use_pallas: bool = True,
     first argument is accepted and ignored) so extract.py's
     ``flip_averaged_embeddings`` and the CLIs can swap it in directly.
 
-    ``use_pallas=False`` gives the folded pure-XLA engine (used to
-    separate the BN-fold win from the fusion win in benchmarks).
+    The default (``use_pallas=False``) is the folded pure-XLA engine —
+    the fastest measured path on v5e. ``use_pallas=True`` additionally
+    fuses stride-1 block runs into single Pallas kernels; measured
+    slower than XLA here (docs/design.md "fused-block" paragraph), kept
+    as an option and to separate the BN-fold win from the fusion win in
+    benchmarks.
     """
     plan = build_plan(net, variables)
     cdtype = plan.compute_dtype
