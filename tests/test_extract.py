@@ -116,3 +116,57 @@ def test_mesh_sharded_extraction_matches_single():
     sharded = make_extract_fn(net, donate=False, mesh=mesh)(variables, x)
     np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
                                atol=2e-5)
+
+
+def test_embedding_file_formats_roundtrip(tmp_path):
+    """save/load_embeddings route by extension: npy/npz/mat/bin — the
+    reference-era feature-dump formats (SURVEY.md §3.2 '.npy/.mat/
+    binary'). .mat must be MATLAB-v5 readable (scipy oracle)."""
+    from tf_face_toolbox_tpu.train.checkpoint import (
+        load_embeddings,
+        save_embeddings,
+    )
+
+    emb = np.random.default_rng(0).normal(size=(5, 8)).astype(np.float32)
+    names = [f"img_{i}.jpg" for i in range(5)]
+
+    p = tmp_path / "e.npy"
+    save_embeddings(str(p), emb)
+    out, n = load_embeddings(str(p))
+    np.testing.assert_array_equal(out, emb)
+    assert n is None
+
+    p = tmp_path / "e.npz"
+    save_embeddings(str(p), emb, names=names)
+    out, n = load_embeddings(str(p))
+    np.testing.assert_array_equal(out, emb)
+    assert list(n) == names
+
+    p = tmp_path / "e.mat"
+    save_embeddings(str(p), emb, names=names)
+    out, n = load_embeddings(str(p))
+    np.testing.assert_allclose(out, emb)
+    assert list(n) == names
+    from scipy.io import loadmat
+    assert "embeddings" in loadmat(str(p))  # plain-MATLAB readable
+
+    p = tmp_path / "e.bin"
+    save_embeddings(str(p), emb)
+    out, n = load_embeddings(str(p))
+    np.testing.assert_array_equal(out, emb)
+    assert n is None
+    # header sanity: magic + shape survive a fresh reader
+    raw = p.read_bytes()
+    assert raw[:4] == b"TFFB"
+    assert np.frombuffer(raw[4:12], "<i4").tolist() == [5, 8]
+
+    import pytest
+
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(b"XXXX" + raw[4:])
+    with pytest.raises(ValueError, match="magic"):
+        load_embeddings(str(bad))
+    trunc = tmp_path / "trunc.bin"
+    trunc.write_bytes(raw[:-16])
+    with pytest.raises(ValueError, match="truncated"):
+        load_embeddings(str(trunc))

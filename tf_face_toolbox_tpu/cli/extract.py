@@ -25,7 +25,9 @@ flags.DEFINE_string("variables_npz", "",
                     "(cli.import_keras output) instead of a train "
                     "checkpoint")
 flags.DEFINE_string("data", None, "FaceShard of eval faces")
-flags.DEFINE_string("output", None, "output .npy path")
+flags.DEFINE_string("output", None,
+                    "output path; format by extension: .npy (default), "
+                    ".mat (MATLAB v5), .bin (TFFB raw f32)")
 flags.DEFINE_string("network", "resnet_v1_50", "backbone name")
 flags.DEFINE_enum("stem", "face", ["face", "imagenet", "space2depth"],
                   "backbone stem (must match the trained checkpoint)")

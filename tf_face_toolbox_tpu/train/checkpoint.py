@@ -97,22 +97,66 @@ class CheckpointManager:
         self._mgr.close()
 
 
+_EMB_BIN_MAGIC = b"TFFB"
+
+
 def save_embeddings(path: str, embeddings, names=None) -> None:
-    """Write extracted features to disk (.npy / .npz with names).
+    """Write extracted features to disk; format routed by extension.
 
     Rebuild of the reference's feature dump (ref: upstream features.py
-    output [UPSTREAM-K] — .npy/.mat era formats; we standardize on npy).
+    output [UPSTREAM-K] — the era wrote .npy/.mat/binary for offline
+    MATLAB/numpy verification):
+
+    - ``.npy`` (default) / ``.npz`` (when ``names`` is given)
+    - ``.mat`` — MATLAB v5 via scipy.io, variables ``embeddings``
+      (+ ``names``): drop-in for MATLAB-side LFW/megaface scripts
+    - ``.bin`` — little-endian raw: 4-byte magic ``TFFB``, int32 n,
+      int32 d, then n*d float32 row-major (names not stored)
     """
     import numpy as np
     embeddings = np.asarray(embeddings)
-    if names is None:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".mat":
+        from scipy.io import savemat
+        data = {"embeddings": embeddings}
+        if names is not None:
+            data["names"] = np.asarray(names)
+        savemat(path, data)
+    elif ext == ".bin":
+        n, d = embeddings.shape
+        with open(path, "wb") as f:
+            f.write(_EMB_BIN_MAGIC)
+            f.write(np.asarray([n, d], "<i4").tobytes())
+            f.write(np.ascontiguousarray(embeddings, "<f4").tobytes())
+    elif names is None:
         np.save(path, embeddings)
     else:
         np.savez(path, embeddings=embeddings, names=np.asarray(names))
 
 
 def load_embeddings(path: str):
+    """Inverse of :func:`save_embeddings` → (embeddings, names|None)."""
     import numpy as np
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".mat":
+        from scipy.io import loadmat
+        data = loadmat(path)
+        names = data.get("names")
+        if names is not None:
+            names = np.asarray([str(s).strip() for s in names.ravel()])
+        return np.asarray(data["embeddings"]), names
+    if ext == ".bin":
+        with open(path, "rb") as f:
+            magic = f.read(4)
+            if magic != _EMB_BIN_MAGIC:
+                raise ValueError(
+                    f"{path}: not a TFFB embedding file (magic {magic!r})")
+            n, d = np.frombuffer(f.read(8), "<i4")
+            emb = np.frombuffer(f.read(int(n) * int(d) * 4), "<f4")
+            if emb.size != n * d:
+                raise ValueError(f"{path}: truncated ({emb.size} of "
+                                 f"{n * d} values)")
+        return emb.reshape(int(n), int(d)).copy(), None
     data = np.load(path, allow_pickle=False)
     if hasattr(data, "files"):
         return data["embeddings"], data["names"]
