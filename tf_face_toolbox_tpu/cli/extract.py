@@ -52,8 +52,9 @@ flags.DEFINE_integer("crop_from", 0,
                      "training pipeline's scale; pass crop_from == "
                      "image_size for whole-image resize semantics)")
 flags.DEFINE_integer("batch", 256, "extraction batch size")
-flags.DEFINE_enum("engine", "flax", ["flax", "folded", "fused"],
-                  "serving engine: flax = net.apply; folded = BN folded "
+flags.DEFINE_enum("engine", "auto", ["auto", "flax", "folded", "fused"],
+                  "serving engine: auto = folded when serving fp, flax "
+                  "for int8 modes; flax = net.apply; folded = BN folded "
                   "into conv scales/biases (serving/, ~4% faster on "
                   "bandwidth-bound stems, fp only); fused = folded + "
                   "Pallas fused blocks (experimental; measured slower "
@@ -172,16 +173,29 @@ def main(argv):
             embedding_dim=FLAGS.embedding_dim, dtype=dtype,
             stem=FLAGS.stem, head_variant=FLAGS.head)
     extract_fn = None
-    if FLAGS.engine != "flax":
+    engine = FLAGS.engine
+    if engine == "auto":
+        engine = "flax" if quant else "folded"
+    if engine != "flax":
         if quant:
             raise SystemExit("--engine folded/fused serves fp; int8 "
                              "uses --engine flax (models/layers.py)")
         from tf_face_toolbox_tpu.extract import flip_averaged_embeddings
         from tf_face_toolbox_tpu.serving import make_serving_apply
-        apply_fn = make_serving_apply(
-            net, variables, use_pallas=FLAGS.engine == "fused")
-        extract_fn = jax.jit(
-            lambda v, x: flip_averaged_embeddings(apply_fn, v, x))
+        try:
+            apply_fn = make_serving_apply(
+                net, variables, use_pallas=engine == "fused")
+        except ValueError as e:
+            if FLAGS.engine != "auto":
+                raise SystemExit(f"--engine {engine}: {e}") from e
+            # auto: networks outside the engine's scope (grouped convs,
+            # DenseNet topology) serve through net.apply
+            logging.info("serving engine not applicable (%s); "
+                         "using net.apply", e)
+            apply_fn = None
+        if apply_fn is not None:
+            extract_fn = jax.jit(
+                lambda v, x: flip_averaged_embeddings(apply_fn, v, x))
     emb = extract_shard(
         net, variables, source,
         image_size=FLAGS.image_size, crop_from=FLAGS.crop_from,
