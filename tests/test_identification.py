@@ -1,0 +1,107 @@
+"""CMC identification eval (ops/verification.cmc_curve + CLI)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+from tf_face_toolbox_tpu.ops.verification import (
+    cmc_curve,
+    identification_rank_k,
+)
+
+
+def _reference_cmc(gallery, glabels, probe, plabels, ks):
+    """Naive argsort oracle (what cmc_curve avoids doing on host)."""
+    g = gallery / np.linalg.norm(gallery, axis=1, keepdims=True)
+    p = probe / np.linalg.norm(probe, axis=1, keepdims=True)
+    sims = p @ g.T
+    ranks = []
+    for i in range(len(p)):
+        if plabels[i] not in glabels:
+            continue
+        order = np.argsort(-sims[i], kind="stable")
+        hit = np.nonzero(glabels[order] == plabels[i])[0][0]
+        ranks.append(hit + 1)
+    ranks = np.asarray(ranks)
+    return {k: float((ranks <= k).mean()) for k in ks}
+
+
+def test_cmc_matches_argsort_oracle():
+    rng = np.random.default_rng(0)
+    gallery = rng.normal(size=(40, 16)).astype(np.float32)
+    glabels = rng.integers(0, 12, 40)
+    probe = rng.normal(size=(25, 16)).astype(np.float32)
+    plabels = rng.integers(0, 15, 25)  # some identities not in gallery
+    # make a few probes near their gallery identity so rank-1 is nonzero
+    for i in range(8):
+        j = rng.integers(0, 40)
+        probe[i] = gallery[j] + 0.01 * rng.normal(size=16)
+        plabels[i] = glabels[j]
+    ks = (1, 3, 5, 40)
+    report = cmc_curve(gallery, glabels, probe, plabels, ranks=ks,
+                       batch=7)  # batch < P exercises streaming
+    want = _reference_cmc(gallery, glabels, probe, plabels, ks)
+    for k in ks:
+        assert abs(report["cmc"][k] - want[k]) < 1e-6, k
+    assert report["cmc"][40] == 1.0  # closed set: everyone ranks
+    assert report["skipped"] == int(
+        (~np.isin(plabels, glabels)).sum())
+    assert report["probes"] + report["skipped"] == len(probe)
+    # rank-1 agrees with the existing top-k hit-rate helper on the
+    # rankable subset
+    m = np.isin(plabels, glabels)
+    r1 = identification_rank_k(gallery, glabels, probe[m], plabels[m], k=1)
+    assert abs(report["cmc"][1] - r1) < 1e-6
+
+
+def test_cmc_all_probes_absent():
+    gallery = np.eye(4, dtype=np.float32)
+    report = cmc_curve(gallery, np.arange(4), gallery, np.arange(4) + 10)
+    assert report["probes"] == 0 and report["skipped"] == 4
+    assert np.isnan(report["cmc"][1])
+
+
+def test_cli_eval_identification(tmp_path):
+    rng = np.random.default_rng(1)
+    ids = np.arange(6)
+    proto = rng.normal(size=(6, 8)).astype(np.float32)
+    gallery = proto + 0.01 * rng.normal(size=(6, 8)).astype(np.float32)
+    probe = proto + 0.01 * rng.normal(size=(6, 8)).astype(np.float32)
+    np.save(tmp_path / "gal.npy", gallery)
+    np.save(tmp_path / "probe.npy", probe)
+    for name, labs in (("gal_list.txt", ids), ("probe_list.txt", ids)):
+        (tmp_path / name).write_text(
+            "".join(f"img_{i}.jpg {l}\n" for i, l in enumerate(labs)))
+    r = subprocess.run(
+        [sys.executable, "-m",
+         "tf_face_toolbox_tpu.cli.eval_identification",
+         f"--gallery={tmp_path}/gal.npy",
+         f"--gallery_list={tmp_path}/gal_list.txt",
+         f"--probe={tmp_path}/probe.npy",
+         f"--probe_list={tmp_path}/probe_list.txt",
+         "--ranks=1,2"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(r.stdout)
+    assert report["cmc"]["1"] == 1.0  # distinct prototypes: all hit
+    assert report["probes"] == 6 and report["skipped"] == 0
+
+
+def test_cli_length_mismatch_exits(tmp_path):
+    np.save(tmp_path / "gal.npy", np.eye(3, dtype=np.float32))
+    np.save(tmp_path / "probe.npy", np.eye(3, dtype=np.float32))
+    (tmp_path / "gal_list.txt").write_text("a.jpg 0\nb.jpg 1\n")  # 2 != 3
+    (tmp_path / "probe_list.txt").write_text(
+        "a.jpg 0\nb.jpg 1\nc.jpg 2\n")
+    r = subprocess.run(
+        [sys.executable, "-m",
+         "tf_face_toolbox_tpu.cli.eval_identification",
+         f"--gallery={tmp_path}/gal.npy",
+         f"--gallery_list={tmp_path}/gal_list.txt",
+         f"--probe={tmp_path}/probe.npy",
+         f"--probe_list={tmp_path}/probe_list.txt"],
+        capture_output=True, text=True)
+    assert r.returncode != 0
+    assert "embeddings vs" in r.stderr

@@ -1,0 +1,80 @@
+"""Closed-set identification (1:N) evaluation — CMC curve.
+
+Completes the L7 eval layer next to pair verification (SURVEY.md §3.3):
+gallery + probe embedding files → rank-k hit rates, megaface-style.
+The similarity matrix runs on-device in probe batches (one MXU matmul
+per batch; ranks via count-above-best-correct, no host argsort), so
+large distractor galleries stream through.
+
+    python -m tf_face_toolbox_tpu.cli.eval_identification \
+        --gallery=gal.npy --gallery_list=gal_list.txt \
+        --probe=probe.npy --probe_list=probe_list.txt --ranks=1,5,10
+
+Embeddings come from ``cli.extract`` (any of .npy/.npz/.mat/.bin);
+labels come from the SAME pack list files the extraction consumed
+(``image_path label`` per line, row order = embedding order).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+from absl import app, flags
+
+FLAGS = flags.FLAGS
+
+flags.DEFINE_string("gallery", None, "gallery embeddings file")
+flags.DEFINE_string("probe", None, "probe embeddings file")
+flags.DEFINE_string("gallery_list", None,
+                    "pack list file with gallery labels")
+flags.DEFINE_string("probe_list", None, "pack list file with probe labels")
+flags.DEFINE_list("ranks", ["1", "5", "10"], "CMC ranks to report")
+flags.DEFINE_integer("probe_batch", 4096,
+                     "probes per device matmul batch")
+flags.mark_flag_as_required("gallery")
+flags.mark_flag_as_required("probe")
+flags.mark_flag_as_required("gallery_list")
+flags.mark_flag_as_required("probe_list")
+
+
+def load_labels(path: str) -> np.ndarray:
+    """Labels from a pack list file (``image_path label`` per line)."""
+    labels = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                labels.append(int(parts[1]))
+            elif parts:
+                raise ValueError(
+                    f"{path}: line {len(labels) + 1} has no label: "
+                    f"{line.strip()!r}")
+    return np.asarray(labels)
+
+
+def main(argv):
+    del argv
+    from tf_face_toolbox_tpu.cli import setup_platform
+    setup_platform()
+    from tf_face_toolbox_tpu.ops.verification import cmc_curve
+    from tf_face_toolbox_tpu.train.checkpoint import load_embeddings
+
+    gallery, _ = load_embeddings(FLAGS.gallery)
+    probe, _ = load_embeddings(FLAGS.probe)
+    glabels = load_labels(FLAGS.gallery_list)
+    plabels = load_labels(FLAGS.probe_list)
+    for name, emb, lab in (("gallery", gallery, glabels),
+                           ("probe", probe, plabels)):
+        if len(emb) != len(lab):
+            raise SystemExit(
+                f"{name}: {len(emb)} embeddings vs {len(lab)} labels — "
+                "list file must be the one the extraction consumed")
+    report = cmc_curve(gallery, glabels, probe, plabels,
+                       ranks=[int(k) for k in FLAGS.ranks],
+                       batch=FLAGS.probe_batch)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    app.run(main)

@@ -117,3 +117,49 @@ def identification_rank_k(gallery: np.ndarray, gallery_labels: np.ndarray,
     hits = (np.asarray(gallery_labels)[order] ==
             np.asarray(probe_labels)[:, None]).any(axis=1)
     return float(hits.mean())
+
+
+def cmc_curve(gallery: np.ndarray, gallery_labels: np.ndarray,
+              probe: np.ndarray, probe_labels: np.ndarray,
+              *, ranks=(1, 5, 10), batch: int = 4096) -> dict:
+    """Closed-set CMC: hit rate at each rank, megaface-style.
+
+    Rank of a probe = 1 + number of WRONG-identity gallery entries
+    scoring above its best correct match — computed as two device
+    reductions over the similarity matrix (no host argsort over G),
+    so million-entry distractor galleries stream through in probe
+    batches of ``batch`` rows.
+
+    Probes whose identity is absent from the gallery cannot be ranked
+    in a closed-set protocol; they are excluded and counted in the
+    returned ``skipped``.
+    """
+    gallery_labels = np.asarray(gallery_labels)
+    probe_labels = np.asarray(probe_labels)
+    g = jnp.asarray(gallery, jnp.float32)
+    gl = jnp.asarray(gallery_labels)
+    rankable = np.isin(probe_labels, gallery_labels)
+    skipped = int((~rankable).sum())
+    probe = np.asarray(probe)[rankable]
+    probe_labels = probe_labels[rankable]
+
+    @jax.jit
+    def probe_ranks(p, pl):
+        sims = similarity_matrix(g, p).T            # (B, G)
+        same = gl[None, :] == pl[:, None]
+        best_correct = jnp.max(jnp.where(same, sims, -jnp.inf), axis=1)
+        above = jnp.sum((sims > best_correct[:, None]) & ~same, axis=1)
+        return 1 + above
+
+    all_ranks = [np.asarray(probe_ranks(jnp.asarray(probe[i:i + batch]),
+                                        jnp.asarray(probe_labels[i:i + batch])))
+                 for i in range(0, len(probe), batch)]
+    r = np.concatenate(all_ranks) if all_ranks else np.empty((0,), np.int64)
+    return {
+        "probes": int(len(r)),
+        "gallery": int(len(gallery_labels)),
+        "skipped": skipped,
+        "cmc": {int(k): (float((r <= k).mean()) if len(r) else float("nan"))
+                for k in ranks},
+        "mean_rank": float(r.mean()) if len(r) else float("nan"),
+    }
