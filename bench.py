@@ -35,9 +35,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_FACES_PER_SEC = 10_000.0
 
 
-def build_chain(net, e2e: bool = False, apply_fn=None):
+def build_chain(net, e2e: bool = False, apply_fn=None,
+                dct: bool = False):
     """e2e=True: input is raw uint8 120x120 and the chain includes the
     fused Pallas resize+standardize input kernel (the serving path).
+    dct=True (with e2e): input is quantized DCT coefficients + quant
+    tables; the chain additionally finishes the JPEG decode on-device
+    (ops/jpeg_tpu.decode_dct) before the input kernel — the full
+    "entropy-decode-only host" serving path.
     ``apply_fn``: override the eval forward (the serving engine passes
     its BN-folded fused-block forward here)."""
     from tf_face_toolbox_tpu.extract import flip_averaged_embeddings
@@ -50,10 +55,20 @@ def build_chain(net, e2e: bool = False, apply_fn=None):
         from tf_face_toolbox_tpu.ops.pallas_preprocess import (
             fused_eval_preprocess)
 
-        def forward(variables, img):
-            x = fused_eval_preprocess(img, 112, 112,
-                                      out_dtype=jnp.bfloat16)
-            return flip_averaged_embeddings(apply_fn, variables, x)
+        if dct:
+            from tf_face_toolbox_tpu.ops.jpeg_tpu import decode_dct
+
+            def forward(variables, img):
+                coef, qtab = img
+                u8 = decode_dct(coef, qtab)
+                x = fused_eval_preprocess(u8, 112, 112,
+                                          out_dtype=jnp.bfloat16)
+                return flip_averaged_embeddings(apply_fn, variables, x)
+        else:
+            def forward(variables, img):
+                x = fused_eval_preprocess(img, 112, 112,
+                                          out_dtype=jnp.bfloat16)
+                return flip_averaged_embeddings(apply_fn, variables, x)
     else:
         def forward(variables, img):
             return flip_averaged_embeddings(apply_fn, variables, img)
@@ -65,13 +80,47 @@ def build_chain(net, e2e: bool = False, apply_fn=None):
             emb = forward(variables, img)
             s = emb.sum()
             # zero-valued dependency: forces sequential execution
-            # without perturbing the input values.
-            img = img + (s * 0).astype(img.dtype)
+            # without perturbing the input values (tree_map: the dct
+            # mode's input is a (coef, qtab) tuple).
+            img = jax.tree.map(
+                lambda a: a + (s * 0).astype(a.dtype), img)
             return img, acc + s
         _, acc = jax.lax.fori_loop(
             0, iters, body, (images, jnp.float32(0.0)))
         return acc
     return chain
+
+
+def _dct_inputs(batch: int, size: int):
+    """Real quantized coefficients: encode low-frequency random images
+    as 4:4:4 JPEGs, entropy-decode via the native loader."""
+    import io
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    from tf_face_toolbox_tpu.data import native
+    from tf_face_toolbox_tpu.data.format import PAYLOAD_JPEG, write_shard
+
+    rng = np.random.default_rng(1)
+    blobs = []
+    for _ in range(batch):
+        base = rng.integers(0, 256, (size // 8, size // 8, 3), np.uint8)
+        img = Image.fromarray(base).resize((size, size), Image.BILINEAR)
+        buf = io.BytesIO()
+        img.save(buf, "JPEG", quality=90, subsampling=0)
+        blobs.append(buf.getvalue())
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/bench.faceshard"
+        write_shard(path, blobs, [0] * batch, payload=PAYLOAD_JPEG)
+        reader = native.NativeShardReader(path, num_threads=4)
+        try:
+            coef, qtab = reader.dct_batch(
+                np.arange(batch, dtype=np.int64), size, size)
+        finally:
+            reader.close()
+    return jnp.asarray(coef), jnp.asarray(qtab)
 
 
 def measure(chain, variables, batch: int, *, e2e: bool = False,
@@ -88,7 +137,9 @@ def measure(chain, variables, batch: int, *, e2e: bool = False,
 
     Returns {"median", "min", "max", "spread_pct"} in faces/sec.
     """
-    if e2e:
+    if e2e == "dct":
+        images = _dct_inputs(batch, 120)
+    elif e2e:
         images = jax.random.randint(
             jax.random.key(1), (batch, 120, 120, 3), 0, 256,
             dtype=jnp.int32).astype(jnp.uint8)
@@ -176,6 +227,12 @@ def main() -> None:
     p.add_argument("--e2e", action="store_true",
                    help="serving path: uint8 120x120 in, fused Pallas "
                         "resize+standardize included in the measurement")
+    p.add_argument("--input", default="pixels",
+                   choices=["pixels", "dct"],
+                   help="with --e2e: dct = quantized DCT coefficients "
+                        "in, on-device JPEG completion (dequant + IDCT "
+                        "+ color, ops/jpeg_tpu.py) included — the "
+                        "entropy-decode-only host serving path")
     p.add_argument("--impl", default="flax",
                    choices=["flax", "folded", "fused"],
                    help="flax = net.apply (XLA); folded = serving engine "
@@ -195,7 +252,10 @@ def main() -> None:
     args = p.parse_args()
     if args.impl != "flax" and args.quant != "none":
         p.error("--impl folded/fused serves fp; int8 uses --impl flax")
-    config_key = (f"{args.network}/{args.stem}/e2e={args.e2e}"
+    if args.input == "dct" and not args.e2e:
+        p.error("--input=dct measures the input stage; needs --e2e")
+    e2e_mode = ("dct" if args.e2e and args.input == "dct" else args.e2e)
+    config_key = (f"{args.network}/{args.stem}/e2e={e2e_mode}"
                   f"/q={args.quant}/b={args.batch}/impl={args.impl}")
     if args.watchdog:
         _arm_watchdog(args.watchdog, config_key)
@@ -236,7 +296,8 @@ def main() -> None:
         from tf_face_toolbox_tpu.serving import make_serving_apply
         apply_fn = make_serving_apply(
             net, variables, use_pallas=args.impl == "fused")
-    chain = build_chain(net, e2e=args.e2e, apply_fn=apply_fn)
+    chain = build_chain(net, e2e=args.e2e, apply_fn=apply_fn,
+                        dct=e2e_mode == "dct")
 
     batches = [args.batch] if args.batch else ([128, 256, 512] if on_tpu
                                                else [16])
@@ -244,7 +305,7 @@ def main() -> None:
     per_batch = {}
     for b in batches:
         try:
-            stats = measure(chain, variables, b, e2e=args.e2e)
+            stats = measure(chain, variables, b, e2e=e2e_mode)
         except Exception as e:  # OOM at large batch: keep best so far
             print(f"# batch {b} failed: {e}", file=sys.stderr)
             continue

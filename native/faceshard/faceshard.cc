@@ -140,6 +140,62 @@ bool DecodeJpeg(const uint8_t* blob, size_t len, std::vector<uint8_t>* out,
   return true;
 }
 
+// Entropy-decode only: extract quantized DCT coefficient blocks and the
+// quantization tables, skipping IDCT + upsampling + color conversion —
+// those run on the TPU as batched 8x8 matmuls (ops/jpeg_tpu.py). This
+// is the expensive half of JPEG decode moved off the (serial) host.
+// Requires a 3-component 4:4:4 JPEG of exactly (8*bh, 8*bw) pixels —
+// the geometry cli.pack --recode_size writes.
+bool ReadDctCoefficients(const uint8_t* blob, size_t len, int bh, int bw,
+                         int16_t* coef, uint16_t* qtab) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = JpegErrorExit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(blob),
+               static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  jvirt_barray_ptr* arrays = jpeg_read_coefficients(&cinfo);
+  bool ok = arrays != nullptr && cinfo.num_components == 3;
+  for (int c = 0; ok && c < 3; ++c) {
+    jpeg_component_info* ci = &cinfo.comp_info[c];
+    ok = ci->h_samp_factor == 1 && ci->v_samp_factor == 1 &&
+         int(ci->height_in_blocks) == bh && int(ci->width_in_blocks) == bw &&
+         cinfo.quant_tbl_ptrs[ci->quant_tbl_no] != nullptr;
+  }
+  if (ok) {
+    for (int c = 0; c < 3; ++c) {
+      jpeg_component_info* ci = &cinfo.comp_info[c];
+      // libjpeg keeps quantval[] de-zigzagged (natural order), exactly
+      // what the device-side dequantize multiplies against.
+      const JQUANT_TBL* qt = cinfo.quant_tbl_ptrs[ci->quant_tbl_no];
+      for (int k = 0; k < DCTSIZE2; ++k)
+        qtab[c * DCTSIZE2 + k] = qt->quantval[k];
+      for (int by = 0; by < bh; ++by) {
+        JBLOCKARRAY rows = (cinfo.mem->access_virt_barray)(
+            reinterpret_cast<j_common_ptr>(&cinfo), arrays[c], by, 1,
+            FALSE);
+        for (int bx = 0; bx < bw; ++bx) {
+          // coefficient blocks are natural-order JCOEF[64] (int16)
+          int16_t* dst =
+              coef + ((size_t(by) * bw + bx) * 3 + c) * DCTSIZE2;
+          static_assert(sizeof(JCOEF) == sizeof(int16_t),
+                        "JCOEF expected 16-bit");
+          memcpy(dst, rows[0][bx], DCTSIZE2 * sizeof(int16_t));
+        }
+      }
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return ok;
+}
+
 // Bilinear resize (half-pixel centers — matches the framework's device
 // resize semantics; host resize is only used when payload geometry
 // differs from the requested batch geometry).
@@ -323,6 +379,56 @@ int fs_decode_batch(void* handle, const int64_t* ids, int n,
       memcpy(dst, rgb.data(), img_bytes);
     } else {
       ResizeBilinear(rgb.data(), sh, sw, dst, out_h, out_w);
+    }
+  };
+
+  if (s->pool) {
+    std::atomic<int> done{0};
+    std::mutex mu;
+    std::condition_variable cv;
+    for (int i = 0; i < n; ++i) {
+      s->pool->Submit([&, i] {
+        decode_one(i);
+        if (done.fetch_add(1) + 1 == n) {
+          std::unique_lock<std::mutex> lk(mu);
+          cv.notify_one();
+        }
+      });
+    }
+    std::unique_lock<std::mutex> lk(mu);
+    cv.wait(lk, [&] { return done.load() == n; });
+  } else {
+    for (int i = 0; i < n; ++i) decode_one(i);
+  }
+  return failures.load();
+}
+
+// Entropy-decode records `ids[0..n)` into quantized DCT coefficients
+// coef (int16[n, blocks_h, blocks_w, 3, 64], natural order) and
+// per-image quant tables qtab (uint16[n, 3, 64]). Geometry/sampling
+// mismatches and corrupt records count as failures (slots zeroed).
+// The TPU finishes the decode (dequantize + IDCT + YCbCr→RGB).
+int fs_dct_batch(void* handle, const int64_t* ids, int n, int16_t* coef,
+                 uint16_t* qtab, int blocks_h, int blocks_w) {
+  auto* s = static_cast<Shard*>(handle);
+  const size_t coef_elems = size_t(blocks_h) * blocks_w * 3 * DCTSIZE2;
+  std::atomic<int> failures{0};
+
+  auto decode_one = [&](int slot) {
+    int16_t* cdst = coef + size_t(slot) * coef_elems;
+    uint16_t* qdst = qtab + size_t(slot) * 3 * DCTSIZE2;
+    int64_t id = ids[slot];
+    bool ok = id >= 0 && uint64_t(id) < s->hdr.count &&
+              s->hdr.payload == kPayloadJpeg;
+    if (ok) {
+      const uint8_t* blob = s->data + s->offsets[id];
+      const size_t len = s->offsets[id + 1] - s->offsets[id];
+      ok = ReadDctCoefficients(blob, len, blocks_h, blocks_w, cdst, qdst);
+    }
+    if (!ok) {
+      memset(cdst, 0, coef_elems * sizeof(int16_t));
+      memset(qdst, 0, 3 * DCTSIZE2 * sizeof(uint16_t));
+      failures++;
     }
   };
 

@@ -1,0 +1,128 @@
+"""TPU-side JPEG completion: native entropy-decode + on-device
+dequant/IDCT/color (native fs_dct_batch + ops/jpeg_tpu.decode_dct).
+
+Oracle is PIL/libjpeg's FULL decode of the same bytes; the device path
+must land within the decoder-variation budget (SURVEY.md §8: JPEG
+decode is not bit-exact across decoders — ±2 LSB here, the float IDCT
+vs libjpeg's integer islow)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from PIL import Image
+
+from tf_face_toolbox_tpu.data.format import (
+    PAYLOAD_JPEG,
+    pack_image_list,
+    write_shard,
+)
+from tf_face_toolbox_tpu.ops.jpeg_tpu import _idct_matrix, decode_dct
+
+native = pytest.importorskip("tf_face_toolbox_tpu.data.native")
+if not native.native_available():  # pragma: no cover
+    pytest.skip("native loader unavailable", allow_module_level=True)
+
+
+def _jpeg444(arr: np.ndarray, quality: int = 95) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=quality, subsampling=0)
+    return buf.getvalue()
+
+
+def _gradient_image(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack([yy * 255 / h, xx * 255 / w,
+                     (yy + xx) * 255 / (h + w)], -1)
+    noisy = base + rng.normal(0, 12, (h, w, 3))
+    return np.clip(noisy, 0, 255).astype(np.uint8)
+
+
+def test_idct_matrix_orthonormal():
+    a = _idct_matrix()
+    np.testing.assert_allclose(a @ a.T, np.eye(8), atol=1e-6)
+
+
+def test_device_decode_matches_libjpeg(tmp_path):
+    imgs = [_gradient_image(32, 32, s) for s in range(4)]
+    path = str(tmp_path / "t.faceshard")
+    write_shard(path, [_jpeg444(im) for im in imgs], [0, 1, 2, 3],
+                payload=PAYLOAD_JPEG)
+    reader = native.NativeShardReader(path, num_threads=2)
+    try:
+        coef, qtab = reader.dct_batch([0, 1, 2, 3], 32, 32)
+        assert coef.shape == (4, 4, 4, 3, 64) and coef.dtype == np.int16
+        assert qtab.shape == (4, 3, 64) and qtab.dtype == np.uint16
+        got = np.asarray(decode_dct(coef, qtab))
+        # full host decode of the same bytes (libjpeg via the reader)
+        want = reader.decode_batch([0, 1, 2, 3], 32, 32)
+    finally:
+        reader.close()
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 2, f"max LSB diff {diff.max()}"
+    assert (diff > 1).mean() < 0.01  # overwhelmingly ≤1
+
+
+def test_dct_rejects_nonuniform_geometry(tmp_path):
+    path = str(tmp_path / "bad.faceshard")
+    blobs = [_jpeg444(_gradient_image(32, 32)),
+             _jpeg444(_gradient_image(24, 32))]  # wrong height
+    write_shard(path, blobs, [0, 1], payload=PAYLOAD_JPEG)
+    reader = native.NativeShardReader(path, num_threads=0)
+    try:
+        with pytest.raises(ValueError, match="DCT extraction"):
+            reader.dct_batch([0, 1], 32, 32)
+        # the well-formed record alone passes
+        coef, qtab = reader.dct_batch([0], 32, 32)
+        assert coef.shape[0] == 1
+    finally:
+        reader.close()
+
+
+def test_dct_rejects_chroma_subsampling(tmp_path):
+    buf = io.BytesIO()
+    Image.fromarray(_gradient_image(32, 32)).save(
+        buf, "JPEG", quality=90, subsampling=2)  # 4:2:0
+    path = str(tmp_path / "sub.faceshard")
+    write_shard(path, [buf.getvalue()], [0], payload=PAYLOAD_JPEG)
+    reader = native.NativeShardReader(path, num_threads=0)
+    try:
+        with pytest.raises(ValueError, match="4:4:4"):
+            reader.dct_batch([0], 32, 32)
+    finally:
+        reader.close()
+
+
+def test_pack_recode_uniform_shard_feeds_dct(tmp_path):
+    """Mixed-size sources → --recode_size shard → DCT path ≈ full
+    decode of the recoded bytes (the e2e contract of the feature)."""
+    sizes = [(40, 56), (32, 32), (64, 48)]
+    lines = []
+    for i, (h, w) in enumerate(sizes):
+        p = tmp_path / f"img_{i}.jpg"
+        Image.fromarray(_gradient_image(h, w, i)).save(
+            str(p), "JPEG", quality=95)
+        lines.append(f"img_{i}.jpg {i}\n")
+    lst = tmp_path / "list.txt"
+    lst.write_text("".join(lines))
+    out = str(tmp_path / "recoded.faceshard")
+    n = pack_image_list(str(lst), out, root=str(tmp_path),
+                        recode_size=32)
+    assert n == 3
+    reader = native.NativeShardReader(out, num_threads=0)
+    try:
+        coef, qtab = reader.dct_batch([0, 1, 2], 32, 32)
+        got = np.asarray(decode_dct(coef, qtab))
+        want = reader.decode_batch([0, 1, 2], 32, 32)
+    finally:
+        reader.close()
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 2
+
+
+def test_pack_recode_size_must_be_block_aligned(tmp_path):
+    (tmp_path / "list.txt").write_text("x.jpg 0\n")
+    with pytest.raises(ValueError, match="multiple of 8"):
+        pack_image_list(str(tmp_path / "list.txt"),
+                        str(tmp_path / "o.faceshard"), recode_size=30)

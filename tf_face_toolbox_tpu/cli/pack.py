@@ -17,6 +17,11 @@ FLAGS = flags.FLAGS
 flags.DEFINE_string("list", None, "lines of 'relative/path.jpg label'")
 flags.DEFINE_string("root", "", "prefix for relative image paths")
 flags.DEFINE_string("output", None, "output .faceshard path")
+flags.DEFINE_integer("recode_size", 0,
+                     "re-encode every image to this square size as a "
+                     "4:4:4 JPEG (multiple of 8) — the uniform shard "
+                     "the DCT input path needs; 0 keeps original bytes")
+flags.DEFINE_integer("recode_quality", 95, "JPEG quality when recoding")
 flags.mark_flag_as_required("list")
 flags.mark_flag_as_required("output")
 
@@ -27,7 +32,9 @@ def main(argv):
     setup_platform()
     from tf_face_toolbox_tpu.data.format import pack_image_list
 
-    n = pack_image_list(FLAGS.list, FLAGS.output, root=FLAGS.root)
+    n = pack_image_list(FLAGS.list, FLAGS.output, root=FLAGS.root,
+                        recode_size=FLAGS.recode_size,
+                        recode_quality=FLAGS.recode_quality)
     print(f"packed {n} records into {FLAGS.output}")
 
 

@@ -181,11 +181,38 @@ class ShardReader:
         return int(self.index.labels[i])
 
 
-def pack_image_list(list_path: str, out_path: str, *,
-                    root: str = "") -> int:
+def pack_image_list(list_path: str, out_path: str, *, root: str = "",
+                    recode_size: int = 0,
+                    recode_quality: int = 95) -> int:
     """Pack an ``image_path label`` list file (the reference's input
     convention [TF1-IDIOM]) into a FaceShard of JPEG payloads.
-    Streams through ShardWriter — O(1) memory at MS1M scale."""
+    Streams through ShardWriter — O(1) memory at MS1M scale.
+
+    ``recode_size`` > 0 re-encodes every image to that square geometry
+    as a 4:4:4 JPEG (bilinear resize, ``recode_quality``). This is the
+    uniform-geometry shard the DCT input path requires (the native
+    loader's entropy-decode-only ``dct_batch`` + on-TPU IDCT,
+    ops/jpeg_tpu.py); plain shards keep the original bytes untouched.
+    ``recode_size`` should be the training pipeline's ``crop_from``."""
+    recode = None
+    if recode_size:
+        if recode_size % 8:
+            raise ValueError("recode_size must be a multiple of 8 "
+                             "(JPEG block granularity, DCT path)")
+        import io
+
+        from PIL import Image
+
+        def recode(blob: bytes) -> bytes:
+            img = Image.open(io.BytesIO(blob)).convert("RGB")
+            if img.size != (recode_size, recode_size):
+                img = img.resize((recode_size, recode_size),
+                                 Image.BILINEAR)
+            buf = io.BytesIO()
+            # subsampling=0 → 4:4:4: uniform block grid across Y/Cb/Cr
+            img.save(buf, "JPEG", quality=recode_quality, subsampling=0)
+            return buf.getvalue()
+
     with ShardWriter(out_path, payload=PAYLOAD_JPEG) as writer:
         with open(list_path) as f:
             for line in f:
@@ -194,7 +221,8 @@ def pack_image_list(list_path: str, out_path: str, *,
                     continue
                 p, lab = line.rsplit(" ", 1)
                 with open(os.path.join(root, p), "rb") as img:
-                    writer.add(img.read(), int(lab))
+                    blob = img.read()
+                writer.add(recode(blob) if recode else blob, int(lab))
         return writer.count
 
 

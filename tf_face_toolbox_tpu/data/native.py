@@ -50,6 +50,11 @@ def _load_library():
     lib.fs_prefetch.restype = ctypes.c_int
     lib.fs_prefetch.argtypes = [
         ctypes.c_void_p, np.ctypeslib.ndpointer(np.int64), ctypes.c_int]
+    lib.fs_dct_batch.restype = ctypes.c_int
+    lib.fs_dct_batch.argtypes = [
+        ctypes.c_void_p, np.ctypeslib.ndpointer(np.int64), ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int16),
+        np.ctypeslib.ndpointer(np.uint16), ctypes.c_int, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -86,6 +91,31 @@ class NativeShardReader:
         if failures:
             raise ValueError(f"{failures} records failed to decode")
         return out
+
+    def dct_batch(self, ids: Sequence[int], height: int,
+                  width: int) -> tuple[np.ndarray, np.ndarray]:
+        """Entropy-decode only: quantized DCT coefficients + quant
+        tables for `ids`, leaving dequantize/IDCT/color to the TPU
+        (ops/jpeg_tpu.decode_dct). Records must be 4:4:4 JPEGs of
+        exactly (height, width) — the geometry `cli.pack
+        --recode_size` writes; height/width must be multiples of 8.
+
+        Returns (coef int16 (N, H/8, W/8, 3, 64), qtab uint16 (N, 3, 64)).
+        """
+        if height % 8 or width % 8:
+            raise ValueError("DCT path needs multiple-of-8 geometry")
+        bh, bw = height // 8, width // 8
+        ids = np.ascontiguousarray(ids, np.int64)
+        coef = np.empty((len(ids), bh, bw, 3, 64), np.int16)
+        qtab = np.empty((len(ids), 3, 64), np.uint16)
+        failures = self._lib.fs_dct_batch(
+            self._h, ids, len(ids), coef, qtab, bh, bw)
+        if failures:
+            raise ValueError(
+                f"{failures} records failed DCT extraction (corrupt, "
+                f"not 4:4:4, or not {height}x{width} — repack with "
+                "cli.pack --recode_size)")
+        return coef, qtab
 
     def prefetch(self, ids: Sequence[int]) -> int:
         """Readahead hint for an upcoming batch: madvise(WILLNEED) the

@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import numpy as np
 
 
-def build_shard(path: str, count: int, size: int) -> None:
+def build_shard(path: str, count: int, size: int,
+                subsampling: int = 2) -> None:
     from PIL import Image
 
     from tf_face_toolbox_tpu.data.format import PAYLOAD_JPEG, write_shard
@@ -38,7 +39,7 @@ def build_shard(path: str, count: int, size: int) -> None:
                             dtype=np.uint8)
         img = Image.fromarray(base).resize((size, size), Image.BILINEAR)
         buf = io.BytesIO()
-        img.save(buf, "JPEG", quality=90)
+        img.save(buf, "JPEG", quality=90, subsampling=subsampling)
         blobs.append(buf.getvalue())
     write_shard(path, blobs, [i % 100 for i in range(count)],
                 payload=PAYLOAD_JPEG)
@@ -82,6 +83,42 @@ def main():
     for t in [int(x) for x in args.threads.split(",")]:
         rate = run_native(t, prefetch=True)
         print(f"native  threads={t:2d}  {rate:10,.0f} images/sec")
+
+    # DCT path: entropy decode only on host (IDCT/color move to the
+    # TPU — ops/jpeg_tpu.py). Needs a 4:4:4 uniform shard; note 4:4:4
+    # also carries ~2x the chroma entropy of the 4:2:0 shard above, so
+    # this rate UNDERSTATES the like-for-like win.
+    dct_path = os.path.join(tmp, "bench444.faceshard")
+    build_shard(dct_path, args.count, args.size, subsampling=0)
+
+    def run_dct(threads: int) -> float:
+        r = native.NativeShardReader(dct_path, num_threads=threads)
+        r.dct_batch(ids[:args.batch], args.size, args.size)  # warm
+        t0 = time.perf_counter()
+        for lo in range(0, args.count - args.batch, args.batch):
+            r.prefetch(ids[lo + args.batch:lo + 2 * args.batch])
+            r.dct_batch(ids[lo:lo + args.batch], args.size, args.size)
+        dt = time.perf_counter() - t0
+        r.close()
+        return (args.count - args.batch) / dt
+
+    def run_full_444(threads: int) -> float:
+        r = native.NativeShardReader(dct_path, num_threads=threads)
+        r.decode_batch(ids[:args.batch], args.out, args.out)
+        t0 = time.perf_counter()
+        for lo in range(0, args.count - args.batch, args.batch):
+            r.prefetch(ids[lo + args.batch:lo + 2 * args.batch])
+            r.decode_batch(ids[lo:lo + args.batch], args.out, args.out)
+        dt = time.perf_counter() - t0
+        r.close()
+        return (args.count - args.batch) / dt
+
+    for t in [int(x) for x in args.threads.split(",")]:
+        full = run_full_444(t)
+        dct = run_dct(t)
+        print(f"4:4:4   threads={t:2d}  full {full:10,.0f}  "
+              f"entropy-only {dct:10,.0f} images/sec  "
+              f"({dct / full:.2f}x)")
 
     # Python reference path (PIL decode pool, pipeline._DecodePool)
     from tf_face_toolbox_tpu.data.pipeline import (
