@@ -126,3 +126,40 @@ def test_pack_recode_size_must_be_block_aligned(tmp_path):
     with pytest.raises(ValueError, match="multiple of 8"):
         pack_image_list(str(tmp_path / "list.txt"),
                         str(tmp_path / "o.faceshard"), recode_size=30)
+
+
+def test_extract_shard_dct_loader_matches_native(tmp_path):
+    """extract_shard(loader='native_dct') ≈ loader='native' embeddings:
+    the serving integration of the on-device JPEG completion."""
+    import jax
+    import jax.numpy as jnp
+
+    from tf_face_toolbox_tpu.data.pipeline import FaceShardSource
+    from tf_face_toolbox_tpu.extract import extract_shard
+    from tf_face_toolbox_tpu.models import create_network, init_variables
+
+    lines = []
+    for i in range(6):
+        p = tmp_path / f"f_{i}.jpg"
+        Image.fromarray(_gradient_image(40, 40, i)).save(str(p), "JPEG")
+        lines.append(f"f_{i}.jpg {i}\n")
+    (tmp_path / "list.txt").write_text("".join(lines))
+    shard = str(tmp_path / "u.faceshard")
+    pack_image_list(str(tmp_path / "list.txt"), shard,
+                    root=str(tmp_path), recode_size=24)
+
+    net = create_network("resnet_tiny", embedding_dim=8)
+    variables = init_variables(net, jax.random.key(0), (1, 16, 16, 3))
+    source = FaceShardSource(shard)
+    kw = dict(image_size=16, crop_from=24, batch=4)
+    e_native = extract_shard(net, variables, source, loader="native", **kw)
+    e_dct = extract_shard(net, variables, source, loader="native_dct",
+                          **kw)
+    cos = np.sum(e_native * e_dct, axis=1)  # rows are unit-norm
+    assert cos.min() > 0.999, cos
+    # and the wrong-geometry shard fails loudly through this path too
+    bad = str(tmp_path / "bad.faceshard")
+    pack_image_list(str(tmp_path / "list.txt"), bad, root=str(tmp_path))
+    with pytest.raises(ValueError, match="DCT extraction"):
+        extract_shard(net, variables, FaceShardSource(bad),
+                      loader="native_dct", **kw)

@@ -59,6 +59,12 @@ flags.DEFINE_enum("engine", "auto", ["auto", "flax", "folded", "fused"],
                   "bandwidth-bound stems, fp only); fused = folded + "
                   "Pallas fused blocks (experimental; measured slower "
                   "than XLA on v5e — see docs/design.md)")
+flags.DEFINE_enum("loader", "auto",
+                  ["auto", "native", "python", "native_dct"],
+                  "host decode path: auto/native = C++ pool, python = "
+                  "PIL threads, native_dct = entropy-decode only (TPU "
+                  "finishes the JPEG — needs a cli.pack --recode_size "
+                  "shard of crop_from geometry)")
 flags.DEFINE_bool("bf16", True, "bfloat16 compute")
 flags.DEFINE_bool("use_ema", False,
                   "extract with the EMA weights (if trained with EMA)")
@@ -171,7 +177,8 @@ def main(argv):
             batch=min(FLAGS.batch, 128),
             num_batches=FLAGS.calibrate_batches,
             embedding_dim=FLAGS.embedding_dim, dtype=dtype,
-            stem=FLAGS.stem, head_variant=FLAGS.head)
+            loader=FLAGS.loader, stem=FLAGS.stem,
+            head_variant=FLAGS.head)
     extract_fn = None
     engine = FLAGS.engine
     if engine == "auto":
@@ -199,7 +206,7 @@ def main(argv):
     emb = extract_shard(
         net, variables, source,
         image_size=FLAGS.image_size, crop_from=FLAGS.crop_from,
-        batch=FLAGS.batch, extract_fn=extract_fn,
+        batch=FLAGS.batch, extract_fn=extract_fn, loader=FLAGS.loader,
         progress=lambda done, n: logging.info("extracted %d / %d", done, n))
     save_embeddings(FLAGS.output, emb)
     print(f"wrote {emb.shape} embeddings to {FLAGS.output}")

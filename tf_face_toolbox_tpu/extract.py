@@ -76,7 +76,7 @@ def make_extract_fn(net, *, donate: bool = True, mesh=None) -> Callable:
 
 def extract_shard(net, variables, source, *, image_size: int,
                   crop_from: int = 0, batch: int = 256,
-                  num_threads: int = 4,
+                  num_threads: int = 4, loader: str = "auto",
                   extract_fn: Callable | None = None,
                   progress: Callable[[int, int], None] | None = None,
                   ) -> np.ndarray:
@@ -92,6 +92,12 @@ def extract_shard(net, variables, source, *, image_size: int,
       (the reference's eval chain) and flip-averaged extraction,
       in ``batch``-sized chunks so HBM use is bounded.
 
+    ``loader``: "auto" (native C++ pool when available, else the
+    Python pool), "native", "python", or "native_dct" — host
+    entropy-decode only, the TPU finishes the JPEG (ops/jpeg_tpu);
+    needs a uniform 4:4:4 shard of exactly crop_from² geometry
+    (cli.pack --recode_size).
+
     ``crop_from`` defaults to image_size + 8 (the training default);
     pass crop_from == image_size for whole-image resize semantics.
     """
@@ -101,7 +107,8 @@ def extract_shard(net, variables, source, *, image_size: int,
     done = 0
     for x in _standardized_batches(source, image_size=image_size,
                                    crop_from=crop_from, batch=batch,
-                                   num_threads=num_threads):
+                                   num_threads=num_threads,
+                                   loader=loader):
         outs.append(np.asarray(fn(variables, x)))
         done += x.shape[0]
         if progress is not None:
@@ -111,10 +118,9 @@ def extract_shard(net, variables, source, *, image_size: int,
 
 def _standardized_batches(source, *, image_size: int, crop_from: int = 0,
                           batch: int = 256, num_threads: int = 4,
-                          limit_batches: int = 0):
+                          limit_batches: int = 0, loader: str = "auto"):
     """Yield the eval-chain standardized image batches of a shard
     (decode → resize to crop_from → center crop → standardize)."""
-    from tf_face_toolbox_tpu.data.pipeline import _DecodePool, _resize_u8
     from tf_face_toolbox_tpu.ops.preprocess import preprocess_eval
 
     crop_from = crop_from or image_size + 8
@@ -123,14 +129,43 @@ def _standardized_batches(source, *, image_size: int, crop_from: int = 0,
             f"crop_from ({crop_from}) must be >= image_size "
             f"({image_size}): the eval chain center-crops image_size "
             f"out of the crop_from-sized resize")
+    if loader == "auto":
+        from tf_face_toolbox_tpu.data.native import native_available
+        loader = "native" if native_available() else "python"
+    n = source.index.count
+    windows = [list(range(lo, min(lo + batch, n)))
+               for lo in range(0, n, batch)]
+    if limit_batches:
+        windows = windows[:limit_batches]
+
+    if loader in ("native", "native_dct"):
+        from tf_face_toolbox_tpu.data.native import NativeShardReader
+        if loader == "native_dct":
+            from tf_face_toolbox_tpu.ops.jpeg_tpu import decode_dct
+        reader = NativeShardReader(source.index.path,
+                                   num_threads=num_threads)
+        try:
+            for bi, ids in enumerate(windows):
+                if bi + 1 < len(windows):  # readahead next window
+                    reader.prefetch(windows[bi + 1])
+                if loader == "native_dct":
+                    coef, qtab = reader.dct_batch(ids, crop_from,
+                                                  crop_from)
+                    u8 = decode_dct(jnp.asarray(coef),
+                                    jnp.asarray(qtab))
+                else:
+                    u8 = jnp.asarray(
+                        reader.decode_batch(ids, crop_from, crop_from))
+                yield preprocess_eval(u8, image_size, image_size)
+        finally:
+            reader.close()
+        return
+
+    from tf_face_toolbox_tpu.data.pipeline import _DecodePool, _resize_u8
     transform = lambda im: _resize_u8(im, crop_from, crop_from)  # noqa: E731
     pool = _DecodePool(source, num_threads) if num_threads > 1 else None
-    n = source.index.count
     try:
-        for bi, lo in enumerate(range(0, n, batch)):
-            if limit_batches and bi >= limit_batches:
-                return
-            ids = list(range(lo, min(lo + batch, n)))
+        for ids in windows:
             if pool is not None:
                 records = pool.decode(ids, transform)
             else:
@@ -147,7 +182,7 @@ def _standardized_batches(source, *, image_size: int, crop_from: int = 0,
 def calibrate_on_shard(network: str, variables, source, *,
                        image_size: int, crop_from: int = 0,
                        batch: int = 128, num_batches: int = 4,
-                       embedding_dim: int = 512,
+                       embedding_dim: int = 512, loader: str = "auto",
                        dtype=jnp.float32, **net_kwargs):
     """Static-int8 calibration over the first ``num_batches`` batches of
     an eval shard (the serving distribution). Returns ``variables`` with
@@ -156,7 +191,7 @@ def calibrate_on_shard(network: str, variables, source, *,
 
     batches = _standardized_batches(
         source, image_size=image_size, crop_from=crop_from, batch=batch,
-        limit_batches=num_batches)
+        limit_batches=num_batches, loader=loader)
     return calibrate_quant_stats(network, variables, batches,
                                  embedding_dim=embedding_dim,
                                  dtype=dtype, **net_kwargs)
