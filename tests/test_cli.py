@@ -152,3 +152,31 @@ def test_convert_tfrecord_cli(tmp_path):
                 f"--tfrecords={tmp_path/'d.tfrecord'}",
                 f"--output={tmp_path/'d.faceshard'}"])
     assert "converted 3 records" in out
+
+
+@pytest.mark.slow
+def test_cli_train_dct_loader(tmp_path):
+    """pack --recode_size → train --loader=native_dct: the
+    entropy-decode-only input path through the real CLI."""
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    lines = []
+    for i in range(16):
+        arr = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(str(tmp_path / f"i{i}.jpg"),
+                                  "JPEG", quality=95)
+        lines.append(f"i{i}.jpg {i % 4}")
+    (tmp_path / "list.txt").write_text("\n".join(lines) + "\n")
+    shard = str(tmp_path / "recoded.faceshard")
+    out = _run(["tf_face_toolbox_tpu.cli.pack",
+                f"--list={tmp_path/'list.txt'}", f"--root={tmp_path}",
+                f"--output={shard}", "--recode_size=16"])
+    assert "packed 16 records" in out
+    out = _run(["tf_face_toolbox_tpu.cli.train",
+                f"--data={shard}", f"--train_dir={tmp_path/'run'}",
+                "--network=resnet_tiny", "--embedding_dim=16",
+                "--image_size=12", "--crop_from=16", "--global_batch=8",
+                "--num_steps=2", "--save_every=2", "--log_every=1",
+                "--nobf16", "--loader=native_dct"])
+    assert "done: step=2" in out

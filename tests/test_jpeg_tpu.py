@@ -163,3 +163,66 @@ def test_extract_shard_dct_loader_matches_native(tmp_path):
     with pytest.raises(ValueError, match="DCT extraction"):
         extract_shard(net, variables, FaceShardSource(bad),
                       loader="native_dct", **kw)
+
+
+def test_train_step_dct_input_matches_u8(tmp_path):
+    """make_train_step(input_format='dct') runs the SPMD step off
+    (coef, qtab) batches and lands within decode tolerance of the
+    uint8 path (same RNG → same crops/flips; pixels differ ≤2 LSB)."""
+    import jax
+
+    from tf_face_toolbox_tpu.data.pipeline import (
+        FaceShardSource,
+        native_batch_iterator,
+        native_dct_batch_iterator,
+    )
+    from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+    from tf_face_toolbox_tpu.train.trainer import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    lines = []
+    for i in range(16):
+        p = tmp_path / f"t_{i}.jpg"
+        Image.fromarray(_gradient_image(24, 24, i)).save(str(p), "JPEG")
+        lines.append(f"t_{i}.jpg {i % 4}\n")
+    (tmp_path / "list.txt").write_text("".join(lines))
+    shard = str(tmp_path / "t.faceshard")
+    pack_image_list(str(tmp_path / "list.txt"), shard,
+                    root=str(tmp_path), recode_size=16)
+
+    cfg = TrainConfig(network="resnet_tiny", embedding_dim=8,
+                      num_classes=4, image_size=12, crop_from=16,
+                      global_batch=8, augment=True)
+    mesh = create_mesh()
+
+    def one_step(fmt):
+        it = (native_dct_batch_iterator(FaceShardSource(shard), 8,
+                                        size=16)
+              if fmt == "dct" else
+              native_batch_iterator(FaceShardSource(shard), 8,
+                                    out_h=16, out_w=16))
+        batch = next(it)
+        state, net = create_train_state(cfg, jax.random.key(0), mesh)
+        step = make_train_step(net, cfg, mesh, state, input_format=fmt)
+        state, metrics = step(state, batch["image"], batch["label"])
+        return float(jax.device_get(metrics["loss"]))
+
+    l_dct = one_step("dct")
+    l_u8 = one_step("u8")
+    assert np.isfinite(l_dct)
+    assert abs(l_dct - l_u8) < 0.1, (l_dct, l_u8)
+
+    # guard: dct input requires the augment chain
+    with pytest.raises(ValueError, match="augment"):
+        from tf_face_toolbox_tpu.train.trainer import (
+            create_train_state as cts,
+            make_train_step as mts,
+        )
+        cfg2 = TrainConfig(network="resnet_tiny", embedding_dim=8,
+                           num_classes=4, image_size=12, crop_from=16,
+                           global_batch=8, augment=False)
+        s2, n2 = cts(cfg2, jax.random.key(0), mesh)
+        mts(n2, cfg2, mesh, s2, input_format="dct")

@@ -67,8 +67,12 @@ flags.DEFINE_bool("bf16", True, "bfloat16 compute")
 flags.DEFINE_integer("save_every", 1000, "checkpoint cadence")
 flags.DEFINE_integer("log_every", 100, "metric log cadence")
 flags.DEFINE_integer("seed", 0, "init/data seed")
-flags.DEFINE_enum("loader", "auto", ["auto", "native", "python"],
-                  "host decode path: native C++ pool or Python threads")
+flags.DEFINE_enum("loader", "auto",
+                  ["auto", "native", "python", "native_dct"],
+                  "host decode path: native C++ pool or Python "
+                  "threads; native_dct = entropy-decode only, the "
+                  "train step finishes the JPEG on-device (needs a "
+                  "cli.pack --recode_size=<crop_from> shard)")
 flags.DEFINE_float("ema_decay", 0.0,
                    "weight EMA decay (0 = off; reference-era 0.999/0.9999)")
 flags.DEFINE_bool("pallas_input", False,
@@ -256,7 +260,13 @@ def main(argv):
         if FLAGS.loader == "auto":
             from tf_face_toolbox_tpu.data.native import native_available
             use_native = native_available()
-        if use_native:
+        if FLAGS.loader == "native_dct":
+            from tf_face_toolbox_tpu.data.pipeline import (
+                native_dct_batch_iterator)
+            batches = native_dct_batch_iterator(
+                source, host_batch, size=cfg.crop_from,
+                start_epoch=start_epoch, start_step=start_step)
+        elif use_native:
             batches = native_batch_iterator(
                 source, host_batch,
                 out_h=cfg.crop_from, out_w=cfg.crop_from,
@@ -285,6 +295,7 @@ def main(argv):
         rng_seed=FLAGS.seed,
         eval_fn=build_eval_fn(cfg),
         eval_every=FLAGS.eval_every,
+        input_format="dct" if FLAGS.loader == "native_dct" else "u8",
     )
     loss = result.last_metrics.get("loss")
     print(f"done: step={int(jax.device_get(result.state.step))} "

@@ -282,6 +282,47 @@ def native_batch_iterator(source: FaceShardSource, batch_size: int, *,
         reader.close()
 
 
+def native_dct_batch_iterator(source: FaceShardSource, batch_size: int, *,
+                              size: int, start_epoch: int = 0,
+                              start_step: int = 0,
+                              num_threads: int = 4) -> Iterator[dict]:
+    """``native_batch_iterator`` with host entropy-decode only: yields
+    ``image`` as a (coef, qtab) tuple for the train step's on-device
+    JPEG completion (ops/jpeg_tpu.decode_dct — zero device cost,
+    ~4x the host decode rate; docs/design.md). Needs a uniform 4:4:4
+    shard of exactly ``size``² geometry (cli.pack --recode_size=size,
+    with size = cfg.crop_from). Same ordering/resume semantics as the
+    other iterators.
+    """
+    from tf_face_toolbox_tpu.data.native import NativeShardReader
+
+    reader = NativeShardReader(source.index.path, num_threads=num_threads)
+    steps_per_epoch = source.num_records // batch_size
+    if steps_per_epoch == 0:
+        reader.close()
+        raise ValueError(
+            f"dataset has {source.num_records} records (per host) — "
+            f"smaller than one batch of {batch_size}")
+    epoch, step = start_epoch, start_step
+    try:
+        while True:
+            order = source.epoch_order(epoch)
+            while step < steps_per_epoch:
+                ids = order[step * batch_size:(step + 1) * batch_size]
+                if step + 1 < steps_per_epoch:
+                    reader.prefetch(
+                        order[(step + 1) * batch_size:
+                              (step + 2) * batch_size])
+                coef, qtab = reader.dct_batch(ids, size, size)
+                labels = reader.labels[ids]
+                yield {"image": (coef, qtab), "label": labels,
+                       "epoch": epoch, "step": step}
+                step += 1
+            epoch, step = epoch + 1, 0
+    finally:
+        reader.close()
+
+
 def host_prefetch(it: Iterator[dict], *, depth: int = 2) -> Iterator[dict]:
     """Run the upstream iterator (decode+batch) in a background thread.
 
@@ -321,8 +362,14 @@ def device_prefetch(it: Iterator[dict], *, depth: int = 2,
 
     put = put or jax.device_put
     buf = collections.deque()
+
+    def puttable(v):
+        return isinstance(v, np.ndarray) or (
+            isinstance(v, tuple)  # e.g. the DCT path's (coef, qtab)
+            and all(isinstance(x, np.ndarray) for x in v))
+
     for item in it:
-        buf.append({k: (put(v) if isinstance(v, np.ndarray) else v)
+        buf.append({k: (put(v) if puttable(v) else v)
                     for k, v in item.items()})
         if len(buf) >= depth:
             yield buf.popleft()

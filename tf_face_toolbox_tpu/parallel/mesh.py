@@ -126,15 +126,19 @@ def globalize_host_batches(it, mesh: Mesh):
     """
     import numpy as np
 
+    def globalize(value):
+        if isinstance(value, tuple):  # e.g. the DCT path's (coef, qtab)
+            return tuple(globalize(v) for v in value)
+        arr = np.asarray(value)
+        sharding = NamedSharding(
+            mesh, P(*( [(DATA_AXIS, MODEL_AXIS)] +
+                       [None] * (arr.ndim - 1) )))
+        return jax.make_array_from_process_local_data(sharding, arr)
+
     for item in it:
         out = dict(item)
         for key in ("image", "label"):
-            arr = np.asarray(item[key])
-            sharding = NamedSharding(
-                mesh, P(*( [(DATA_AXIS, MODEL_AXIS)] +
-                           [None] * (arr.ndim - 1) )))
-            out[key] = jax.make_array_from_process_local_data(
-                sharding, arr)
+            out[key] = globalize(item[key])
         yield out
 
 

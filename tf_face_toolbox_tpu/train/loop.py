@@ -42,7 +42,8 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
                rng_seed: int = 0,
                logger: MetricLogger | None = None,
                eval_fn=None,
-               eval_every: int = 0) -> LoopResult:
+               eval_every: int = 0,
+               input_format: str = "u8") -> LoopResult:
     """Run (or resume) training for ``num_steps`` total steps.
 
     Resume semantics match the reference's Saver/latest_checkpoint
@@ -63,7 +64,8 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
                     f"with {'--ema_decay>0' if mgr.has_ema() else '--ema_decay=0'} "
                     "(the same setting the run was started with)")
             state = shard_state(mgr.restore(state), mesh)
-    step_fn = make_train_step(net, cfg, mesh, state)
+    step_fn = make_train_step(net, cfg, mesh, state,
+                              input_format=input_format)
     logger = logger or MetricLogger(train_dir,
                                     batch_size=cfg.global_batch)
 

@@ -174,14 +174,24 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 
 def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
-                    state: TrainState) -> Callable:
+                    state: TrainState, *,
+                    input_format: str = "u8") -> Callable:
     """Build the jitted SPMD train step.
 
     Returns ``step_fn(state, images, labels) -> (state, metrics)`` where
     ``images`` is the GLOBAL batch — (B, S, S, 3) uint8 when
     cfg.augment (S = cfg.crop_from) else float32 standardized at
     cfg.image_size — and ``labels`` is (B,) int32 global identity ids.
+
+    ``input_format="dct"``: ``images`` is instead the (coef, qtab)
+    tuple from ``native_dct_batch_iterator``; the step completes the
+    JPEG decode on-device (ops/jpeg_tpu.decode_dct) before the augment
+    chain, so the host only entropy-decodes (docs/design.md).
     """
+    if input_format == "dct" and not cfg.augment:
+        raise ValueError(
+            "input_format='dct' decodes to uint8 crop_from² frames — "
+            "it requires the augment preprocessing chain (cfg.augment)")
     tx, sched = make_optimizer(cfg)
     margin = cfg.margin
     num_classes = cfg.num_classes
@@ -190,6 +200,9 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
     pallas_interpret = jax.default_backend() == "cpu"
 
     def device_step(state: TrainState, images, labels):
+        if input_format == "dct":
+            from tf_face_toolbox_tpu.ops.jpeg_tpu import decode_dct
+            images = decode_dct(*images)
         # Per-device, per-step RNG: fold step and device position into
         # the state key → reproducible augmentation independent of mesh.
         di = jax.lax.axis_index(DATA_AXIS)
@@ -297,7 +310,11 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
         return new_state, metrics
 
     specs = state_pspecs(state)
-    img_spec = P(batch_axes, None, None, None)
+    if input_format == "dct":
+        img_spec = (P(batch_axes, None, None, None, None),
+                    P(batch_axes, None, None))
+    else:
+        img_spec = P(batch_axes, None, None, None)
     step_fn = shard_map(
         device_step, mesh=mesh,
         in_specs=(specs, img_spec, P(batch_axes)),
