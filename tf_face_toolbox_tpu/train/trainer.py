@@ -200,9 +200,6 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
     pallas_interpret = jax.default_backend() == "cpu"
 
     def device_step(state: TrainState, images, labels):
-        if input_format == "dct":
-            from tf_face_toolbox_tpu.ops.jpeg_tpu import decode_dct
-            images = decode_dct(*images)
         # Per-device, per-step RNG: fold step and device position into
         # the state key → reproducible augmentation independent of mesh.
         di = jax.lax.axis_index(DATA_AXIS)
@@ -310,11 +307,7 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
         return new_state, metrics
 
     specs = state_pspecs(state)
-    if input_format == "dct":
-        img_spec = (P(batch_axes, None, None, None, None),
-                    P(batch_axes, None, None))
-    else:
-        img_spec = P(batch_axes, None, None, None)
+    img_spec = P(batch_axes, None, None, None)
     step_fn = shard_map(
         device_step, mesh=mesh,
         in_specs=(specs, img_spec, P(batch_axes)),
@@ -323,4 +316,21 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
         # collectives the static VMA checker can't see through.
         check_vma=False,
     )
-    return jax.jit(step_fn, donate_argnums=(0,))
+    u8_step = jax.jit(step_fn, donate_argnums=(0,))
+    if input_format != "dct":
+        return u8_step
+
+    # DCT front-end runs as its OWN small jit, not inside the shard_map
+    # program: the big train program stays byte-identical to the u8
+    # path (same compile cache entry — folding the decode in was
+    # measured to blow the XLA compile from minutes to >10 min on the
+    # tunnel), while decode_dct itself compiles in <1s and its batch
+    # sharding propagates from the input arrays. The u8 frames it
+    # materializes are 120²x3 ≈ 43 KB/face — negligible HBM traffic
+    # next to the 45.6 GB train step (docs/design.md).
+    from tf_face_toolbox_tpu.ops.jpeg_tpu import decode_dct
+
+    def dct_step(state: TrainState, images, labels):
+        return u8_step(state, decode_dct(*images), labels)
+
+    return dct_step
