@@ -255,6 +255,13 @@ def main() -> None:
     if args.input == "dct" and not args.e2e:
         p.error("--input=dct measures the input stage; needs --e2e")
     e2e_mode = ("dct" if args.e2e and args.input == "dct" else args.e2e)
+    if e2e_mode == "dct":
+        # fail fast: without the native library the per-batch loop would
+        # swallow the OSError and emit a fake 0.0-faces/sec result
+        from tf_face_toolbox_tpu.data.native import native_available
+        if not native_available():
+            p.error("--input=dct needs the native loader "
+                    "(run `make` in native/faceshard)")
     config_key = (f"{args.network}/{args.stem}/e2e={e2e_mode}"
                   f"/q={args.quant}/b={args.batch}/impl={args.impl}")
     if args.watchdog:

@@ -240,6 +240,30 @@ struct Shard {
   std::unique_ptr<ThreadPool> pool;
 };
 
+// Run `work(slot)` for slot 0..n on the shard's pool (serial fallback
+// when no pool), blocking until every slot completes — the shared
+// batch-dispatch scaffolding of fs_decode_batch / fs_dct_batch.
+void RunBatch(Shard* s, int n, const std::function<void(int)>& work) {
+  if (!s->pool) {
+    for (int i = 0; i < n; ++i) work(i);
+    return;
+  }
+  std::atomic<int> done{0};
+  std::mutex mu;
+  std::condition_variable cv;
+  for (int i = 0; i < n; ++i) {
+    s->pool->Submit([&, i] {
+      work(i);
+      if (done.fetch_add(1) + 1 == n) {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == n; });
+}
+
 }  // namespace
 
 extern "C" {
@@ -382,24 +406,7 @@ int fs_decode_batch(void* handle, const int64_t* ids, int n,
     }
   };
 
-  if (s->pool) {
-    std::atomic<int> done{0};
-    std::mutex mu;
-    std::condition_variable cv;
-    for (int i = 0; i < n; ++i) {
-      s->pool->Submit([&, i] {
-        decode_one(i);
-        if (done.fetch_add(1) + 1 == n) {
-          std::unique_lock<std::mutex> lk(mu);
-          cv.notify_one();
-        }
-      });
-    }
-    std::unique_lock<std::mutex> lk(mu);
-    cv.wait(lk, [&] { return done.load() == n; });
-  } else {
-    for (int i = 0; i < n; ++i) decode_one(i);
-  }
+  RunBatch(s, n, decode_one);
   return failures.load();
 }
 
@@ -432,24 +439,7 @@ int fs_dct_batch(void* handle, const int64_t* ids, int n, int16_t* coef,
     }
   };
 
-  if (s->pool) {
-    std::atomic<int> done{0};
-    std::mutex mu;
-    std::condition_variable cv;
-    for (int i = 0; i < n; ++i) {
-      s->pool->Submit([&, i] {
-        decode_one(i);
-        if (done.fetch_add(1) + 1 == n) {
-          std::unique_lock<std::mutex> lk(mu);
-          cv.notify_one();
-        }
-      });
-    }
-    std::unique_lock<std::mutex> lk(mu);
-    cv.wait(lk, [&] { return done.load() == n; });
-  } else {
-    for (int i = 0; i < n; ++i) decode_one(i);
-  }
+  RunBatch(s, n, decode_one);
   return failures.load();
 }
 

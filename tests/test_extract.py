@@ -170,3 +170,19 @@ def test_embedding_file_formats_roundtrip(tmp_path):
     trunc.write_bytes(raw[:-16])
     with pytest.raises(ValueError, match="truncated"):
         load_embeddings(str(trunc))
+
+
+def test_embedding_npz_without_names_roundtrip(tmp_path):
+    """--output=emb.npz with no names must write THAT file (np.save
+    would silently append .npy — review regression)."""
+    from tf_face_toolbox_tpu.train.checkpoint import (
+        load_embeddings,
+        save_embeddings,
+    )
+    emb = np.ones((3, 4), np.float32)
+    p = tmp_path / "e.npz"
+    save_embeddings(str(p), emb)
+    assert p.exists() and not (tmp_path / "e.npz.npy").exists()
+    out, names = load_embeddings(str(p))
+    np.testing.assert_array_equal(out, emb)
+    assert names is None

@@ -1,10 +1,14 @@
 """CMC identification eval (ops/verification.cmc_curve + CLI)."""
 
 import json
+import os
 import subprocess
 import sys
 
 import numpy as np
+
+_CPU_ENV = dict(os.environ, TFFT_PLATFORM="cpu")  # keep CLI subprocesses
+# off the TPU tunnel (slow remote compiles; same recipe as test_cli)
 
 from tf_face_toolbox_tpu.ops.verification import (
     cmc_curve,
@@ -82,7 +86,7 @@ def test_cli_eval_identification(tmp_path):
          f"--probe={tmp_path}/probe.npy",
          f"--probe_list={tmp_path}/probe_list.txt",
          "--ranks=1,2"],
-        capture_output=True, text=True)
+        capture_output=True, text=True, env=_CPU_ENV)
     assert r.returncode == 0, r.stderr[-2000:]
     report = json.loads(r.stdout)
     assert report["cmc"]["1"] == 1.0  # distinct prototypes: all hit
@@ -102,6 +106,20 @@ def test_cli_length_mismatch_exits(tmp_path):
          f"--gallery_list={tmp_path}/gal_list.txt",
          f"--probe={tmp_path}/probe.npy",
          f"--probe_list={tmp_path}/probe_list.txt"],
-        capture_output=True, text=True)
+        capture_output=True, text=True, env=_CPU_ENV)
     assert r.returncode != 0
     assert "embeddings vs" in r.stderr
+
+
+def test_load_labels_paths_with_spaces(tmp_path):
+    """Label parse matches cli.pack (rsplit on the LAST space)."""
+    from tf_face_toolbox_tpu.cli.eval_identification import load_labels
+
+    p = tmp_path / "list.txt"
+    p.write_text("my photos/img 12 a.jpg 7\nplain.jpg 3\n\n")
+    np.testing.assert_array_equal(load_labels(str(p)), [7, 3])
+    bad = tmp_path / "bad.txt"
+    bad.write_text("img.jpg notanint\n")
+    import pytest
+    with pytest.raises(ValueError, match="trailing integer"):
+        load_labels(str(bad))

@@ -226,3 +226,30 @@ def test_train_step_dct_input_matches_u8(tmp_path):
                            global_batch=8, augment=False)
         s2, n2 = cts(cfg2, jax.random.key(0), mesh)
         mts(n2, cfg2, mesh, s2, input_format="dct")
+
+
+def test_device_decode_hard_edges_within_budget(tmp_path):
+    """Saturated checkerboard/edge content drives IDCT overshoot
+    (ringing); libjpeg range-limits components BEFORE color conversion
+    and decode_dct must match within the same ±2 LSB budget."""
+    rng = np.random.default_rng(7)
+    imgs = []
+    for s in range(3):
+        im = np.zeros((32, 32, 3), np.uint8)
+        im[(np.mgrid[0:32, 0:32][0] // 4 +
+            np.mgrid[0:32, 0:32][1] // 4) % 2 == 0] = 255
+        im[8:12, :, 0] = 0  # hard colored stripe
+        im[:, 20:22] = rng.integers(0, 256, (32, 2, 3), np.uint8)
+        imgs.append(im)
+    path = str(tmp_path / "edges.faceshard")
+    write_shard(path, [_jpeg444(im, 85) for im in imgs], [0, 1, 2],
+                payload=PAYLOAD_JPEG)
+    reader = native.NativeShardReader(path, num_threads=0)
+    try:
+        coef, qtab = reader.dct_batch([0, 1, 2], 32, 32)
+        got = np.asarray(decode_dct(coef, qtab))
+        want = reader.decode_batch([0, 1, 2], 32, 32)
+    finally:
+        reader.close()
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 2, f"max LSB diff {diff.max()}"

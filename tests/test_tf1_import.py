@@ -7,8 +7,13 @@ a mock. Canonical slim names are pinned literally so the mechanical
 map can't drift from the era convention it claims to implement.
 """
 
+import os
+
 import numpy as np
 import pytest
+
+_CPU_ENV = dict(os.environ, TFFT_PLATFORM="cpu")  # CLI subprocesses off
+# the TPU tunnel (slow remote compiles; same recipe as test_cli)
 
 import jax
 import jax.numpy as jnp
@@ -212,7 +217,7 @@ def test_cli_import_then_extract_serves(tmp_path):
          f"--checkpoint={prefix}", f"--output={npz}",
          "--network=resnet_tiny", "--stem=face", "--embedding_dim=8",
          "--image_size=16"],
-        capture_output=True, text=True)
+        capture_output=True, text=True, env=_CPU_ENV)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "imported" in r.stdout
 

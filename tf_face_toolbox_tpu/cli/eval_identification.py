@@ -39,17 +39,23 @@ flags.mark_flag_as_required("probe_list")
 
 
 def load_labels(path: str) -> np.ndarray:
-    """Labels from a pack list file (``image_path label`` per line)."""
+    """Labels from a pack list file (``image_path label`` per line).
+
+    Same parse as cli.pack (rsplit on the LAST space), so paths
+    containing spaces resolve identically in both tools."""
     labels = []
     with open(path) as f:
         for line in f:
-            parts = line.split()
-            if len(parts) >= 2:
-                labels.append(int(parts[1]))
-            elif parts:
+            line = line.strip()
+            if not line:
+                continue
+            _, _, lab = line.rpartition(" ")
+            try:
+                labels.append(int(lab))
+            except ValueError:
                 raise ValueError(
-                    f"{path}: line {len(labels) + 1} has no label: "
-                    f"{line.strip()!r}")
+                    f"{path}: line {len(labels) + 1} has no trailing "
+                    f"integer label: {line!r}") from None
     return np.asarray(labels)
 
 

@@ -239,17 +239,13 @@ def balanced_batch_iterator(source: FaceShardSource, *,
             pool.close()
 
 
-def native_batch_iterator(source: FaceShardSource, batch_size: int, *,
-                          out_h: int, out_w: int,
-                          start_epoch: int = 0, start_step: int = 0,
-                          num_threads: int = 4) -> Iterator[dict]:
-    """batch_iterator with decode+resize in the native C++ loader.
-
-    Identical ordering/labels/resume semantics to ``batch_iterator``
-    (same FaceShardSource drives the shuffle); only the pixel path runs
-    through native/faceshard's mmap + libjpeg thread pool. Output
-    images are fixed (batch, out_h, out_w, 3) uint8.
-    """
+def _native_epoch_batches(source: FaceShardSource, batch_size: int, *,
+                          start_epoch: int, start_step: int,
+                          num_threads: int, fetch) -> Iterator[dict]:
+    """Shared epoch/ordering/resume/prefetch loop of the native-loader
+    iterators; ``fetch(reader, ids)`` produces the batch's image value.
+    ONE copy of the resume semantics — both public iterators must stay
+    behaviorally identical to ``batch_iterator``."""
     from tf_face_toolbox_tpu.data.native import NativeShardReader
 
     reader = NativeShardReader(source.index.path, num_threads=num_threads)
@@ -272,14 +268,30 @@ def native_batch_iterator(source: FaceShardSource, batch_size: int, *,
                     reader.prefetch(
                         order[(step + 1) * batch_size:
                               (step + 2) * batch_size])
-                images = reader.decode_batch(ids, out_h, out_w)
-                labels = reader.labels[ids]
-                yield {"image": images, "label": labels,
+                yield {"image": fetch(reader, ids),
+                       "label": reader.labels[ids],
                        "epoch": epoch, "step": step}
                 step += 1
             epoch, step = epoch + 1, 0
     finally:
         reader.close()
+
+
+def native_batch_iterator(source: FaceShardSource, batch_size: int, *,
+                          out_h: int, out_w: int,
+                          start_epoch: int = 0, start_step: int = 0,
+                          num_threads: int = 4) -> Iterator[dict]:
+    """batch_iterator with decode+resize in the native C++ loader.
+
+    Identical ordering/labels/resume semantics to ``batch_iterator``
+    (same FaceShardSource drives the shuffle); only the pixel path runs
+    through native/faceshard's mmap + libjpeg thread pool. Output
+    images are fixed (batch, out_h, out_w, 3) uint8.
+    """
+    return _native_epoch_batches(
+        source, batch_size, start_epoch=start_epoch,
+        start_step=start_step, num_threads=num_threads,
+        fetch=lambda reader, ids: reader.decode_batch(ids, out_h, out_w))
 
 
 def native_dct_batch_iterator(source: FaceShardSource, batch_size: int, *,
@@ -294,33 +306,10 @@ def native_dct_batch_iterator(source: FaceShardSource, batch_size: int, *,
     with size = cfg.crop_from). Same ordering/resume semantics as the
     other iterators.
     """
-    from tf_face_toolbox_tpu.data.native import NativeShardReader
-
-    reader = NativeShardReader(source.index.path, num_threads=num_threads)
-    steps_per_epoch = source.num_records // batch_size
-    if steps_per_epoch == 0:
-        reader.close()
-        raise ValueError(
-            f"dataset has {source.num_records} records (per host) — "
-            f"smaller than one batch of {batch_size}")
-    epoch, step = start_epoch, start_step
-    try:
-        while True:
-            order = source.epoch_order(epoch)
-            while step < steps_per_epoch:
-                ids = order[step * batch_size:(step + 1) * batch_size]
-                if step + 1 < steps_per_epoch:
-                    reader.prefetch(
-                        order[(step + 1) * batch_size:
-                              (step + 2) * batch_size])
-                coef, qtab = reader.dct_batch(ids, size, size)
-                labels = reader.labels[ids]
-                yield {"image": (coef, qtab), "label": labels,
-                       "epoch": epoch, "step": step}
-                step += 1
-            epoch, step = epoch + 1, 0
-    finally:
-        reader.close()
+    return _native_epoch_batches(
+        source, batch_size, start_epoch=start_epoch,
+        start_step=start_step, num_threads=num_threads,
+        fetch=lambda reader, ids: reader.dct_batch(ids, size, size))
 
 
 def host_prefetch(it: Iterator[dict], *, depth: int = 2) -> Iterator[dict]:

@@ -53,6 +53,10 @@ def decode_dct(coef: jax.Array, qtab: jax.Array) -> jax.Array:
     a = jnp.asarray(_idct_matrix())
     # x[y, x] = Σ_uv A[u, y] A[v, x] X[u, v]
     pix = jnp.einsum("uy,nhwcuv,vx->nhwcyx", a, blocks, a) + 128.0
+    # libjpeg range-limits every component to [0, 255] BEFORE color
+    # conversion; without this, IDCT overshoot at hard edges (ringing)
+    # would diverge from its output by more than the ±2 LSB budget.
+    pix = jnp.clip(pix, 0.0, 255.0)
     # (n, bh, bw, 3, 8, 8) → (n, 8bh, 8bw, 3)
     img = pix.transpose(0, 1, 4, 2, 5, 3).reshape(n, bh * 8, bw * 8, 3)
     y, cb, cr = img[..., 0], img[..., 1] - 128.0, img[..., 2] - 128.0

@@ -136,23 +136,27 @@ def cmc_curve(gallery: np.ndarray, gallery_labels: np.ndarray,
     """
     gallery_labels = np.asarray(gallery_labels)
     probe_labels = np.asarray(probe_labels)
-    g = jnp.asarray(gallery, jnp.float32)
-    gl = jnp.asarray(gallery_labels)
+    # device-resident arguments (NOT jit closure constants: a closed-over
+    # gallery would be baked into each compiled executable — one copy per
+    # probe-batch shape — defeating the large-gallery design)
+    g = jax.device_put(jnp.asarray(gallery, jnp.float32))
+    gl = jax.device_put(jnp.asarray(gallery_labels))
     rankable = np.isin(probe_labels, gallery_labels)
     skipped = int((~rankable).sum())
     probe = np.asarray(probe)[rankable]
     probe_labels = probe_labels[rankable]
 
     @jax.jit
-    def probe_ranks(p, pl):
+    def probe_ranks(g, gl, p, pl):
         sims = similarity_matrix(g, p).T            # (B, G)
         same = gl[None, :] == pl[:, None]
         best_correct = jnp.max(jnp.where(same, sims, -jnp.inf), axis=1)
         above = jnp.sum((sims > best_correct[:, None]) & ~same, axis=1)
         return 1 + above
 
-    all_ranks = [np.asarray(probe_ranks(jnp.asarray(probe[i:i + batch]),
-                                        jnp.asarray(probe_labels[i:i + batch])))
+    all_ranks = [np.asarray(probe_ranks(
+                     g, gl, jnp.asarray(probe[i:i + batch]),
+                     jnp.asarray(probe_labels[i:i + batch])))
                  for i in range(0, len(probe), batch)]
     r = np.concatenate(all_ranks) if all_ranks else np.empty((0,), np.int64)
     return {

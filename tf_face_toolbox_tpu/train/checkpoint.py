@@ -128,10 +128,13 @@ def save_embeddings(path: str, embeddings, names=None) -> None:
             f.write(_EMB_BIN_MAGIC)
             f.write(np.asarray([n, d], "<i4").tobytes())
             f.write(np.ascontiguousarray(embeddings, "<f4").tobytes())
-    elif names is None:
-        np.save(path, embeddings)
+    elif ext == ".npz" or names is not None:
+        data = {"embeddings": embeddings}
+        if names is not None:
+            data["names"] = np.asarray(names)
+        np.savez(path, **data)
     else:
-        np.savez(path, embeddings=embeddings, names=np.asarray(names))
+        np.save(path, embeddings)
 
 
 def load_embeddings(path: str):
@@ -159,5 +162,6 @@ def load_embeddings(path: str):
         return emb.reshape(int(n), int(d)).copy(), None
     data = np.load(path, allow_pickle=False)
     if hasattr(data, "files"):
-        return data["embeddings"], data["names"]
+        names = data["names"] if "names" in data.files else None
+        return data["embeddings"], names
     return data, None
