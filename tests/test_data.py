@@ -255,6 +255,25 @@ def test_globalize_host_batches_single_process(tmp_path):
     np.testing.assert_array_equal(np.asarray(b["image"]), ref["image"])
 
 
+def test_globalize_host_batches_tuple_image(tmp_path):
+    """The DCT path's (coef, qtab) image tuple must globalize
+    element-wise (the multi-host adapter's tuple branch)."""
+    import jax
+    from tf_face_toolbox_tpu.parallel.mesh import (
+        create_mesh, globalize_host_batches)
+
+    coef = np.zeros((8, 2, 2, 3, 64), np.int16)
+    qtab = np.ones((8, 3, 64), np.uint16)
+    batches = iter([{"image": (coef, qtab),
+                     "label": np.arange(8, dtype=np.int32),
+                     "epoch": 0, "step": 0}])
+    b = next(globalize_host_batches(batches, create_mesh()))
+    assert isinstance(b["image"], tuple) and len(b["image"]) == 2
+    for got, want in zip(b["image"], (coef, qtab)):
+        assert isinstance(got, jax.Array)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
 def test_shard_writer_streaming(tmp_path):
     from tf_face_toolbox_tpu.data.format import ShardWriter, read_index, ShardReader
     path = str(tmp_path / "stream.faceshard")

@@ -1,0 +1,172 @@
+"""Serving daemon: fixed-batch service, dynamic batcher, HTTP e2e."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tf_face_toolbox_tpu.models import create_network, init_variables
+from tf_face_toolbox_tpu.serving.server import (
+    DynamicBatcher,
+    EmbeddingService,
+    serve,
+)
+
+SIZE, DIM, BATCH = 16, 8, 4
+
+
+@pytest.fixture(scope="module")
+def service():
+    net = create_network("resnet_tiny", embedding_dim=DIM,
+                         dtype=jnp.float32)
+    variables = init_variables(net, jax.random.key(0), (1, SIZE, SIZE, 3))
+    svc = EmbeddingService(net, variables, image_size=SIZE, batch=BATCH,
+                           dtype=jnp.float32)
+    svc.warmup()
+    return svc
+
+
+def _images(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (n, SIZE, SIZE, 3), dtype=np.uint8)
+
+
+def test_padding_does_not_leak_between_rows(service):
+    imgs = _images(4)
+    full = service.embed_batch(imgs)
+    np.testing.assert_allclose(np.linalg.norm(full, axis=1), 1.0,
+                               atol=1e-5)
+    two = service.embed_batch(imgs[:2])  # padded internally to 4
+    np.testing.assert_allclose(two, full[:2], atol=1e-5)
+    with pytest.raises(ValueError, match="service batch"):
+        service.embed_batch(_images(BATCH + 1))
+
+
+def test_dynamic_batcher_coalesces(service):
+    batcher = DynamicBatcher(service, max_wait_ms=100.0)
+    try:
+        imgs = _images(8, seed=1)
+        want = np.concatenate([service.embed_batch(imgs[:4]),
+                               service.embed_batch(imgs[4:])])
+        results = [None] * 8
+
+        def work(i):
+            results[i] = batcher.submit(imgs[i])
+
+        threads = [threading.Thread(target=work, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        got = np.stack(results)
+        # compare set-wise row to row (order of arrival is scheduler-
+        # dependent; rows themselves must match their own image)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        s = batcher.stats
+        assert s["requests"] == 8 and s["images"] == 8
+        assert s["device_calls"] < 8  # coalescing actually happened
+    finally:
+        batcher.close()
+
+
+def test_http_server_e2e(service):
+    from PIL import Image
+
+    batcher = DynamicBatcher(service, max_wait_ms=1.0)
+    server = serve(batcher, port=0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz") as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["batch"] == BATCH
+
+        img = _images(1, seed=2)[0]
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=95)
+        req = urllib.request.Request(f"{base}/embed", data=buf.getvalue(),
+                                     method="POST")
+        with urllib.request.urlopen(req) as r:
+            emb_jpeg = np.asarray(json.loads(r.read())["embedding"])
+        assert emb_jpeg.shape == (DIM,)
+        np.testing.assert_allclose(np.linalg.norm(emb_jpeg), 1.0,
+                                   atol=1e-4)
+
+        # npy payload path must agree with direct service output
+        buf = io.BytesIO()
+        np.save(buf, img)
+        req = urllib.request.Request(f"{base}/embed", data=buf.getvalue(),
+                                     method="POST")
+        with urllib.request.urlopen(req) as r:
+            emb_npy = np.asarray(json.loads(r.read())["embedding"])
+        want = service.embed_batch(img[None])[0]
+        np.testing.assert_allclose(emb_npy, want, atol=1e-5)
+
+        # malformed body → 400, server keeps serving
+        req = urllib.request.Request(f"{base}/embed", data=b"not an image",
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 400
+
+        with urllib.request.urlopen(f"{base}/stats") as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] >= 2
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
+@pytest.mark.slow
+def test_cli_serve_from_npz(tmp_path):
+    """cli.serve boots from an imported .npz and answers HTTP."""
+    import os
+    import re
+    import subprocess
+    import sys
+    import time
+
+    from tf_face_toolbox_tpu.interop.port import save_variables_npz
+
+    net = create_network("resnet_tiny", embedding_dim=DIM,
+                         dtype=jnp.float32)
+    variables = init_variables(net, jax.random.key(0), (1, SIZE, SIZE, 3))
+    npz = str(tmp_path / "vars.npz")
+    save_variables_npz(npz, variables)
+
+    env = dict(os.environ, TFFT_PLATFORM="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "tf_face_toolbox_tpu.cli.serve",
+         f"--variables_npz={npz}", "--network=resnet_tiny",
+         f"--embedding_dim={DIM}", f"--image_size={SIZE}",
+         "--nobf16", "--engine=flax", "--port=0", "--max_batch=2",
+         "--max_wait_ms=1"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env)
+    try:
+        line = ""
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "serving on" in line:
+                break
+        m = re.search(r"http://[\d.]+:(\d+)", line)
+        assert m, f"no serving line: {line!r}"
+        port = int(m.group(1))
+        buf = io.BytesIO()
+        np.save(buf, _images(1, seed=3)[0])
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/embed", data=buf.getvalue(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            emb = np.asarray(json.loads(r.read())["embedding"])
+        assert emb.shape == (DIM,)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)

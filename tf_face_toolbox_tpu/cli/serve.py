@@ -1,0 +1,111 @@
+"""Embedding serving daemon CLI.
+
+Loads a checkpoint (or imported .npz variables), warms ONE fixed-batch
+compiled extractor, and serves HTTP with dynamic request batching
+(serving/server.py):
+
+    python -m tf_face_toolbox_tpu.cli.serve \
+        --checkpoint_dir=/models/run --network=resnet_v1_50 \
+        --port=8000 --max_batch=64 --max_wait_ms=5
+
+    curl -s -X POST --data-binary @face.jpg localhost:8000/embed
+    curl -s localhost:8000/healthz ; curl -s localhost:8000/stats
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from absl import app, flags, logging
+
+FLAGS = flags.FLAGS
+
+flags.DEFINE_string("checkpoint_dir", "", "orbax train dir")
+flags.DEFINE_string("variables_npz", "",
+                    "serve imported variables (cli.import_tf1/keras) "
+                    "instead of a checkpoint")
+flags.DEFINE_string("network", "resnet_v1_50", "backbone name")
+flags.DEFINE_enum("stem", "face", ["face", "imagenet", "space2depth"],
+                  "backbone stem")
+flags.DEFINE_enum("head", "gap", ["gap", "flatten"], "embedding head")
+flags.DEFINE_integer("embedding_dim", 512, "embedding size")
+flags.DEFINE_integer("image_size", 112, "served input size")
+flags.DEFINE_bool("bf16", True, "bfloat16 compute")
+flags.DEFINE_bool("use_ema", False, "serve the EMA weights")
+flags.DEFINE_enum("engine", "auto", ["auto", "flax", "folded"],
+                  "eval forward: auto = BN-folded when applicable")
+flags.DEFINE_string("host", "127.0.0.1", "bind address")
+flags.DEFINE_integer("port", 8000, "bind port")
+flags.DEFINE_integer("max_batch", 64, "device batch (pad-to-batch)")
+flags.DEFINE_float("max_wait_ms", 5.0,
+                   "straggler wait after the first request of a batch")
+
+
+def main(argv):
+    del argv
+    from tf_face_toolbox_tpu.cli import setup_platform
+    setup_platform()
+
+    from tf_face_toolbox_tpu.serving.server import (
+        DynamicBatcher,
+        EmbeddingService,
+        serve,
+    )
+
+    dtype = jnp.bfloat16 if FLAGS.bf16 else jnp.float32
+    if bool(FLAGS.checkpoint_dir) == bool(FLAGS.variables_npz):
+        raise SystemExit(
+            "pass exactly one of --checkpoint_dir / --variables_npz")
+    if FLAGS.variables_npz:
+        import jax
+
+        from tf_face_toolbox_tpu.interop.port import load_variables_npz
+        from tf_face_toolbox_tpu.models import create_network
+
+        net = create_network(FLAGS.network,
+                             embedding_dim=FLAGS.embedding_dim,
+                             dtype=dtype, stem=FLAGS.stem,
+                             head_variant=FLAGS.head)
+        variables = jax.tree.map(jnp.asarray,
+                                 load_variables_npz(FLAGS.variables_npz))
+    else:
+        from tf_face_toolbox_tpu.cli.extract import load_variables
+
+        net, variables = load_variables(
+            FLAGS.checkpoint_dir, FLAGS.network, FLAGS.embedding_dim,
+            FLAGS.image_size, dtype, use_ema=FLAGS.use_ema,
+            stem=FLAGS.stem, head=FLAGS.head)
+
+    apply_fn = None
+    if FLAGS.engine != "flax":
+        from tf_face_toolbox_tpu.serving import make_serving_apply
+        try:
+            apply_fn = make_serving_apply(net, variables)
+        except ValueError as e:
+            if FLAGS.engine == "folded":
+                raise SystemExit(f"--engine folded: {e}") from e
+            logging.info("serving engine not applicable (%s); "
+                         "using net.apply", e)
+
+    service = EmbeddingService(net, variables,
+                               image_size=FLAGS.image_size,
+                               batch=FLAGS.max_batch,
+                               apply_fn=apply_fn, dtype=dtype)
+    logging.info("warming the b%d compiled extractor...", FLAGS.max_batch)
+    service.warmup()
+    batcher = DynamicBatcher(service, max_wait_ms=FLAGS.max_wait_ms)
+    server = serve(batcher, host=FLAGS.host, port=FLAGS.port)
+    print(f"serving on http://{FLAGS.host}:{server.server_address[1]} "
+          f"(batch={FLAGS.max_batch}, wait={FLAGS.max_wait_ms}ms)",
+          flush=True)
+    try:
+        import threading
+        threading.Event().wait()  # run until killed
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
+if __name__ == "__main__":
+    app.run(main)
