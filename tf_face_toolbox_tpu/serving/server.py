@@ -73,9 +73,12 @@ class EmbeddingService:
             (self.batch, self.image_size, self.image_size, 3), np.uint8)
         np.asarray(self._forward(self._variables, jnp.asarray(dummy)))
 
-    def embed_batch(self, images: "np.ndarray") -> np.ndarray:
-        """(N<=batch, H, W, 3) uint8 → (N, D) f32 unit-norm embeddings.
-        Pads to the fixed batch so the compiled program is reused."""
+    def dispatch_batch(self, images: "np.ndarray"):
+        """Async half of embed_batch: pad, enqueue the device call, and
+        return the (not-yet-materialized) device array — jax dispatch is
+        asynchronous, so the caller can overlap collection of the next
+        batch with this one's device round trip. Finish with
+        ``np.asarray(result)[:n]``."""
         n = images.shape[0]
         if n > self.batch:
             raise ValueError(f"{n} > service batch {self.batch}")
@@ -86,9 +89,13 @@ class EmbeddingService:
         if n < self.batch:
             pad = np.zeros((self.batch - n,) + images.shape[1:], np.uint8)
             images = np.concatenate([images, pad])
-        out = np.asarray(self._forward(self._variables,
-                                       jnp.asarray(images)))
-        return out[:n]
+        return self._forward(self._variables, jnp.asarray(images))
+
+    def embed_batch(self, images: "np.ndarray") -> np.ndarray:
+        """(N<=batch, H, W, 3) uint8 → (N, D) f32 unit-norm embeddings.
+        Pads to the fixed batch so the compiled program is reused."""
+        n = images.shape[0]
+        return np.asarray(self.dispatch_batch(images))[:n]
 
     def decode_request(self, body: bytes) -> np.ndarray:
         """One request body → (H, W, 3) uint8. JPEG/PNG bytes (PIL) or
@@ -120,20 +127,31 @@ class _Pending:
 class DynamicBatcher:
     """Coalesce concurrent single-image requests into device batches.
 
-    The worker drains the queue up to ``service.batch`` items; after the
-    first item of a batch arrives it waits at most ``max_wait_ms`` for
-    stragglers (classic serving knob: latency floor vs batch fill).
+    Two-stage pipeline: the *dispatch* worker drains the queue up to
+    ``service.batch`` items (after the first item of a batch it waits at
+    most ``max_wait_ms`` for stragglers — the classic latency-vs-fill
+    knob), pads, and enqueues the device call WITHOUT blocking (jax
+    dispatch is async); the *resolve* worker materializes results and
+    completes futures. Up to ``depth`` batches stay in flight, so the
+    next batch's collection and H2D overlap the previous batch's device
+    round trip — on remote/tunneled TPUs (RTT ≫ compute) this pipelining
+    is worth ~depth× sustained throughput; on a local chip it hides H2D.
     """
 
     def __init__(self, service: EmbeddingService, *,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, depth: int = 2):
         self.service = service
         self.max_wait = max_wait_ms / 1e3
         self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._inflight: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
         self._stop = threading.Event()
         self.stats = {"requests": 0, "device_calls": 0, "images": 0}
-        self._worker = threading.Thread(target=self._loop, daemon=True)
-        self._worker.start()
+        self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                            daemon=True)
+        self._resolver = threading.Thread(target=self._resolve_loop,
+                                          daemon=True)
+        self._dispatcher.start()
+        self._resolver.start()
 
     def submit(self, image: np.ndarray,
                timeout: float = 30.0) -> np.ndarray:
@@ -148,9 +166,10 @@ class DynamicBatcher:
 
     def close(self) -> None:
         self._stop.set()
-        self._worker.join(timeout=5)
+        self._dispatcher.join(timeout=5)
+        self._resolver.join(timeout=5)
 
-    def _loop(self) -> None:
+    def _dispatch_loop(self) -> None:
         while not self._stop.is_set():
             try:
                 first = self._q.get(timeout=0.1)
@@ -168,14 +187,30 @@ class DynamicBatcher:
                     break
             try:
                 images = np.stack([p.image for p in batch])
-                embs = self.service.embed_batch(images)
-                for p, e in zip(batch, embs):
-                    p.result = e
+                device_out = self.service.dispatch_batch(images)
             except Exception as e:  # surface per-request, keep serving
                 for p in batch:
                     p.error = e
+                    p.event.set()
+                continue
             self.stats["device_calls"] += 1
             self.stats["images"] += len(batch)
+            self._inflight.put((batch, device_out))  # bounded: applies
+            # backpressure when `depth` batches are already in flight
+
+    def _resolve_loop(self) -> None:
+        while not (self._stop.is_set() and self._inflight.empty()):
+            try:
+                batch, device_out = self._inflight.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
+                embs = np.asarray(device_out)[:len(batch)]
+                for p, e in zip(batch, embs):
+                    p.result = e
+            except Exception as e:
+                for p in batch:
+                    p.error = e
             for p in batch:
                 p.event.set()
 
