@@ -170,3 +170,73 @@ def test_cli_serve_from_npz(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+@pytest.mark.slow
+def test_cli_serve_static_int8(tmp_path):
+    """Daemon boots with --quant_mode=static: calibrates scales from a
+    shard at startup, serves int8, answers within cosine tolerance of
+    the fp service."""
+    import os
+    import re
+    import subprocess
+    import sys
+    import time
+
+    from PIL import Image
+
+    from tf_face_toolbox_tpu.data.format import pack_image_list
+    from tf_face_toolbox_tpu.interop.port import save_variables_npz
+
+    net = create_network("resnet_tiny", embedding_dim=DIM,
+                         dtype=jnp.float32)
+    variables = init_variables(net, jax.random.key(0), (1, SIZE, SIZE, 3))
+    npz = str(tmp_path / "vars.npz")
+    save_variables_npz(npz, variables)
+
+    rng = np.random.default_rng(5)
+    lines = []
+    for i in range(8):
+        arr = rng.integers(0, 256, (SIZE + 8, SIZE + 8, 3), np.uint8)
+        Image.fromarray(arr).save(str(tmp_path / f"c{i}.jpg"), "JPEG")
+        lines.append(f"c{i}.jpg 0\n")
+    (tmp_path / "list.txt").write_text("".join(lines))
+    shard = str(tmp_path / "cal.faceshard")
+    pack_image_list(str(tmp_path / "list.txt"), shard, root=str(tmp_path))
+
+    env = dict(os.environ, TFFT_PLATFORM="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "tf_face_toolbox_tpu.cli.serve",
+         f"--variables_npz={npz}", "--network=resnet_tiny",
+         f"--embedding_dim={DIM}", f"--image_size={SIZE}",
+         "--nobf16", "--port=0", "--max_batch=2", "--max_wait_ms=1",
+         "--quant_mode=static", f"--calibrate_data={shard}",
+         "--calibrate_batches=2"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env)
+    try:
+        line = ""
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "serving on" in line:
+                break
+        m = re.search(r"http://[\d.]+:(\d+)", line)
+        assert m, f"no serving line: {line!r}"
+        port = int(m.group(1))
+        img = _images(1, seed=6)[0]
+        buf = io.BytesIO()
+        np.save(buf, img)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/embed", data=buf.getvalue(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            emb8 = np.asarray(json.loads(r.read())["embedding"])
+        # int8-served embedding stays close to the fp service's
+        svc = EmbeddingService(net, variables, image_size=SIZE, batch=2,
+                               dtype=jnp.float32)
+        fp = svc.embed_batch(img[None])[0]
+        assert float(np.dot(emb8, fp)) > 0.97
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)

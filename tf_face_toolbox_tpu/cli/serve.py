@@ -33,6 +33,12 @@ flags.DEFINE_bool("bf16", True, "bfloat16 compute")
 flags.DEFINE_bool("use_ema", False, "serve the EMA weights")
 flags.DEFINE_enum("engine", "auto", ["auto", "flax", "folded"],
                   "eval forward: auto = BN-folded when applicable")
+flags.DEFINE_enum("quant_mode", "none", ["none", "dynamic", "static"],
+                  "int8 serving; static needs --calibrate_data")
+flags.DEFINE_string("calibrate_data", "",
+                    "FaceShard sampled for static-int8 scales at boot")
+flags.DEFINE_integer("calibrate_batches", 4,
+                     "calibration batches (of --max_batch)")
 flags.DEFINE_string("host", "127.0.0.1", "bind address")
 flags.DEFINE_integer("port", 8000, "bind port")
 flags.DEFINE_integer("max_batch", 64, "device batch (pad-to-batch)")
@@ -52,6 +58,10 @@ def main(argv):
     )
 
     dtype = jnp.bfloat16 if FLAGS.bf16 else jnp.float32
+    quant = False if FLAGS.quant_mode == "none" else FLAGS.quant_mode
+    if quant == "static" and not FLAGS.calibrate_data:
+        raise SystemExit("--quant_mode=static needs --calibrate_data "
+                         "(a shard sampled for activation scales)")
     if bool(FLAGS.checkpoint_dir) == bool(FLAGS.variables_npz):
         raise SystemExit(
             "pass exactly one of --checkpoint_dir / --variables_npz")
@@ -61,10 +71,12 @@ def main(argv):
         from tf_face_toolbox_tpu.interop.port import load_variables_npz
         from tf_face_toolbox_tpu.models import create_network
 
+        kwargs = dict(stem=FLAGS.stem, head_variant=FLAGS.head)
+        if quant:
+            kwargs["quantized"] = quant
         net = create_network(FLAGS.network,
                              embedding_dim=FLAGS.embedding_dim,
-                             dtype=dtype, stem=FLAGS.stem,
-                             head_variant=FLAGS.head)
+                             dtype=dtype, **kwargs)
         variables = jax.tree.map(jnp.asarray,
                                  load_variables_npz(FLAGS.variables_npz))
     else:
@@ -73,10 +85,26 @@ def main(argv):
         net, variables = load_variables(
             FLAGS.checkpoint_dir, FLAGS.network, FLAGS.embedding_dim,
             FLAGS.image_size, dtype, use_ema=FLAGS.use_ema,
-            stem=FLAGS.stem, head=FLAGS.head)
+            stem=FLAGS.stem, head=FLAGS.head, quantized=quant)
+
+    if quant == "static":
+        from tf_face_toolbox_tpu.data.pipeline import FaceShardSource
+        from tf_face_toolbox_tpu.extract import calibrate_on_shard
+
+        logging.info("calibrating static-int8 scales on %d batches "
+                     "of %s", FLAGS.calibrate_batches,
+                     FLAGS.calibrate_data)
+        variables = calibrate_on_shard(
+            FLAGS.network, variables,
+            FaceShardSource(FLAGS.calibrate_data),
+            image_size=FLAGS.image_size,
+            batch=min(FLAGS.max_batch, 128),
+            num_batches=FLAGS.calibrate_batches,
+            embedding_dim=FLAGS.embedding_dim, dtype=dtype,
+            stem=FLAGS.stem, head_variant=FLAGS.head)
 
     apply_fn = None
-    if FLAGS.engine != "flax":
+    if FLAGS.engine != "flax" and not quant:
         from tf_face_toolbox_tpu.serving import make_serving_apply
         try:
             apply_fn = make_serving_apply(net, variables)
@@ -85,6 +113,8 @@ def main(argv):
                 raise SystemExit(f"--engine folded: {e}") from e
             logging.info("serving engine not applicable (%s); "
                          "using net.apply", e)
+    elif FLAGS.engine == "folded" and quant:
+        raise SystemExit("--engine folded serves fp; int8 uses flax")
 
     service = EmbeddingService(net, variables,
                                image_size=FLAGS.image_size,
