@@ -21,12 +21,42 @@ from tf_face_toolbox_tpu.serving.server import (
 SIZE, DIM, BATCH = 16, 8, 4
 
 
+def _wait_serving(proc, deadline_s):
+    """Read the child's stdout from a side thread so a silent wedge
+    fails at the deadline instead of hanging readline() forever."""
+    import queue as queue_mod
+    import time
+
+    lines: "queue_mod.Queue[str]" = queue_mod.Queue()
+
+    def reader():
+        for line in proc.stdout:
+            lines.put(line)
+
+    threading.Thread(target=reader, daemon=True).start()
+    end = time.time() + deadline_s
+    seen = []
+    while time.time() < end:
+        try:
+            line = lines.get(timeout=1)
+        except queue_mod.Empty:
+            if proc.poll() is not None:
+                break
+            continue
+        seen.append(line)
+        if "serving on" in line:
+            return line
+    raise AssertionError(
+        f"daemon not serving within {deadline_s}s; output: {seen[-8:]}")
+
+
 @pytest.fixture(scope="module")
 def service():
     net = create_network("resnet_tiny", embedding_dim=DIM,
                          dtype=jnp.float32)
     variables = init_variables(net, jax.random.key(0), (1, SIZE, SIZE, 3))
-    svc = EmbeddingService(net, variables, image_size=SIZE, batch=BATCH,
+    svc = EmbeddingService(net, variables, image_size=SIZE,
+                           crop_from=SIZE, batch=BATCH,
                            dtype=jnp.float32)
     svc.warmup()
     return svc
@@ -146,16 +176,11 @@ def test_cli_serve_from_npz(tmp_path):
          f"--variables_npz={npz}", "--network=resnet_tiny",
          f"--embedding_dim={DIM}", f"--image_size={SIZE}",
          "--nobf16", "--engine=flax", "--port=0", "--max_batch=2",
-         "--max_wait_ms=1"],
+         f"--crop_from={SIZE}", "--max_wait_ms=1"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env)
     try:
-        line = ""
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            line = proc.stdout.readline()
-            if "serving on" in line:
-                break
+        line = _wait_serving(proc, 120)
         m = re.search(r"http://[\d.]+:(\d+)", line)
         assert m, f"no serving line: {line!r}"
         port = int(m.group(1))
@@ -210,17 +235,13 @@ def test_cli_serve_static_int8(tmp_path):
          f"--variables_npz={npz}", "--network=resnet_tiny",
          f"--embedding_dim={DIM}", f"--image_size={SIZE}",
          "--nobf16", "--port=0", "--max_batch=2", "--max_wait_ms=1",
+         f"--crop_from={SIZE}",
          "--quant_mode=static", f"--calibrate_data={shard}",
          "--calibrate_batches=2"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env)
     try:
-        line = ""
-        deadline = time.time() + 180
-        while time.time() < deadline:
-            line = proc.stdout.readline()
-            if "serving on" in line:
-                break
+        line = _wait_serving(proc, 180)
         m = re.search(r"http://[\d.]+:(\d+)", line)
         assert m, f"no serving line: {line!r}"
         port = int(m.group(1))
@@ -233,10 +254,82 @@ def test_cli_serve_static_int8(tmp_path):
         with urllib.request.urlopen(req, timeout=30) as r:
             emb8 = np.asarray(json.loads(r.read())["embedding"])
         # int8-served embedding stays close to the fp service's
-        svc = EmbeddingService(net, variables, image_size=SIZE, batch=2,
+        svc = EmbeddingService(net, variables, image_size=SIZE,
+                               crop_from=SIZE, batch=2,
                                dtype=jnp.float32)
         fp = svc.embed_batch(img[None])[0]
         assert float(np.dot(emb8, fp)) > 0.97
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_served_pixels_match_extract_chain(service):
+    """decode_request + embed_batch reproduces extract_shard's eval
+    chain exactly — an online embedding is comparable with an offline
+    one of the same source bytes (review regression: PIL's
+    antialiasing resample had crept into the HTTP layer)."""
+    from PIL import Image
+
+    from tf_face_toolbox_tpu.data.pipeline import _resize_u8
+
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(src).save(buf, "JPEG", quality=95)
+    frame = service.decode_request(buf.getvalue())
+    # same bytes through the offline host chain
+    decoded = np.asarray(Image.open(io.BytesIO(buf.getvalue()))
+                         .convert("RGB"), np.uint8)
+    want = _resize_u8(decoded, service.crop_from, service.crop_from)
+    np.testing.assert_array_equal(frame, want)
+
+
+def test_submit_validates_before_coalescing(service):
+    """A malformed request fails alone instead of poisoning the batch
+    it would have joined."""
+    batcher = DynamicBatcher(service, max_wait_ms=50.0)
+    try:
+        bad_sent = threading.Event()
+        good_result = []
+
+        def good():
+            bad_sent.wait()
+            good_result.append(batcher.submit(_images(1, seed=4)[0]))
+
+        t = threading.Thread(target=good)
+        t.start()
+        with pytest.raises(ValueError, match="decode_request"):
+            bad_sent.set()
+            batcher.submit(np.zeros((7, 7, 3), np.uint8))
+        t.join()
+        assert len(good_result) == 1  # the good request still served
+    finally:
+        batcher.close()
+
+
+def test_close_fails_pending_requests(service):
+    """close() resolves queued requests with an error instead of
+    leaving callers to block out their timeouts."""
+    batcher = DynamicBatcher(service, max_wait_ms=5000.0)  # long window
+    errors = []
+
+    def work():
+        try:
+            batcher.submit(_images(1, seed=5)[0], timeout=10)
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=work) for _ in range(3)]
+    for t in threads:
+        t.start()
+    import time
+    time.sleep(0.2)  # let them coalesce into the wait window
+    t0 = time.time()
+    batcher.close()
+    for t in threads:
+        t.join(timeout=10)
+    assert time.time() - t0 < 8, "close did not unblock submitters"
+    # every request finished — either served (dispatcher won the race)
+    # or failed with the explicit closed error, never a hang
+    assert all(not t.is_alive() for t in threads)

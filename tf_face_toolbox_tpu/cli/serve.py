@@ -29,6 +29,10 @@ flags.DEFINE_enum("stem", "face", ["face", "imagenet", "space2depth"],
 flags.DEFINE_enum("head", "gap", ["gap", "flatten"], "embedding head")
 flags.DEFINE_integer("embedding_dim", 512, "embedding size")
 flags.DEFINE_integer("image_size", 112, "served input size")
+flags.DEFINE_integer("crop_from", 0,
+                     "eval source scale (0 = image_size + 8; requests "
+                     "are resized here, then center-cropped on device "
+                     "— the same chain as cli.extract)")
 flags.DEFINE_bool("bf16", True, "bfloat16 compute")
 flags.DEFINE_bool("use_ema", False, "serve the EMA weights")
 flags.DEFINE_enum("engine", "auto", ["auto", "flax", "folded"],
@@ -97,7 +101,7 @@ def main(argv):
         variables = calibrate_on_shard(
             FLAGS.network, variables,
             FaceShardSource(FLAGS.calibrate_data),
-            image_size=FLAGS.image_size,
+            image_size=FLAGS.image_size, crop_from=FLAGS.crop_from,
             batch=min(FLAGS.max_batch, 128),
             num_batches=FLAGS.calibrate_batches,
             embedding_dim=FLAGS.embedding_dim, dtype=dtype,
@@ -118,6 +122,7 @@ def main(argv):
 
     service = EmbeddingService(net, variables,
                                image_size=FLAGS.image_size,
+                               crop_from=FLAGS.crop_from,
                                batch=FLAGS.max_batch,
                                apply_fn=apply_fn, dtype=dtype)
     logging.info("warming the b%d compiled extractor...", FLAGS.max_batch)

@@ -39,29 +39,38 @@ import jax.numpy as jnp
 class EmbeddingService:
     """Fixed-batch jitted extraction service.
 
+    The pixel chain is EXACTLY extract_shard's eval chain, so an
+    embedding served online is comparable with one extracted offline
+    (and with the scales static-int8 calibration fits): host decode +
+    half-pixel bilinear resize to ``crop_from`` (data.pipeline's
+    ``_resize_u8`` — NOT PIL's antialiasing resample), then on-device
+    center-crop to ``image_size`` + standardize (``preprocess_eval``).
     ``apply_fn(variables, images) -> embeddings`` is the eval forward
-    (net.apply or a serving-engine fold); images enter as uint8
-    ``(H, W, 3)`` of any size and are resized+standardized on device
-    (the eval chain of extract.py).
+    (net.apply or a serving-engine fold). Images enter
+    :meth:`embed_batch` as uint8 ``(crop_from, crop_from, 3)``;
+    :meth:`decode_request` produces that from raw JPEG/npy bytes.
     """
 
     def __init__(self, net, variables, *, image_size: int = 112,
-                 batch: int = 32, apply_fn: Callable | None = None,
-                 dtype=jnp.bfloat16):
+                 crop_from: int = 0, batch: int = 32,
+                 apply_fn: Callable | None = None, dtype=jnp.bfloat16):
         from tf_face_toolbox_tpu.extract import flip_averaged_embeddings
-        from tf_face_toolbox_tpu.ops.preprocess import (
-            preprocess_eval_resize)
+        from tf_face_toolbox_tpu.ops.preprocess import preprocess_eval
 
         if apply_fn is None:
             def apply_fn(v, x):
                 return net.apply(v, x, train=False)
         self.batch = int(batch)
         self.image_size = int(image_size)
+        self.crop_from = int(crop_from) or image_size + 8
+        if self.crop_from < image_size:
+            raise ValueError(f"crop_from ({self.crop_from}) must be "
+                             f">= image_size ({image_size})")
         self._variables = variables
 
         @jax.jit
         def forward(variables, images_u8):
-            x = preprocess_eval_resize(images_u8, image_size, image_size)
+            x = preprocess_eval(images_u8, image_size, image_size)
             x = x.astype(dtype)
             return flip_averaged_embeddings(apply_fn, variables, x)
 
@@ -70,8 +79,17 @@ class EmbeddingService:
     def warmup(self) -> None:
         """Compile the fixed-batch program before accepting traffic."""
         dummy = np.zeros(
-            (self.batch, self.image_size, self.image_size, 3), np.uint8)
+            (self.batch, self.crop_from, self.crop_from, 3), np.uint8)
         np.asarray(self._forward(self._variables, jnp.asarray(dummy)))
+
+    def validate(self, image: "np.ndarray") -> None:
+        """Raise unless `image` is one service-ready frame."""
+        if (getattr(image, "shape", None)
+                != (self.crop_from, self.crop_from, 3)):
+            raise ValueError(
+                f"image must be ({self.crop_from}, {self.crop_from}, 3) "
+                f"uint8 (got {getattr(image, 'shape', type(image))}); "
+                "use decode_request for raw bytes")
 
     def dispatch_batch(self, images: "np.ndarray"):
         """Async half of embed_batch: pad, enqueue the device call, and
@@ -82,38 +100,43 @@ class EmbeddingService:
         n = images.shape[0]
         if n > self.batch:
             raise ValueError(f"{n} > service batch {self.batch}")
-        if images.shape[1:3] != (self.image_size, self.image_size):
+        if images.shape[1:3] != (self.crop_from, self.crop_from):
             raise ValueError(
-                f"images must arrive pre-sized {self.image_size}² "
-                f"(got {images.shape[1:3]}); the HTTP layer resizes")
+                f"images must arrive at the eval source scale "
+                f"{self.crop_from}² (got {images.shape[1:3]}); "
+                "decode_request produces it from raw bytes")
         if n < self.batch:
             pad = np.zeros((self.batch - n,) + images.shape[1:], np.uint8)
             images = np.concatenate([images, pad])
         return self._forward(self._variables, jnp.asarray(images))
 
     def embed_batch(self, images: "np.ndarray") -> np.ndarray:
-        """(N<=batch, H, W, 3) uint8 → (N, D) f32 unit-norm embeddings.
-        Pads to the fixed batch so the compiled program is reused."""
+        """(N<=batch, crop_from, crop_from, 3) uint8 → (N, D) f32
+        unit-norm embeddings. Pads to the fixed batch so the compiled
+        program is reused."""
         n = images.shape[0]
         return np.asarray(self.dispatch_batch(images))[:n]
 
     def decode_request(self, body: bytes) -> np.ndarray:
-        """One request body → (H, W, 3) uint8. JPEG/PNG bytes (PIL) or
-        a .npy payload (magic-sniffed)."""
-        from PIL import Image
+        """One request body → (crop_from, crop_from, 3) uint8, through
+        the SAME host chain as extract (PIL decode + half-pixel
+        bilinear ``_resize_u8``; PIL's antialiasing resample would
+        diverge from the training/eval pixels). Accepts JPEG/PNG bytes
+        or a .npy payload (magic-sniffed)."""
+        from tf_face_toolbox_tpu.data.pipeline import (
+            _decode_jpeg,
+            _resize_u8,
+        )
 
         if body[:6] == b"\x93NUMPY":
             arr = np.load(io.BytesIO(body), allow_pickle=False)
             if arr.ndim != 3 or arr.shape[-1] != 3:
                 raise ValueError(f"npy payload must be (H, W, 3), "
                                  f"got {arr.shape}")
-            img = Image.fromarray(arr.astype(np.uint8))
+            arr = arr.astype(np.uint8)
         else:
-            img = Image.open(io.BytesIO(body)).convert("RGB")
-        if img.size != (self.image_size, self.image_size):
-            img = img.resize((self.image_size, self.image_size),
-                             Image.BILINEAR)
-        return np.asarray(img, np.uint8)
+            arr = _decode_jpeg(body)
+        return _resize_u8(arr, self.crop_from, self.crop_from)
 
 
 @dataclass
@@ -145,7 +168,8 @@ class DynamicBatcher:
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._inflight: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
         self._stop = threading.Event()
-        self.stats = {"requests": 0, "device_calls": 0, "images": 0}
+        self._stats_mu = threading.Lock()
+        self._stats = {"requests": 0, "device_calls": 0, "images": 0}
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             daemon=True)
         self._resolver = threading.Thread(target=self._resolve_loop,
@@ -153,10 +177,25 @@ class DynamicBatcher:
         self._dispatcher.start()
         self._resolver.start()
 
+    @property
+    def stats(self) -> dict:
+        with self._stats_mu:
+            return dict(self._stats)
+
+    def _count(self, **deltas) -> None:
+        with self._stats_mu:
+            for key, d in deltas.items():
+                self._stats[key] += d
+
     def submit(self, image: np.ndarray,
                timeout: float = 30.0) -> np.ndarray:
+        # validate BEFORE coalescing: a malformed request must fail
+        # alone, not poison the batch it would have joined
+        self.service.validate(image)
+        if self._stop.is_set():
+            raise RuntimeError("batcher is closed")
         p = _Pending(image=image)
-        self.stats["requests"] += 1
+        self._count(requests=1)
         self._q.put(p)
         if not p.event.wait(timeout):
             raise TimeoutError("embedding request timed out")
@@ -166,8 +205,20 @@ class DynamicBatcher:
 
     def close(self) -> None:
         self._stop.set()
-        self._dispatcher.join(timeout=5)
-        self._resolver.join(timeout=5)
+        self._dispatcher.join(timeout=10)
+        self._resolver.join(timeout=10)
+        # fail anything still pending instead of leaving callers to
+        # block out their submit timeouts
+        for q in (self._q, self._inflight):
+            while True:
+                try:
+                    item = q.get_nowait()
+                except queue.Empty:
+                    break
+                pendings = [item] if isinstance(item, _Pending) else item[0]
+                for p in pendings:
+                    p.error = RuntimeError("batcher closed")
+                    p.event.set()
 
     def _dispatch_loop(self) -> None:
         while not self._stop.is_set():
@@ -193,16 +244,31 @@ class DynamicBatcher:
                     p.error = e
                     p.event.set()
                 continue
-            self.stats["device_calls"] += 1
-            self.stats["images"] += len(batch)
-            self._inflight.put((batch, device_out))  # bounded: applies
-            # backpressure when `depth` batches are already in flight
+            self._count(device_calls=1, images=len(batch))
+            # bounded put = backpressure at `depth` in-flight batches;
+            # poll so shutdown can't wedge on a full queue
+            while True:
+                try:
+                    self._inflight.put((batch, device_out), timeout=0.1)
+                    break
+                except queue.Full:
+                    if self._stop.is_set() and not \
+                            self._resolver.is_alive():
+                        for p in batch:
+                            p.error = RuntimeError("batcher closed")
+                            p.event.set()
+                        break
 
     def _resolve_loop(self) -> None:
-        while not (self._stop.is_set() and self._inflight.empty()):
+        while True:
             try:
                 batch, device_out = self._inflight.get(timeout=0.1)
             except queue.Empty:
+                # exit only when no more batches can arrive: stop set
+                # AND the dispatcher is done (else a just-dispatched
+                # batch could be orphaned between put and our get)
+                if self._stop.is_set() and not self._dispatcher.is_alive():
+                    return
                 continue
             try:
                 embs = np.asarray(device_out)[:len(batch)]
@@ -229,12 +295,15 @@ def serve(batcher: DynamicBatcher, *, host: str = "127.0.0.1",
             pass
 
         def _reply(self, code: int, payload: dict) -> None:
-            body = json.dumps(payload).encode()
-            self.send_response(code)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            try:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except (BrokenPipeError, ConnectionError):
+                pass  # client went away; nothing to tell it
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -256,10 +325,16 @@ def serve(batcher: DynamicBatcher, *, host: str = "127.0.0.1",
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 image = service.decode_request(self.rfile.read(n))
-                emb = batcher.submit(image)
-                self._reply(200, {"embedding": emb.tolist()})
-            except Exception as e:  # noqa: BLE001 — per-request error
+            except Exception as e:  # malformed payload → client error
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            try:
+                emb = batcher.submit(image)
+            except Exception as e:  # device/backlog fault → server error
+                self._reply(503 if isinstance(e, TimeoutError) else 500,
+                            {"error": f"{type(e).__name__}: {e}"})
+                return
+            self._reply(200, {"embedding": emb.tolist()})
 
     server = ThreadingHTTPServer((host, port), Handler)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
