@@ -288,3 +288,68 @@ def test_shard_writer_streaming(tmp_path):
     # temp files cleaned up
     assert not any(f.endswith(".tmp") for f in
                    __import__("os").listdir(tmp_path))
+
+
+def test_truncation_fuzz_both_readers(tmp_path):
+    """Every truncation of a valid shard must fail CLEANLY in both the
+    Python reader and the native C++ loader — an exception or per-
+    record failure, never a crash/hang/silent short read (production
+    shards live on networks; partial copies happen)."""
+    from PIL import Image
+    import io as io_mod
+
+    from tf_face_toolbox_tpu.data import native
+    from tf_face_toolbox_tpu.data.format import (
+        PAYLOAD_JPEG, read_index, ShardReader, write_shard)
+
+    rng = np.random.default_rng(3)
+    blobs = []
+    for i in range(6):
+        buf = io_mod.BytesIO()
+        Image.fromarray(rng.integers(0, 256, (16, 16, 3), np.uint8)
+                        ).save(buf, "JPEG", quality=90)
+        blobs.append(buf.getvalue())
+    path = str(tmp_path / "full.faceshard")
+    write_shard(path, blobs, list(range(6)), payload=PAYLOAD_JPEG)
+    full = open(path, "rb").read()
+
+    cuts = sorted(set(
+        list(range(0, 40, 7))                       # inside the header
+        + list(rng.integers(40, len(full), 25))     # index/payload
+        + [len(full) - 1]))
+    trunc = str(tmp_path / "trunc.faceshard")
+    for cut in cuts:
+        open(trunc, "wb").write(full[:cut])
+        # Python reader: any Exception is fine; wrong pixels are not
+        try:
+            idx = read_index(trunc)
+            reader = ShardReader(idx)
+            for i in range(int(idx.count)):
+                blob = reader.blob(i)
+                decoded = np.asarray(
+                    Image.open(io_mod.BytesIO(blob)).convert("RGB"))
+                assert decoded.shape == (16, 16, 3)
+        except Exception:
+            pass
+        # Native loader: fs_open rejects, or decode reports failures
+        if native.native_available():
+            try:
+                r = native.NativeShardReader(trunc, num_threads=0)
+            except OSError:
+                continue
+            try:
+                with np.testing.assert_raises(Exception):
+                    out = r.decode_batch(range(r.count), 16, 16)
+                    # if it decodes, it must be byte-identical to the
+                    # full shard's decode (no silent short reads)
+                    rf = native.NativeShardReader(path, num_threads=0)
+                    try:
+                        np.testing.assert_array_equal(
+                            out, rf.decode_batch(range(6), 16, 16))
+                    finally:
+                        rf.close()
+                    raise RuntimeError("clean")  # exits the context
+            except AssertionError:
+                pass  # decoded AND matched: also acceptable
+            finally:
+                r.close()

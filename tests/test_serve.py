@@ -333,3 +333,34 @@ def test_close_fails_pending_requests(service):
     # every request finished — either served (dispatcher won the race)
     # or failed with the explicit closed error, never a hang
     assert all(not t.is_alive() for t in threads)
+
+
+def test_http_embed_batch_endpoint(service):
+    """/embed_batch: bulk npy (N,H,W,3) in, N embeddings out, chunked
+    through the fixed-batch program; agrees with per-image /embed."""
+    batcher = DynamicBatcher(service, max_wait_ms=1.0)
+    server = serve(batcher, port=0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        imgs = _images(BATCH + 3, seed=8)  # forces chunking
+        buf = io.BytesIO()
+        np.save(buf, imgs)
+        req = urllib.request.Request(f"{base}/embed_batch",
+                                     data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            embs = np.asarray(json.loads(r.read())["embeddings"])
+        assert embs.shape == (BATCH + 3, DIM)
+        want = np.concatenate([service.embed_batch(imgs[:BATCH]),
+                               service.embed_batch(imgs[BATCH:])])
+        np.testing.assert_allclose(embs, want, atol=1e-5)
+        # malformed: 3-d payload is a client error
+        buf = io.BytesIO()
+        np.save(buf, imgs[0])
+        req = urllib.request.Request(f"{base}/embed_batch",
+                                     data=buf.getvalue(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 400
+    finally:
+        server.shutdown()
+        batcher.close()

@@ -123,20 +123,24 @@ class EmbeddingService:
         bilinear ``_resize_u8``; PIL's antialiasing resample would
         diverge from the training/eval pixels). Accepts JPEG/PNG bytes
         or a .npy payload (magic-sniffed)."""
-        from tf_face_toolbox_tpu.data.pipeline import (
-            _decode_jpeg,
-            _resize_u8,
-        )
+        from tf_face_toolbox_tpu.data.pipeline import _decode_jpeg
 
         if body[:6] == b"\x93NUMPY":
             arr = np.load(io.BytesIO(body), allow_pickle=False)
             if arr.ndim != 3 or arr.shape[-1] != 3:
                 raise ValueError(f"npy payload must be (H, W, 3), "
                                  f"got {arr.shape}")
-            arr = arr.astype(np.uint8)
         else:
             arr = _decode_jpeg(body)
-        return _resize_u8(arr, self.crop_from, self.crop_from)
+        return self.decode_array(arr)
+
+    def decode_array(self, arr: "np.ndarray") -> np.ndarray:
+        """(H, W, 3) array → service-ready (crop_from, crop_from, 3)
+        uint8 via the extract-chain host resize."""
+        from tf_face_toolbox_tpu.data.pipeline import _resize_u8
+
+        return _resize_u8(np.asarray(arr, np.uint8),
+                          self.crop_from, self.crop_from)
 
 
 @dataclass
@@ -319,22 +323,42 @@ def serve(batcher: DynamicBatcher, *, host: str = "127.0.0.1",
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/embed":
+            if self.path not in ("/embed", "/embed_batch"):
                 self._reply(404, {"error": "unknown path"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                image = service.decode_request(self.rfile.read(n))
+                body = self.rfile.read(n)
+                if self.path == "/embed_batch":
+                    # bulk: .npy (N, H, W, 3) uint8, chunked through
+                    # the fixed-batch program directly (no coalescing
+                    # needed — the client already batched)
+                    arr = np.load(io.BytesIO(body), allow_pickle=False)
+                    if arr.ndim != 4 or arr.shape[-1] != 3:
+                        raise ValueError(
+                            f"npy payload must be (N, H, W, 3), "
+                            f"got {arr.shape}")
+                    images = np.stack([
+                        service.decode_array(a) for a in arr])
+                else:
+                    images = service.decode_request(body)[None]
             except Exception as e:  # malformed payload → client error
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
                 return
             try:
-                emb = batcher.submit(image)
+                if self.path == "/embed_batch":
+                    outs = [service.embed_batch(
+                                images[i:i + service.batch])
+                            for i in range(0, len(images),
+                                           service.batch)]
+                    embs = np.concatenate(outs)
+                    self._reply(200, {"embeddings": embs.tolist()})
+                else:
+                    emb = batcher.submit(images[0])
+                    self._reply(200, {"embedding": emb.tolist()})
             except Exception as e:  # device/backlog fault → server error
                 self._reply(503 if isinstance(e, TimeoutError) else 500,
                             {"error": f"{type(e).__name__}: {e}"})
-                return
-            self._reply(200, {"embedding": emb.tolist()})
 
     server = ThreadingHTTPServer((host, port), Handler)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
