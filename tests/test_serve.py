@@ -28,14 +28,15 @@ def _wait_serving(proc, deadline_s):
     import time
 
     lines: "queue_mod.Queue[str]" = queue_mod.Queue()
+    proc.captured = []  # the reader owns the pipe; tests read this
 
     def reader():
         for line in proc.stdout:
+            proc.captured.append(line)
             lines.put(line)
 
     threading.Thread(target=reader, daemon=True).start()
     end = time.time() + deadline_s
-    seen = []
     while time.time() < end:
         try:
             line = lines.get(timeout=1)
@@ -43,11 +44,11 @@ def _wait_serving(proc, deadline_s):
             if proc.poll() is not None:
                 break
             continue
-        seen.append(line)
         if "serving on" in line:
             return line
     raise AssertionError(
-        f"daemon not serving within {deadline_s}s; output: {seen[-8:]}")
+        f"daemon not serving within {deadline_s}s; "
+        f"output: {proc.captured[-8:]}")
 
 
 @pytest.fixture(scope="module")
@@ -148,6 +149,8 @@ def test_http_server_e2e(service):
         with urllib.request.urlopen(f"{base}/stats") as r:
             stats = json.loads(r.read())
         assert stats["requests"] >= 2
+        lat = stats["latency_ms"]
+        assert 0 < lat["p50"] <= lat["p95"] <= lat["p99"]
     finally:
         server.shutdown()
         batcher.close()
@@ -192,9 +195,19 @@ def test_cli_serve_from_npz(tmp_path):
         with urllib.request.urlopen(req, timeout=30) as r:
             emb = np.asarray(json.loads(r.read())["embedding"])
         assert emb.shape == (DIM,)
-    finally:
+        # graceful drain: SIGTERM completes in-flight work and exits 0
         proc.terminate()
-        proc.wait(timeout=10)
+        assert proc.wait(timeout=30) == 0
+        deadline = time.time() + 5  # reader thread flushes the tail
+        while time.time() < deadline and not any(
+                "drained; bye" in ln for ln in proc.captured):
+            time.sleep(0.1)
+        assert any("drained; bye" in ln for ln in proc.captured), (
+            proc.captured[-8:])
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=10)
 
 
 @pytest.mark.slow

@@ -132,14 +132,20 @@ def main(argv):
     print(f"serving on http://{FLAGS.host}:{server.server_address[1]} "
           f"(batch={FLAGS.max_batch}, wait={FLAGS.max_wait_ms}ms)",
           flush=True)
-    try:
-        import threading
-        threading.Event().wait()  # run until killed
-    except KeyboardInterrupt:
-        pass
-    finally:
-        server.shutdown()
-        batcher.close()
+    import signal
+    import threading
+
+    stop = threading.Event()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda *_: stop.set())
+    stop.wait()
+    # graceful drain for rolling restarts: stop accepting, let running
+    # handlers finish against the still-live batcher, then shut it down
+    logging.info("draining: no new connections; completing in-flight")
+    server.shutdown()      # stop the accept loop
+    server.server_close()  # joins active handler threads
+    batcher.close()
+    print("drained; bye", flush=True)
 
 
 if __name__ == "__main__":

@@ -22,6 +22,7 @@ CLI: ``python -m tf_face_toolbox_tpu.cli.serve --checkpoint_dir=... --port=...``
 
 from __future__ import annotations
 
+import collections
 import io
 import json
 import queue
@@ -174,6 +175,9 @@ class DynamicBatcher:
         self._stop = threading.Event()
         self._stats_mu = threading.Lock()
         self._stats = {"requests": 0, "device_calls": 0, "images": 0}
+        # ring of recent request latencies (seconds) for percentiles
+        self._latencies: collections.deque = collections.deque(
+            maxlen=2048)
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             daemon=True)
         self._resolver = threading.Thread(target=self._resolve_loop,
@@ -184,7 +188,17 @@ class DynamicBatcher:
     @property
     def stats(self) -> dict:
         with self._stats_mu:
-            return dict(self._stats)
+            out = dict(self._stats)
+            lats = sorted(self._latencies)
+        if lats:
+            pick = lambda q: lats[min(len(lats) - 1,  # noqa: E731
+                                      int(q * len(lats)))]
+            out["latency_ms"] = {
+                "p50": round(1e3 * pick(0.50), 2),
+                "p95": round(1e3 * pick(0.95), 2),
+                "p99": round(1e3 * pick(0.99), 2),
+            }
+        return out
 
     def _count(self, **deltas) -> None:
         with self._stats_mu:
@@ -200,11 +214,14 @@ class DynamicBatcher:
             raise RuntimeError("batcher is closed")
         p = _Pending(image=image)
         self._count(requests=1)
+        t0 = time.monotonic()
         self._q.put(p)
         if not p.event.wait(timeout):
             raise TimeoutError("embedding request timed out")
         if p.error is not None:
             raise p.error
+        with self._stats_mu:
+            self._latencies.append(time.monotonic() - t0)
         return p.result
 
     def close(self) -> None:
