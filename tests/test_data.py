@@ -313,6 +313,13 @@ def test_truncation_fuzz_both_readers(tmp_path):
     write_shard(path, blobs, list(range(6)), payload=PAYLOAD_JPEG)
     full = open(path, "rb").read()
 
+    rf = native.NativeShardReader(path, num_threads=0) \
+        if native.native_available() else None
+    full_decode = (rf.decode_batch(list(range(6)), 16, 16)
+                   if rf else None)
+    if rf:
+        rf.close()
+
     cuts = sorted(set(
         list(range(0, 40, 7))                       # inside the header
         + list(rng.integers(40, len(full), 25))     # index/payload
@@ -320,36 +327,46 @@ def test_truncation_fuzz_both_readers(tmp_path):
     trunc = str(tmp_path / "trunc.faceshard")
     for cut in cuts:
         open(trunc, "wb").write(full[:cut])
-        # Python reader: any Exception is fine; wrong pixels are not
+        # Python reader: reading the index/blobs may fail (clean); a
+        # blob that comes back SHORTER than the original must then
+        # fail to decode — a short blob decoding "fine" would be the
+        # silent-corruption case this test exists to catch
         try:
             idx = read_index(trunc)
             reader = ShardReader(idx)
-            for i in range(int(idx.count)):
-                blob = reader.blob(i)
-                decoded = np.asarray(
-                    Image.open(io_mod.BytesIO(blob)).convert("RGB"))
-                assert decoded.shape == (16, 16, 3)
+            got_blobs = [reader.blob(i) for i in range(int(idx.count))]
         except Exception:
-            pass
-        # Native loader: fs_open rejects, or decode reports failures
+            got_blobs = None  # clean refusal
+        if got_blobs is not None:
+            for i, blob in enumerate(got_blobs):
+                if blob == blobs[i]:
+                    continue  # record untouched by this cut
+                try:
+                    got_px = np.asarray(Image.open(
+                        io_mod.BytesIO(blob)).convert("RGB"))
+                except Exception:
+                    continue  # clean decode failure
+                # decoder leniency is only acceptable if the pixels
+                # are STILL the original's — else silent corruption
+                want_px = np.asarray(Image.open(
+                    io_mod.BytesIO(blobs[i])).convert("RGB"))
+                np.testing.assert_array_equal(
+                    got_px, want_px,
+                    err_msg=f"cut={cut}: blob {i} decoded to wrong "
+                            "pixels silently")
+        # Native loader: fs_open rejects, decode reports failures, or —
+        # only if every record was untouched — pixels match exactly
         if native.native_available():
             try:
                 r = native.NativeShardReader(trunc, num_threads=0)
             except OSError:
-                continue
+                continue  # clean open-time rejection
             try:
-                with np.testing.assert_raises(Exception):
-                    out = r.decode_batch(range(r.count), 16, 16)
-                    # if it decodes, it must be byte-identical to the
-                    # full shard's decode (no silent short reads)
-                    rf = native.NativeShardReader(path, num_threads=0)
-                    try:
-                        np.testing.assert_array_equal(
-                            out, rf.decode_batch(range(6), 16, 16))
-                    finally:
-                        rf.close()
-                    raise RuntimeError("clean")  # exits the context
-            except AssertionError:
-                pass  # decoded AND matched: also acceptable
+                out = r.decode_batch(list(range(r.count)), 16, 16)
+            except ValueError:
+                continue  # clean per-record failure report
             finally:
                 r.close()
+            np.testing.assert_array_equal(
+                out, full_decode,
+                err_msg=f"cut={cut}: silent short read in native decode")

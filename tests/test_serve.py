@@ -352,7 +352,7 @@ def test_http_embed_batch_endpoint(service):
     """/embed_batch: bulk npy (N,H,W,3) in, N embeddings out, chunked
     through the fixed-batch program; agrees with per-image /embed."""
     batcher = DynamicBatcher(service, max_wait_ms=1.0)
-    server = serve(batcher, port=0)
+    server = serve(batcher, port=0, max_body_mb=1)
     base = f"http://127.0.0.1:{server.server_address[1]}"
     try:
         imgs = _images(BATCH + 3, seed=8)  # forces chunking
@@ -374,6 +374,19 @@ def test_http_embed_batch_endpoint(service):
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(req)
         assert exc.value.code == 400
+        # bulk traffic shows up in /stats (requests, images, latency)
+        with urllib.request.urlopen(f"{base}/stats") as r:
+            stats = json.loads(r.read())
+        assert stats["images"] >= BATCH + 3 and "latency_ms" in stats
+        # body cap: an over-limit payload gets 413, not an OOM attempt
+        big = np.zeros((40, 128, 128, 3), np.uint8)  # ~1.9 MB > 1 MB
+        buf = io.BytesIO()
+        np.save(buf, big)
+        req = urllib.request.Request(f"{base}/embed_batch",
+                                     data=buf.getvalue(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 413
     finally:
         server.shutdown()
         batcher.close()

@@ -142,8 +142,13 @@ def main(argv):
     # graceful drain for rolling restarts: stop accepting, let running
     # handlers finish against the still-live batcher, then shut it down
     logging.info("draining: no new connections; completing in-flight")
-    server.shutdown()      # stop the accept loop
-    server.server_close()  # joins active handler threads
+    server.shutdown()           # stop the accept loop
+    # server_close does NOT join daemon handler threads (py3.12);
+    # wait_idle tracks in-flight requests explicitly, against the
+    # still-live batcher so they complete normally
+    if not server.wait_idle(timeout=30):
+        logging.warning("drain timeout: abandoning stuck handlers")
+    server.server_close()
     batcher.close()
     print("drained; bye", flush=True)
 

@@ -15,7 +15,9 @@ coalescing, so this module provides the missing deployment piece:
   instead of the ~100/sec a batch=1 loop would manage.
 - ``serve()``: a threaded HTTP front-end (stdlib http.server — no new
   dependencies): POST /embed (body: JPEG or raw npy) → JSON embedding;
-  GET /healthz; GET /stats (requests, device calls, mean batch fill).
+  POST /embed_batch (npy (N, H, W, 3) → N embeddings, chunks
+  pipeline-dispatched); GET /healthz; GET /stats (requests, device
+  calls, mean batch fill, p50/p95/p99 latency).
 
 CLI: ``python -m tf_face_toolbox_tpu.cli.serve --checkpoint_dir=... --port=...``
 """
@@ -216,13 +218,25 @@ class DynamicBatcher:
         self._count(requests=1)
         t0 = time.monotonic()
         self._q.put(p)
-        if not p.event.wait(timeout):
+        ok = p.event.wait(timeout)
+        # record latency for EVERY outcome: a timed-out request is
+        # exactly the tail p99 must expose, not a survivorship gap
+        with self._stats_mu:
+            self._latencies.append(time.monotonic() - t0)
+        if not ok:
             raise TimeoutError("embedding request timed out")
         if p.error is not None:
             raise p.error
-        with self._stats_mu:
-            self._latencies.append(time.monotonic() - t0)
         return p.result
+
+    def record_bulk(self, *, images: int, device_calls: int,
+                    elapsed: float) -> None:
+        """Fold a bulk (/embed_batch) request into the stats so /stats
+        reflects bulk traffic too."""
+        self._count(requests=1, images=images,
+                    device_calls=device_calls)
+        with self._stats_mu:
+            self._latencies.append(elapsed)
 
     def close(self) -> None:
         self._stop.set()
@@ -303,13 +317,20 @@ class DynamicBatcher:
 
 
 def serve(batcher: DynamicBatcher, *, host: str = "127.0.0.1",
-          port: int = 0):
+          port: int = 0, max_body_mb: int = 64):
     """Start the HTTP front-end; returns the (running) HTTPServer.
-    Caller owns shutdown(). Endpoints: POST /embed, GET /healthz,
+    Caller owns shutdown(); call ``server.wait_idle(timeout)`` after
+    shutdown() to let in-flight handlers finish (the stdlib's
+    ``server_close`` does NOT join daemon handler threads — verified on
+    py3.12). Endpoints: POST /embed, POST /embed_batch (npy
+    (N, H, W, 3); bodies over ``max_body_mb`` get 413), GET /healthz,
     GET /stats."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     service = batcher.service
+    max_body = max_body_mb * (1 << 20)
+    inflight = {"n": 0}
+    inflight_cv = threading.Condition()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet; stats endpoint instead
@@ -340,16 +361,38 @@ def serve(batcher: DynamicBatcher, *, host: str = "127.0.0.1",
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
+            with inflight_cv:
+                inflight["n"] += 1
+            try:
+                self._do_post()
+            finally:
+                with inflight_cv:
+                    inflight["n"] -= 1
+                    inflight_cv.notify_all()
+
+        def _do_post(self):
             if self.path not in ("/embed", "/embed_batch"):
                 self._reply(404, {"error": "unknown path"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > max_body:
+                    # drain in bounded chunks (never materialized) so
+                    # the client can finish sending and read the 413
+                    # instead of hitting a broken pipe
+                    remaining = n
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(1 << 20, remaining))
+                        if not chunk:
+                            break
+                        remaining -= len(chunk)
+                    self._reply(413, {"error": f"body {n} bytes > "
+                                               f"{max_body_mb} MiB cap"})
+                    return
                 body = self.rfile.read(n)
                 if self.path == "/embed_batch":
-                    # bulk: .npy (N, H, W, 3) uint8, chunked through
-                    # the fixed-batch program directly (no coalescing
-                    # needed — the client already batched)
+                    # bulk: .npy (N, H, W, 3) uint8 — the client
+                    # already batched, so no coalescing needed
                     arr = np.load(io.BytesIO(body), allow_pickle=False)
                     if arr.ndim != 4 or arr.shape[-1] != 3:
                         raise ValueError(
@@ -364,11 +407,21 @@ def serve(batcher: DynamicBatcher, *, host: str = "127.0.0.1",
                 return
             try:
                 if self.path == "/embed_batch":
-                    outs = [service.embed_batch(
-                                images[i:i + service.batch])
-                            for i in range(0, len(images),
-                                           service.batch)]
-                    embs = np.concatenate(outs)
+                    t0 = time.monotonic()
+                    # dispatch every chunk BEFORE materializing any:
+                    # the device round trips overlap (same pipelining
+                    # as the batcher's dispatch→resolve split)
+                    spans = [(i, min(i + service.batch, len(images)))
+                             for i in range(0, len(images),
+                                            service.batch)]
+                    outs = [service.dispatch_batch(images[a:b])
+                            for a, b in spans]
+                    embs = np.concatenate(
+                        [np.asarray(o)[:b - a]
+                         for o, (a, b) in zip(outs, spans)])
+                    batcher.record_bulk(
+                        images=len(images), device_calls=len(spans),
+                        elapsed=time.monotonic() - t0)
                     self._reply(200, {"embeddings": embs.tolist()})
                 else:
                     emb = batcher.submit(images[0])
@@ -378,6 +431,20 @@ def serve(batcher: DynamicBatcher, *, host: str = "127.0.0.1",
                             {"error": f"{type(e).__name__}: {e}"})
 
     server = ThreadingHTTPServer((host, port), Handler)
+
+    def wait_idle(timeout: float = 30.0) -> bool:
+        """Block until no handler is mid-request (call after
+        shutdown()); True if drained within `timeout`."""
+        deadline = time.monotonic() + timeout
+        with inflight_cv:
+            while inflight["n"] > 0:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                inflight_cv.wait(remaining)
+        return True
+
+    server.wait_idle = wait_idle
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server
