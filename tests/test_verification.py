@@ -93,3 +93,61 @@ def test_identification_rank_k():
     wrong = (p_labels + 1) % 6
     assert identification_rank_k(gallery, g_labels, probe, wrong, k=1) == 0.0
     assert identification_rank_k(gallery, g_labels, probe, wrong, k=6) == 1.0
+
+
+def test_tar_at_far_hand_oracle():
+    from tf_face_toolbox_tpu.ops.verification import tar_at_far
+
+    neg = np.array([.9, .8, .7, .6, .5, .4, .3, .2, .1, .0])
+    pos = np.array([.95, .85, .75, .65, .55])
+    sims = np.concatenate([pos, neg])
+    labels = np.concatenate([np.ones(5, int), np.zeros(10, int)])
+    r = tar_at_far(sims, labels, fars=(0.1, 0.2, 0.01, 1.0))
+    # far=0.1 → accept ≤1 impostor → thr = 2nd-highest neg (.8)
+    assert r["tar@far=0.1"] == 2 / 5 and r["thr@far=0.1"] == .8
+    assert r["tar@far=0.2"] == 3 / 5 and r["thr@far=0.2"] == .7
+    # finer than 1/N_neg resolution → NaN, not extrapolation
+    assert np.isnan(r["tar@far=0.01"])
+    assert r["tar@far=1"] == 1.0
+
+
+def test_tar_at_far_matches_threshold_sweep():
+    """Random scores: picked threshold must satisfy FAR ≤ target and be
+    the TIGHTEST such (any lower threshold overshoots the FAR)."""
+    from tf_face_toolbox_tpu.ops.verification import tar_at_far
+
+    rng = np.random.default_rng(0)
+    pos = rng.normal(0.6, 0.2, 400)
+    neg = rng.normal(0.0, 0.2, 2000)
+    sims = np.concatenate([pos, neg])
+    labels = np.concatenate([np.ones(400, int), np.zeros(2000, int)])
+    r = tar_at_far(sims, labels, fars=(1e-1, 1e-2, 1e-3))
+    for far in (1e-1, 1e-2, 1e-3):
+        thr = r[f"thr@far={far:g}"]
+        achieved_far = (neg > thr).mean()
+        assert achieved_far <= far + 1e-12
+        assert r[f"tar@far={far:g}"] == (pos > thr).mean()
+        # tightest: admitting one more negative overshoots the target
+        lower = np.sort(neg)[::-1][int(np.floor(far * len(neg)))]
+        one_more = np.nextafter(lower, -np.inf)
+        assert (neg > one_more).mean() > far or lower == thr
+    # monotone: looser FAR → TAR no smaller
+    assert (r["tar@far=0.1"] >= r["tar@far=0.01"]
+            >= r["tar@far=0.001"])
+
+
+def test_verify_pairs_report_includes_tar(tmp_path):
+    from tf_face_toolbox_tpu.ops.verification import verify_pairs
+
+    rng = np.random.default_rng(1)
+    proto = rng.normal(size=(20, 16)).astype(np.float32)
+    e1 = proto + 0.05 * rng.normal(size=(20, 16)).astype(np.float32)
+    e2 = np.concatenate([  # 10 same, 10 different
+        proto[:10] + 0.05 * rng.normal(size=(10, 16)).astype(np.float32),
+        rng.normal(size=(10, 16)).astype(np.float32)])
+    labels = np.concatenate([np.ones(10, int), np.zeros(10, int)])
+    order = np.arange(20).reshape(2, 10).T.ravel()  # interleave folds
+    e1, e2, labels = e1[order], e2[order], labels[order]
+    report = verify_pairs(e1, e2, labels, n_folds=5)
+    assert "tar@far=0.1" in report and "accuracy_mean" in report
+    assert report["tar@far=0.1"] > 0.5  # well-separated prototypes

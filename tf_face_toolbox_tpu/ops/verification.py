@@ -95,11 +95,46 @@ def verify_folds(sims: np.ndarray, labels: np.ndarray, *, n_folds: int = 10,
     }
 
 
+def tar_at_far(sims: np.ndarray, labels: np.ndarray,
+               fars=(1e-1, 1e-2, 1e-3)) -> dict:
+    """True-accept rate at fixed false-accept rates (the IJB-style
+    operating-point metric that complements the LFW fold accuracy).
+
+    The threshold for each target FAR is the tightest one the negative
+    pairs support: with ``sorted_neg`` descending, threshold = the
+    ceil(FAR·N_neg)-th highest negative score (accepting exactly that
+    many impostors, FAR ≤ target). TAR = fraction of positives at or
+    above it. FARs finer than 1/N_neg are reported as NaN rather than
+    extrapolated.
+    """
+    sims = np.asarray(sims, np.float64)
+    labels = np.asarray(labels).astype(bool)
+    pos = np.sort(sims[labels])
+    neg = np.sort(sims[~labels])[::-1]      # descending
+    out = {}
+    for far in fars:
+        key = f"tar@far={far:g}"
+        k = int(np.floor(far * len(neg)))   # impostors we may accept
+        if len(neg) == 0 or len(pos) == 0 or (k == 0 and far > 0
+                                              and 1 / len(neg) > far):
+            out[key] = float("nan")         # FAR finer than resolution
+            continue
+        # strictly above the (k+1)-th negative ⇒ ≤ k false accepts
+        thr = neg[k] if k < len(neg) else -np.inf
+        accepted = pos > thr
+        out[key] = float(accepted.mean())
+        out[key.replace("tar@", "thr@")] = float(thr)
+    return out
+
+
 def verify_pairs(emb1: np.ndarray, emb2: np.ndarray, labels: np.ndarray,
                  *, n_folds: int = 10) -> dict:
-    """End-to-end: embeddings for each pair side → LFW-protocol report."""
+    """End-to-end: embeddings for each pair side → LFW-protocol report
+    (fold accuracy + TAR@FAR operating points)."""
     sims = np.asarray(cosine_similarity(jnp.asarray(emb1), jnp.asarray(emb2)))
-    return verify_folds(sims, labels, n_folds=n_folds)
+    report = verify_folds(sims, labels, n_folds=n_folds)
+    report.update(tar_at_far(sims, labels))
+    return report
 
 
 def identification_rank_k(gallery: np.ndarray, gallery_labels: np.ndarray,
