@@ -370,3 +370,64 @@ def test_truncation_fuzz_both_readers(tmp_path):
             np.testing.assert_array_equal(
                 out, full_decode,
                 err_msg=f"cut={cut}: silent short read in native decode")
+
+
+def test_merge_shards_roundtrip(tmp_path):
+    """Parallel-pack workflow: chunks merged == one-shot pack; relabel
+    keeps per-chunk id spaces disjoint; mismatched inputs refused."""
+    import subprocess
+    import sys
+    import os as os_mod
+
+    from tf_face_toolbox_tpu.data.format import merge_shards
+
+    from PIL import Image
+    rng = np.random.default_rng(4)
+    all_blobs, all_labels, chunks = [], [], []
+    for c in range(3):
+        blobs, labels = [], []
+        for i in range(4):
+            buf = io.BytesIO()
+            Image.fromarray(rng.integers(0, 256, (8, 8, 3), np.uint8)
+                            ).save(buf, "JPEG")
+            blobs.append(buf.getvalue())
+            labels.append(i % 2)  # every chunk numbers ids from 0
+        p = str(tmp_path / f"chunk{c}.faceshard")
+        write_shard(p, blobs, labels, payload=PAYLOAD_JPEG)
+        chunks.append(p)
+        all_blobs += blobs
+        all_labels += labels
+
+    out = str(tmp_path / "merged.faceshard")
+    n = merge_shards(chunks, out)
+    assert n == 12
+    idx = read_index(out)
+    r = ShardReader(idx)
+    for i in range(12):
+        assert r.blob(i) == all_blobs[i]
+    np.testing.assert_array_equal(idx.labels, all_labels)
+
+    out2 = str(tmp_path / "relabel.faceshard")
+    merge_shards(chunks, out2, relabel=True)
+    labels2 = read_index(out2).labels
+    # chunk c's ids shift to [2c, 2c+1] — globally disjoint
+    np.testing.assert_array_equal(
+        labels2, np.concatenate([np.array([0, 1, 0, 1]) + 2 * c
+                                 for c in range(3)]))
+
+    # payload-type mismatch is refused, nothing half-written
+    rawp = str(tmp_path / "raw.faceshard")
+    pack_arrays(rawp, np.zeros((2, 8, 8, 3), np.uint8), [0, 1])
+    with pytest.raises(ValueError, match="mismatch"):
+        merge_shards([chunks[0], rawp], str(tmp_path / "bad.faceshard"))
+    assert not os_mod.path.exists(str(tmp_path / "bad.faceshard"))
+
+    # CLI e2e
+    env = dict(os_mod.environ, TFFT_PLATFORM="cpu")
+    res = subprocess.run(
+        [sys.executable, "-m", "tf_face_toolbox_tpu.cli.merge",
+         f"--inputs={','.join(chunks)}",
+         f"--output={tmp_path}/cli.faceshard", "--relabel"],
+        capture_output=True, text=True, env=env)
+    assert res.returncode == 0, res.stderr[-1500:]
+    assert "merged 3 shards (12 records)" in res.stdout

@@ -131,6 +131,12 @@ class ShardWriter:
         os.unlink(self._data_tmp)
         return len(self._labels)
 
+    def abort(self) -> None:
+        """Discard the in-progress shard; leaves no temp litter."""
+        self._data.close()
+        if os.path.exists(self._data_tmp):
+            os.unlink(self._data_tmp)
+
     def __enter__(self) -> "ShardWriter":
         return self
 
@@ -138,9 +144,7 @@ class ShardWriter:
         if exc_type is None:
             self.close()
         else:  # leave no temp litter on failure
-            self._data.close()
-            if os.path.exists(self._data_tmp):
-                os.unlink(self._data_tmp)
+            self.abort()
 
 
 def read_index(path: str) -> ShardIndex:
@@ -233,3 +237,40 @@ def pack_arrays(out_path: str, images: np.ndarray,
     n, h, w, c = images.shape
     return write_shard(out_path, [images[i].tobytes() for i in range(n)],
                        labels, payload=PAYLOAD_RAW, shape=(h, w, c))
+
+
+def merge_shards(paths: Sequence[str], out_path: str, *,
+                 relabel: bool = False) -> int:
+    """Concatenate FaceShards into one (streaming, O(1) memory).
+
+    Enables parallel packing workflows: pack per-chunk shards
+    concurrently, merge once (cli.merge). All inputs must share the
+    payload type (and shape, for raw shards). ``relabel=True`` offsets
+    each input's labels by the running max+1 so per-chunk identity
+    numbering (every chunk starting at 0) stays disjoint; default keeps
+    labels as-is for chunks that already share a global id space.
+    """
+    if not paths:
+        raise ValueError("merge_shards: no input shards")
+    first = read_index(paths[0])
+    writer = ShardWriter(out_path, payload=first.payload,
+                         shape=first.shape)
+    next_label = 0
+    try:
+        for path in paths:
+            idx = read_index(path)
+            if idx.payload != first.payload or idx.shape != first.shape:
+                raise ValueError(
+                    f"{path}: payload/shape mismatch vs {paths[0]} "
+                    f"({idx.payload}/{idx.shape} != "
+                    f"{first.payload}/{first.shape})")
+            reader = ShardReader(idx)
+            base = next_label if relabel else 0
+            for i in range(int(idx.count)):
+                writer.add(reader.blob(i), int(idx.labels[i]) + base)
+            if relabel and idx.count:
+                next_label = base + int(idx.labels.max()) + 1
+        return writer.close()
+    except Exception:
+        writer.abort()
+        raise
