@@ -105,14 +105,22 @@ def extract_shard(net, variables, source, *, image_size: int,
     n = source.index.count
     outs = []
     done = 0
+    pending = None  # one device batch in flight: jax dispatch is async,
+    # so batch k's forward overlaps batch k+1's host decode (and the
+    # device round trip, on tunneled setups)
     for x in _standardized_batches(source, image_size=image_size,
                                    crop_from=crop_from, batch=batch,
                                    num_threads=num_threads,
                                    loader=loader):
-        outs.append(np.asarray(fn(variables, x)))
+        out = fn(variables, x)
+        if pending is not None:
+            outs.append(np.asarray(pending))
+        pending = out
         done += x.shape[0]
         if progress is not None:
             progress(done, n)
+    if pending is not None:
+        outs.append(np.asarray(pending))
     return np.concatenate(outs)
 
 
