@@ -1,0 +1,120 @@
+"""Serving-daemon throughput study (reproduces docs/design.md numbers).
+
+Measures three layers of the serving stack on the current device:
+
+1. serial round trips — embed_batch in a loop (each call blocks on
+   D2H before the next dispatch): what a naive serving loop gets;
+2. pipelined dispatch — dispatch_batch for all batches, then
+   materialize (the DynamicBatcher's dispatch→resolve split);
+3. batcher end-to-end — concurrent client threads through
+   DynamicBatcher.submit (adds coalescing + future overhead).
+
+On this image the TPU tunnel makes 1 and 3 RTT-bound (~100 ms/round
+trip) — the interesting column locally is the RELATIVE gain of 2.
+On a directly-attached host all three approach the compiled program's
+chained-timing batch rate (bench.py).
+
+Run: python tools/serve_bench.py [--batch 64] [--network resnet_v1_50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--network", default="resnet_v1_50")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--reps", type=int, default=30)
+    p.add_argument("--clients", type=int, default=8)
+    p.add_argument("--image_size", type=int, default=112)
+    args = p.parse_args()
+
+    from tf_face_toolbox_tpu.cli import setup_platform
+    setup_platform()  # honors TFFT_PLATFORM=cpu like the CLIs
+
+    import jax
+    import jax.numpy as jnp
+
+    from tf_face_toolbox_tpu.models import create_network, init_variables
+    from tf_face_toolbox_tpu.serving import make_serving_apply
+    from tf_face_toolbox_tpu.serving.server import (
+        DynamicBatcher,
+        EmbeddingService,
+    )
+
+    s = args.image_size
+    net = create_network(args.network, dtype=jnp.bfloat16)
+    variables = init_variables(create_network(args.network),
+                               jax.random.key(0), (1, s, s, 3))
+    variables = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        variables)
+    try:
+        apply_fn = make_serving_apply(net, variables)
+    except ValueError:
+        apply_fn = None  # outside the folded engine's scope
+    svc = EmbeddingService(net, variables, image_size=s, crop_from=s,
+                           batch=args.batch, apply_fn=apply_fn)
+    t0 = time.perf_counter()
+    svc.warmup()
+    print(f"# {args.network} b{args.batch} warmup "
+          f"{time.perf_counter() - t0:.1f}s "
+          f"(device={jax.devices()[0].platform})")
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (args.batch, s, s, 3), dtype=np.uint8)
+
+    svc.embed_batch(imgs)
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        svc.embed_batch(imgs)
+    serial = args.reps * args.batch / (time.perf_counter() - t0)
+    print(f"serial round trips:  {serial:10,.0f} faces/sec")
+
+    t0 = time.perf_counter()
+    outs = [svc.dispatch_batch(imgs) for _ in range(args.reps)]
+    for o in outs:
+        np.asarray(o)
+    pipe = args.reps * args.batch / (time.perf_counter() - t0)
+    print(f"pipelined dispatch:  {pipe:10,.0f} faces/sec "
+          f"({pipe / serial:.2f}x)")
+
+    batcher = DynamicBatcher(svc, max_wait_ms=5.0)
+    try:
+        per_client = max(1, args.reps * args.batch // args.clients // 4)
+
+        def client(k):
+            frame = imgs[k % args.batch]
+            for _ in range(per_client):
+                batcher.submit(frame)
+
+        threads = [threading.Thread(target=client, args=(k,))
+                   for k in range(args.clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        n = per_client * args.clients
+        stats = batcher.stats
+        print(f"batcher e2e:         {n / dt:10,.0f} faces/sec "
+              f"({args.clients} clients, mean fill "
+              f"{stats['images'] / max(stats['device_calls'], 1):.1f}, "
+              f"p50 {stats.get('latency_ms', {}).get('p50', '?')} ms)")
+    finally:
+        batcher.close()
+
+
+if __name__ == "__main__":
+    main()
