@@ -182,7 +182,11 @@ def build_eval_fn(cfg):
                             extract_fn=extract_fn)
         report = verify_pairs(emb[i1], emb[i2], labels)
         return {"lfw_accuracy": report["accuracy_mean"],
-                "lfw_std": report["accuracy_std"]}
+                "lfw_std": report["accuracy_std"],
+                # NaN when the eval pair set is too small to resolve
+                # FAR=1e-2 (tar_at_far never extrapolates)
+                "tar_at_far_1e2": report.get("tar@far=0.01",
+                                             float("nan"))}
 
     return eval_fn
 
