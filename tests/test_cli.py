@@ -180,3 +180,76 @@ def test_cli_train_dct_loader(tmp_path):
                 "--num_steps=2", "--save_every=2", "--log_every=1",
                 "--nobf16", "--loader=native_dct"])
     assert "done: step=2" in out
+
+
+@pytest.mark.slow
+def test_cli_train_preemption_flush(tmp_path):
+    """SIGTERM mid-training flushes a checkpoint at the CURRENT step
+    (exit 0); resuming continues from it — the TPU-VM preemption flow."""
+    import re
+    import signal
+    import threading
+    import time
+
+    from PIL import Image
+
+    rng = np.random.default_rng(2)
+    lines = []
+    for i in range(16):
+        arr = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(str(tmp_path / f"p{i}.jpg"),
+                                  "JPEG", quality=95)
+        lines.append(f"p{i}.jpg {i % 4}")
+    (tmp_path / "list.txt").write_text("\n".join(lines) + "\n")
+    shard = str(tmp_path / "p.faceshard")
+    _run(["tf_face_toolbox_tpu.cli.pack",
+          f"--list={tmp_path/'list.txt'}", f"--root={tmp_path}",
+          f"--output={shard}"])
+
+    import subprocess
+    import sys
+    env = dict(os.environ, TFFT_PLATFORM="cpu")
+    args = [sys.executable, "-m", "tf_face_toolbox_tpu.cli.train",
+            f"--data={shard}", f"--train_dir={tmp_path/'run'}",
+            "--network=resnet_tiny", "--embedding_dim=16",
+            "--image_size=12", "--crop_from=16", "--global_batch=8",
+            "--num_steps=500", "--save_every=500", "--log_every=1",
+            "--nobf16"]
+    proc = subprocess.Popen(args, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True, env=env)
+    captured = []
+    stepped = threading.Event()
+
+    def reader():
+        for line in proc.stdout:
+            captured.append(line)
+            if re.search(r"step (3|4|5):", line):
+                stepped.set()
+
+    threading.Thread(target=reader, daemon=True).start()
+    try:
+        assert stepped.wait(timeout=240), captured[-8:]
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=120) == 0
+        deadline = time.time() + 5
+        while time.time() < deadline and not any(
+                "preempted: checkpoint flushed" in ln for ln in captured):
+            time.sleep(0.1)
+        flushed = [ln for ln in captured
+                   if "preempted: checkpoint flushed" in ln]
+        assert flushed, captured[-8:]
+        step = int(re.search(r"step=(\d+)", flushed[0]).group(1))
+        assert step >= 3
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=10)
+
+    # resume continues PAST the flushed step to a nearby target
+    out = _run(["tf_face_toolbox_tpu.cli.train",
+                f"--data={shard}", f"--train_dir={tmp_path/'run'}",
+                "--network=resnet_tiny", "--embedding_dim=16",
+                "--image_size=12", "--crop_from=16", "--global_batch=8",
+                f"--num_steps={step + 2}", f"--save_every={step + 2}",
+                "--log_every=1", "--nobf16"])
+    assert f"done: step={step + 2}" in out

@@ -290,6 +290,15 @@ def main(argv):
     else:
         batches = device_prefetch(batches)
 
+    # Preemption safety (TPU VMs deliver SIGTERM before reclaim): flag
+    # the loop to flush a checkpoint at the current step and exit 0 —
+    # a resume continues exactly where the preemption landed.
+    import signal
+    import threading
+
+    stop = threading.Event()
+    signal.signal(signal.SIGTERM, lambda *_: stop.set())
+
     result = train_loop(
         cfg, mesh, batches,
         num_steps=FLAGS.num_steps,
@@ -300,7 +309,13 @@ def main(argv):
         eval_fn=build_eval_fn(cfg),
         eval_every=FLAGS.eval_every,
         input_format="dct" if FLAGS.loader == "native_dct" else "u8",
+        should_stop=stop.is_set,
     )
+    if result.last_metrics.get("preempted"):
+        print(f"preempted: checkpoint flushed at "
+              f"step={int(jax.device_get(result.state.step))}; resume "
+              f"with the same command", flush=True)
+        return
     loss = result.last_metrics.get("loss")
     print(f"done: step={int(jax.device_get(result.state.step))} "
           f"loss={loss:.4f}" if loss is not None else

@@ -43,7 +43,8 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
                logger: MetricLogger | None = None,
                eval_fn=None,
                eval_every: int = 0,
-               input_format: str = "u8") -> LoopResult:
+               input_format: str = "u8",
+               should_stop=None) -> LoopResult:
     """Run (or resume) training for ``num_steps`` total steps.
 
     Resume semantics match the reference's Saver/latest_checkpoint
@@ -70,8 +71,15 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
                                     batch_size=cfg.global_batch)
 
     metrics = {}
+    preempted = False
     start = int(jax.device_get(state.step))
     for _ in range(start, num_steps):
+        if should_stop is not None and should_stop():
+            # preemption (SIGTERM on TPU VMs): flush a checkpoint at
+            # the CURRENT step so at most zero finished steps are lost,
+            # instead of up to save_every (the reference-era behavior)
+            preempted = True
+            break
         batch = next(batches)
         state, metrics = step_fn(state, batch["image"], batch["label"])
         step = start = start + 1
@@ -92,4 +100,5 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
         mgr.wait()
     logger.flush()
     host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+    host["preempted"] = float(preempted)
     return LoopResult(state=state, last_metrics=host)
