@@ -21,3 +21,20 @@ def setup_platform() -> None:
         import jax
         jax.config.update("jax_platforms",
                           "cpu" if plat == "cpu" else None)
+
+
+def json_sanitize(value):
+    """Replace non-finite floats with None (JSON null), recursively —
+    json.dumps would otherwise emit bare NaN/Infinity tokens that
+    strict RFC-8259 parsers (jq, JSON.parse) reject. Used by the eval
+    CLIs whose reports can contain NaN (e.g. TAR at a FAR finer than
+    the pair set resolves, CMC with zero rankable probes)."""
+    import math
+
+    if isinstance(value, dict):
+        return {k: json_sanitize(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return [json_sanitize(v) for v in value]
+    if isinstance(value, float) and not math.isfinite(value):
+        return None
+    return value

@@ -61,7 +61,7 @@ def load_labels(path: str) -> np.ndarray:
 
 def main(argv):
     del argv
-    from tf_face_toolbox_tpu.cli import setup_platform
+    from tf_face_toolbox_tpu.cli import json_sanitize, setup_platform
     setup_platform()
     from tf_face_toolbox_tpu.ops.verification import cmc_curve
     from tf_face_toolbox_tpu.train.checkpoint import load_embeddings
@@ -79,7 +79,8 @@ def main(argv):
     report = cmc_curve(gallery, glabels, probe, plabels,
                        ranks=[int(k) for k in FLAGS.ranks],
                        batch=FLAGS.probe_batch)
-    print(json.dumps(report, indent=2))
+    print(json.dumps(json_sanitize(report), indent=2,
+                 allow_nan=False))
 
 
 if __name__ == "__main__":

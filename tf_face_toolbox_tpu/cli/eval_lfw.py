@@ -136,7 +136,7 @@ def load_lfw_pairs(path: str, names_path: str):
 
 def main(argv):
     del argv
-    from tf_face_toolbox_tpu.cli import setup_platform
+    from tf_face_toolbox_tpu.cli import json_sanitize, setup_platform
     setup_platform()
     from tf_face_toolbox_tpu.train.checkpoint import load_embeddings
     from tf_face_toolbox_tpu.ops.verification import verify_pairs
@@ -151,7 +151,8 @@ def main(argv):
     else:
         i1, i2, labels = load_pairs(FLAGS.pairs)
     report = verify_pairs(emb[i1], emb[i2], labels, n_folds=FLAGS.folds)
-    print(json.dumps(report, indent=2))
+    print(json.dumps(json_sanitize(report), indent=2,
+                 allow_nan=False))
 
 
 if __name__ == "__main__":

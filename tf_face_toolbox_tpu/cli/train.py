@@ -312,9 +312,14 @@ def main(argv):
         should_stop=stop.is_set,
     )
     if result.last_metrics.get("preempted"):
-        print(f"preempted: checkpoint flushed at "
-              f"step={int(jax.device_get(result.state.step))}; resume "
-              f"with the same command", flush=True)
+        step = int(jax.device_get(result.state.step))
+        if FLAGS.train_dir:
+            print(f"preempted: checkpoint flushed at step={step}; "
+                  f"resume with the same command", flush=True)
+        else:
+            print(f"preempted at step={step}: NO checkpoint "
+                  f"(--train_dir not set) — progress is lost",
+                  flush=True)
         return
     loss = result.last_metrics.get("loss")
     print(f"done: step={int(jax.device_get(result.state.step))} "

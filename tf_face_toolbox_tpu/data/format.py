@@ -113,29 +113,51 @@ class ShardWriter:
         self._sizes.append(len(blob))
         self._labels.append(int(label))
 
+    def add_block(self, data, sizes, labels) -> None:
+        """Bulk append: one contiguous payload region (bytes/memoryview,
+        the concatenation of ``len(sizes)`` records) + its per-record
+        sizes and labels — the fast path merge_shards uses to splice a
+        whole input shard without per-record Python round trips."""
+        if len(sizes) != len(labels):
+            raise ValueError(f"{len(sizes)} sizes vs {len(labels)} labels")
+        if int(np.sum(sizes, dtype=np.uint64)) != len(data):
+            raise ValueError("payload region does not match sizes")
+        self._data.write(data)
+        self._sizes.extend(int(s) for s in sizes)
+        self._labels.extend(int(l) for l in labels)
+
     def close(self) -> int:
         self._data.close()
         offsets = np.zeros(len(self._sizes) + 1, np.uint64)
         np.cumsum(np.asarray(self._sizes, np.uint64), out=offsets[1:])
         h, w, c = self._shape if self._shape else (0, 0, 0)
         tmp = self._path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(_HEADER.pack(MAGIC, VERSION, self._payload, h, w, c,
-                                 len(self._labels)))
-            f.write(offsets.tobytes())
-            f.write(np.asarray(self._labels, np.int32).tobytes())
-            with open(self._data_tmp, "rb") as data:
-                while chunk := data.read(1 << 22):
-                    f.write(chunk)
+        try:
+            with open(tmp, "wb") as f:
+                f.write(_HEADER.pack(MAGIC, VERSION, self._payload,
+                                     h, w, c, len(self._labels)))
+                f.write(offsets.tobytes())
+                f.write(np.asarray(self._labels, np.int32).tobytes())
+                with open(self._data_tmp, "rb") as data:
+                    while chunk := data.read(1 << 22):
+                        f.write(chunk)
+        except BaseException:
+            # a failed splice (ENOSPC mid-copy) must not leave a
+            # dataset-sized .tmp on an already-full disk
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
         os.replace(tmp, self._path)
         os.unlink(self._data_tmp)
         return len(self._labels)
 
     def abort(self) -> None:
-        """Discard the in-progress shard; leaves no temp litter."""
+        """Discard the in-progress shard; leaves no temp litter
+        (both the payload temp and any partial close() output)."""
         self._data.close()
-        if os.path.exists(self._data_tmp):
-            os.unlink(self._data_tmp)
+        for p in (self._data_tmp, self._path + ".tmp"):
+            if os.path.exists(p):
+                os.unlink(p)
 
     def __enter__(self) -> "ShardWriter":
         return self
@@ -252,22 +274,27 @@ def merge_shards(paths: Sequence[str], out_path: str, *,
     """
     if not paths:
         raise ValueError("merge_shards: no input shards")
-    first = read_index(paths[0])
+    indexes = [read_index(p) for p in paths]
+    first = indexes[0]
     writer = ShardWriter(out_path, payload=first.payload,
                          shape=first.shape)
     next_label = 0
     try:
-        for path in paths:
-            idx = read_index(path)
+        for path, idx in zip(paths, indexes):
             if idx.payload != first.payload or idx.shape != first.shape:
                 raise ValueError(
                     f"{path}: payload/shape mismatch vs {paths[0]} "
                     f"({idx.payload}/{idx.shape} != "
                     f"{first.payload}/{first.shape})")
-            reader = ShardReader(idx)
             base = next_label if relabel else 0
-            for i in range(int(idx.count)):
-                writer.add(reader.blob(i), int(idx.labels[i]) + base)
+            # bulk splice: each input's payload region is contiguous —
+            # copy it as one block (no per-record Python round trips)
+            mm = np.memmap(path, np.uint8, "r")
+            lo = idx.data_start + int(idx.offsets[0])
+            hi = idx.data_start + int(idx.offsets[-1])
+            writer.add_block(memoryview(mm[lo:hi]),
+                             np.diff(idx.offsets),
+                             idx.labels.astype(np.int64) + base)
             if relabel and idx.count:
                 next_label = base + int(idx.labels.max()) + 1
         return writer.close()

@@ -107,7 +107,10 @@ def extract_shard(net, variables, source, *, image_size: int,
     done = 0
     pending = None  # one device batch in flight: jax dispatch is async,
     # so batch k's forward overlaps batch k+1's host decode (and the
-    # device round trip, on tunneled setups)
+    # device round trip, on tunneled setups). `progress` counts only
+    # MATERIALIZED batches — done == n means the results exist, not
+    # that the last dispatch is still computing.
+    pending_rows = 0
     for x in _standardized_batches(source, image_size=image_size,
                                    crop_from=crop_from, batch=batch,
                                    num_threads=num_threads,
@@ -115,12 +118,15 @@ def extract_shard(net, variables, source, *, image_size: int,
         out = fn(variables, x)
         if pending is not None:
             outs.append(np.asarray(pending))
-        pending = out
-        done += x.shape[0]
-        if progress is not None:
-            progress(done, n)
+            done += pending_rows
+            if progress is not None:
+                progress(done, n)
+        pending, pending_rows = out, x.shape[0]
     if pending is not None:
         outs.append(np.asarray(pending))
+        done += pending_rows
+        if progress is not None:
+            progress(done, n)
     return np.concatenate(outs)
 
 

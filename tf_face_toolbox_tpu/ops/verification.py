@@ -101,10 +101,11 @@ def tar_at_far(sims: np.ndarray, labels: np.ndarray,
     operating-point metric that complements the LFW fold accuracy).
 
     The threshold for each target FAR is the tightest one the negative
-    pairs support: with ``sorted_neg`` descending, threshold = the
-    ceil(FAR·N_neg)-th highest negative score (accepting exactly that
-    many impostors, FAR ≤ target). TAR = fraction of positives at or
-    above it. FARs finer than 1/N_neg are reported as NaN rather than
+    pairs support: with k = floor(FAR·N_neg) impostors allowed,
+    threshold = the (k+1)-th highest negative score, and acceptance is
+    STRICTLY above it — so at most k negatives pass (achieved
+    FAR ≤ target). TAR = fraction of positives above the threshold.
+    FARs finer than 1/N_neg are reported as NaN rather than
     extrapolated.
     """
     sims = np.asarray(sims, np.float64)

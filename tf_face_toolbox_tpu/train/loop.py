@@ -70,11 +70,31 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
     logger = logger or MetricLogger(train_dir,
                                     batch_size=cfg.global_batch)
 
+    # Preemption checks. Single-process: test the local flag each step.
+    # Multi-process: the flag is process-local but the checkpoint flush
+    # is a global collective, so breaking on a local flag would leave
+    # the other processes inside the next step's all-reduce — a
+    # distributed deadlock. All processes therefore AGREE on stopping
+    # via a tiny allgather, at a bounded cadence (every `stop_sync`
+    # steps) so the collective doesn't serialize every step's dispatch.
+    check_stop = should_stop
+    stop_sync = 1
+    if should_stop is not None and jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        stop_sync = 10  # ≤10 extra steps before the flush; SIGTERM
+        # grace windows are tens of seconds, steps ~100 ms
+
+        def check_stop():
+            return bool(np.asarray(multihost_utils.process_allgather(
+                np.asarray(should_stop()))).any())
+
     metrics = {}
     preempted = False
     start = int(jax.device_get(state.step))
     for _ in range(start, num_steps):
-        if should_stop is not None and should_stop():
+        if (check_stop is not None and start % stop_sync == 0
+                and check_stop()):
             # preemption (SIGTERM on TPU VMs): flush a checkpoint at
             # the CURRENT step so at most zero finished steps are lost,
             # instead of up to save_every (the reference-era behavior)
