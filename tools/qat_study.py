@@ -86,7 +86,7 @@ def train(quantized, steps):
         network="resnet_v1_50", num_classes=NUM_IDS, image_size=SIZE,
         global_batch=B, dtype=jnp.bfloat16, augment=False, base_lr=0.05,
         warmup_steps=50, weight_decay=5e-4, margin_scale=32.0,
-        margin_m3=0.2, lr_boundaries=(250, 350), stem="imagenet",
+        margin_m3=0.2, lr_boundaries=(250, 350), stem=ARGS.stem,
         quantized=quantized)
     mesh = create_mesh()
     state, net = create_train_state(cfg, jax.random.key(0), mesh)
@@ -140,9 +140,9 @@ def serve(state, mode):
                  for i in range(2)]
         variables = calibrate_quant_stats(
             "resnet_v1_50", variables, [jnp.asarray(c) for c in calib],
-            dtype=jnp.bfloat16, stem="imagenet")
+            dtype=jnp.bfloat16, stem=ARGS.stem)
     net = create_network("resnet_v1_50", dtype=jnp.bfloat16,
-                         stem="imagenet",
+                         stem=ARGS.stem,
                          **({"quantized": mode} if mode else {}))
     fn = jax.jit(lambda v, im: flip_averaged_embeddings(
         lambda vv, xx: net.apply(vv, xx, train=False), v, im))
@@ -150,10 +150,17 @@ def serve(state, mode):
     return emb, verification(emb, labels)
 
 
+ARGS = None
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--stem", default="imagenet",
+                   choices=["imagenet", "face", "space2depth"])
     args = p.parse_args()
+    global ARGS
+    ARGS = args
 
     for label, q in (("fp", False), ("qat", "qat")):
         print(f"== training: {label} ==", flush=True)
