@@ -192,9 +192,10 @@ def _arm_watchdog(seconds: float, config: str) -> None:
     def fire():
         try:
             with open(_LAST_GOOD) as f:
-                result = json.load(f)
-            if result.pop("config", None) != config:
-                raise ValueError("cached result is for another config")
+                cache = json.load(f)
+            if "metric" in cache:  # legacy single-entry format
+                cache = {cache.pop("config", ""): cache}
+            result = dict(cache[config])  # KeyError → no-cache path
             result["note"] = "tunnel stalled; cached last-good measurement"
             print(json.dumps(result), flush=True)
         except Exception:
@@ -330,9 +331,19 @@ def main() -> None:
         "batches": per_batch,
     }
     if best > 0:
+        # per-config cache: one config's run must not evict another's
+        # fallback (the driver's plain run vs ad-hoc stem/quant runs)
         try:
+            try:
+                with open(_LAST_GOOD) as f:
+                    cache = json.load(f)
+                if "metric" in cache:  # legacy single-entry format
+                    cache = {cache.pop("config", ""): cache}
+            except Exception:
+                cache = {}
+            cache[config_key] = result
             with open(_LAST_GOOD, "w") as f:
-                json.dump({**result, "config": config_key}, f)
+                json.dump(cache, f)
         except OSError:
             pass
     print(json.dumps(result))
