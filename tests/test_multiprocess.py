@@ -169,3 +169,122 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert len(ref) == N_STEPS
     np.testing.assert_allclose(results[0]["losses"], ref,
                                rtol=1e-5, atol=1e-6)
+
+
+_DCT_COMMON = textwrap.dedent("""
+    import numpy as np
+
+    def run_dct_steps(mesh, host_slice, shard):
+        import jax
+        import jax.numpy as jnp
+        from tf_face_toolbox_tpu.data.native import NativeShardReader
+        from tf_face_toolbox_tpu.parallel.mesh import (
+            globalize_host_batches)
+        from tf_face_toolbox_tpu.train.trainer import (
+            TrainConfig, create_train_state, make_train_step)
+
+        cfg = TrainConfig(dtype=jnp.float32, **{cfg_kwargs})
+        state, net = create_train_state(cfg, jax.random.key(0), mesh)
+        step_fn = make_train_step(net, cfg, mesh, state,
+                                  input_format="dct")
+        reader = NativeShardReader(shard, num_threads=0)
+
+        def host_batches():
+            for step in range({n_steps}):
+                rng = np.random.default_rng(500 + step)
+                ids = rng.permutation(reader.count)[:{gb}]
+                coef, qtab = reader.dct_batch(ids[host_slice], 16, 16)
+                yield {{"image": (coef, qtab),
+                        "label": reader.labels[ids[host_slice]]}}
+
+        losses = []
+        for batch in globalize_host_batches(host_batches(), mesh):
+            state, metrics = step_fn(state, batch["image"],
+                                     batch["label"])
+            losses.append(float(jax.device_get(metrics["loss"])))
+        reader.close()
+        return losses
+""").format(gb=GLOBAL_BATCH, nc=NUM_CLASSES, cfg_kwargs=repr(CFG_KWARGS),
+            n_steps=N_STEPS)
+
+_DCT_WORKER = _DCT_COMMON + textwrap.dedent("""
+    import json, os, sys
+    pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+    shard = sys.argv[4]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address="localhost:" + port, num_processes=2,
+        process_id=pid)
+    from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+    half = {gb} // 2
+    losses = run_dct_steps(create_mesh(), slice(pid * half,
+                                                (pid + 1) * half), shard)
+    json.dump({{"pid": pid, "losses": losses}}, open(out, "w"))
+""").format(gb=GLOBAL_BATCH)
+
+_DCT_SINGLE = _DCT_COMMON + textwrap.dedent("""
+    import json, os, sys
+    out = sys.argv[1]; shard = sys.argv[2]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+    losses = run_dct_steps(create_mesh(), slice(None), shard)
+    json.dump({"losses": losses}, open(out, "w"))
+""")
+
+
+@pytest.mark.slow
+def test_two_process_dct_training_matches_single_process(tmp_path):
+    """The entropy-decode-only input path under REAL multi-process
+    execution: (coef, qtab) tuple batches through the globalizer, the
+    on-device JPEG completion in front of the cross-process psum step."""
+    from PIL import Image
+
+    from tf_face_toolbox_tpu.data.format import pack_image_list
+
+    rng = np.random.default_rng(8)
+    lines = []
+    for i in range(32):
+        arr = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(str(tmp_path / f"m{i}.jpg"),
+                                  "JPEG", quality=95)
+        lines.append(f"m{i}.jpg {i % NUM_CLASSES}\n")
+    (tmp_path / "list.txt").write_text("".join(lines))
+    shard = str(tmp_path / "m.faceshard")
+    pack_image_list(str(tmp_path / "list.txt"), shard,
+                    root=str(tmp_path), recode_size=16)
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    port = str(_free_port())
+    workers = []
+    for pid in range(2):
+        out = str(tmp_path / f"dctworker{pid}.json")
+        workers.append((out, subprocess.Popen(
+            [sys.executable, "-c", _DCT_WORKER, str(pid), port, out,
+             shard],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)))
+    results = []
+    for out, proc in workers:
+        stdout, stderr = proc.communicate(timeout=900)
+        assert proc.returncode == 0, (
+            f"worker failed:\n{stdout[-1000:]}\n{stderr[-3000:]}")
+        results.append(json.load(open(out)))
+    np.testing.assert_allclose(
+        results[0]["losses"], results[1]["losses"], rtol=0, atol=0)
+
+    ref_out = str(tmp_path / "dctsingle.json")
+    r = subprocess.run(
+        [sys.executable, "-c", _DCT_SINGLE, ref_out, shard], env=env,
+        cwd=REPO, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    ref = json.load(open(ref_out))["losses"]
+    # slightly looser than the u8 test: the DCT front-end is its own
+    # program whose IDCT einsum partitions differently on a 4+4- vs
+    # 8-local-device layout — f32 reduction-order noise (~1e-5 rel)
+    # that compounds one BN step; not a sharding defect
+    np.testing.assert_allclose(results[0]["losses"], ref,
+                               rtol=1e-4, atol=1e-6)
