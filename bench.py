@@ -180,6 +180,21 @@ _LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_last_good.json")
 
 
+def _read_last_good() -> dict:
+    """Per-config last-good cache, {} on any problem (missing, corrupt,
+    non-dict JSON). Converts the legacy single-entry format."""
+    try:
+        with open(_LAST_GOOD) as f:
+            cache = json.load(f)
+        if not isinstance(cache, dict):
+            return {}
+        if "metric" in cache:  # legacy single-entry format
+            cache = {cache.pop("config", ""): cache}
+        return cache
+    except Exception:
+        return {}
+
+
 def _arm_watchdog(seconds: float, config: str) -> None:
     """The TPU tunnel on this image can wedge (execution never
     completes, CPU idle). If the whole bench exceeds ``seconds``, print
@@ -191,11 +206,7 @@ def _arm_watchdog(seconds: float, config: str) -> None:
 
     def fire():
         try:
-            with open(_LAST_GOOD) as f:
-                cache = json.load(f)
-            if "metric" in cache:  # legacy single-entry format
-                cache = {cache.pop("config", ""): cache}
-            result = dict(cache[config])  # KeyError → no-cache path
+            result = dict(_read_last_good()[config])  # KeyError → below
             result["note"] = "tunnel stalled; cached last-good measurement"
             print(json.dumps(result), flush=True)
         except Exception:
@@ -332,19 +343,17 @@ def main() -> None:
     }
     if best > 0:
         # per-config cache: one config's run must not evict another's
-        # fallback (the driver's plain run vs ad-hoc stem/quant runs)
+        # fallback (the driver's plain run vs ad-hoc stem/quant runs).
+        # Atomic replace: a concurrent reader (the watchdog) never sees
+        # a truncated file; nothing here may crash a finished bench.
         try:
-            try:
-                with open(_LAST_GOOD) as f:
-                    cache = json.load(f)
-                if "metric" in cache:  # legacy single-entry format
-                    cache = {cache.pop("config", ""): cache}
-            except Exception:
-                cache = {}
+            cache = _read_last_good()
             cache[config_key] = result
-            with open(_LAST_GOOD, "w") as f:
+            tmp = _LAST_GOOD + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(cache, f)
-        except OSError:
+            os.replace(tmp, _LAST_GOOD)
+        except Exception:
             pass
     print(json.dumps(result))
 

@@ -241,6 +241,9 @@ def test_two_process_dct_training_matches_single_process(tmp_path):
     """The entropy-decode-only input path under REAL multi-process
     execution: (coef, qtab) tuple batches through the globalizer, the
     on-device JPEG completion in front of the cross-process psum step."""
+    from tf_face_toolbox_tpu.data.native import native_available
+    if not native_available():
+        pytest.skip("native loader unavailable")
     from PIL import Image
 
     from tf_face_toolbox_tpu.data.format import pack_image_list
@@ -282,6 +285,7 @@ def test_two_process_dct_training_matches_single_process(tmp_path):
         cwd=REPO, capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stderr[-3000:]
     ref = json.load(open(ref_out))["losses"]
+    assert len(ref) == N_STEPS
     # slightly looser than the u8 test: the DCT front-end is its own
     # program whose IDCT einsum partitions differently on a 4+4- vs
     # 8-local-device layout — f32 reduction-order noise (~1e-5 rel)

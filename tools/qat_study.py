@@ -81,12 +81,12 @@ def make_batch(templates, key):
     return imgs, labels.astype(jnp.int32)
 
 
-def train(quantized, steps):
+def train(quantized, steps, stem):
     cfg = TrainConfig(
         network="resnet_v1_50", num_classes=NUM_IDS, image_size=SIZE,
         global_batch=B, dtype=jnp.bfloat16, augment=False, base_lr=0.05,
         warmup_steps=50, weight_decay=5e-4, margin_scale=32.0,
-        margin_m3=0.2, lr_boundaries=(250, 350), stem=ARGS.stem,
+        margin_m3=0.2, lr_boundaries=(250, 350), stem=stem,
         quantized=quantized)
     mesh = create_mesh()
     state, net = create_train_state(cfg, jax.random.key(0), mesh)
@@ -129,7 +129,7 @@ def verification(emb, labels):
                         lab[order])["accuracy_mean"]
 
 
-def serve(state, mode):
+def serve(state, mode, stem):
     """mode: False (fp) or 'static'."""
     imgs, labels = eval_faces()
     variables = {"params": state.params,
@@ -140,17 +140,14 @@ def serve(state, mode):
                  for i in range(2)]
         variables = calibrate_quant_stats(
             "resnet_v1_50", variables, [jnp.asarray(c) for c in calib],
-            dtype=jnp.bfloat16, stem=ARGS.stem)
+            dtype=jnp.bfloat16, stem=stem)
     net = create_network("resnet_v1_50", dtype=jnp.bfloat16,
-                         stem=ARGS.stem,
+                         stem=stem,
                          **({"quantized": mode} if mode else {}))
     fn = jax.jit(lambda v, im: flip_averaged_embeddings(
         lambda vv, xx: net.apply(vv, xx, train=False), v, im))
     emb = np.asarray(fn(variables, imgs))
     return emb, verification(emb, labels)
-
-
-ARGS = None
 
 
 def main():
@@ -159,14 +156,12 @@ def main():
     p.add_argument("--stem", default="imagenet",
                    choices=["imagenet", "face", "space2depth"])
     args = p.parse_args()
-    global ARGS
-    ARGS = args
 
     for label, q in (("fp", False), ("qat", "qat")):
         print(f"== training: {label} ==", flush=True)
-        state = train(q, args.steps)
-        emb_fp, acc_fp = serve(state, False)
-        emb_i8, acc_i8 = serve(state, "static")
+        state = train(q, args.steps, args.stem)
+        emb_fp, acc_fp = serve(state, False, args.stem)
+        emb_i8, acc_i8 = serve(state, "static", args.stem)
         cos = (emb_fp * emb_i8).sum(1)
         print(f"{label}: verif fp={acc_fp:.3f} int8={acc_i8:.3f}  "
               f"fp-vs-int8 cosine mean={cos.mean():.4f} "
