@@ -161,7 +161,12 @@ bool ReadDctCoefficients(const uint8_t* blob, size_t len, int bh, int bw,
                static_cast<unsigned long>(len));
   jpeg_read_header(&cinfo, TRUE);
   jvirt_barray_ptr* arrays = jpeg_read_coefficients(&cinfo);
-  bool ok = arrays != nullptr && cinfo.num_components == 3;
+  // Pixel dims must be exact block multiples too: a JPEG up to 7 px
+  // smaller per axis has the same block counts but pads the edge
+  // blocks — accepting it would silently diverge from the resize path.
+  bool ok = arrays != nullptr && cinfo.num_components == 3 &&
+            int(cinfo.image_height) == 8 * bh &&
+            int(cinfo.image_width) == 8 * bw;
   for (int c = 0; ok && c < 3; ++c) {
     jpeg_component_info* ci = &cinfo.comp_info[c];
     ok = ci->h_samp_factor == 1 && ci->v_samp_factor == 1 &&

@@ -253,3 +253,53 @@ def test_device_decode_hard_edges_within_budget(tmp_path):
         reader.close()
     diff = np.abs(got.astype(int) - want.astype(int))
     assert diff.max() <= 2, f"max LSB diff {diff.max()}"
+
+
+def test_dct_rejects_block_padded_dimensions(tmp_path):
+    """ADVICE r2: a 30x32 JPEG has the same BLOCK counts as 32x32
+    (ceil(30/8)=4) but pads the edge blocks — it must be rejected, not
+    silently decoded with padding rows the resize path would never
+    produce."""
+    path = str(tmp_path / "pad.faceshard")
+    write_shard(path, [_jpeg444(_gradient_image(30, 32))], [0],
+                payload=PAYLOAD_JPEG)
+    reader = native.NativeShardReader(path, num_threads=0)
+    try:
+        with pytest.raises(ValueError, match="DCT extraction"):
+            reader.dct_batch([0], 32, 32)
+    finally:
+        reader.close()
+
+
+def test_pack_recode_resize_matches_pipeline_resize(tmp_path):
+    """ADVICE r2: the recode resize must be the pipeline's half-pixel
+    _resize_u8 (NOT PIL's antialiased BILINEAR) so recoded-shard pixels
+    match what a plain shard produces at load time. Budget = JPEG q95
+    re-encode error only (a few LSB); the PIL-antialias skew it guards
+    against is tens of LSB on a noisy gradient."""
+    from tf_face_toolbox_tpu.data.pipeline import _resize_u8
+
+    src = _gradient_image(48, 40, seed=3)
+    p = tmp_path / "img.jpg"
+    Image.fromarray(src).save(str(p), "JPEG", quality=98)
+    (tmp_path / "list.txt").write_text("img.jpg 0\n")
+    out = str(tmp_path / "r.faceshard")
+    pack_image_list(str(tmp_path / "list.txt"), out,
+                    root=str(tmp_path), recode_size=32,
+                    recode_quality=98)
+    reader = native.NativeShardReader(out, num_threads=0)
+    try:
+        got = reader.decode_batch([0], 32, 32)[0]
+    finally:
+        reader.close()
+    decoded = np.asarray(Image.open(str(p)).convert("RGB"), np.uint8)
+    want = _resize_u8(decoded, 32, 32)
+    anti = np.asarray(Image.fromarray(decoded).resize(
+        (32, 32), Image.BILINEAR), np.uint8)  # the WRONG kernel
+    d_want = np.abs(got.astype(int) - want.astype(int))
+    d_anti = np.abs(got.astype(int) - anti.astype(int))
+    # absolute: within JPEG re-encode noise of the pipeline kernel;
+    # relative: strictly closer to it than to the antialiased kernel
+    assert d_want.max() <= 8 and d_want.mean() < 1.3, (
+        f"max {d_want.max()} mean {d_want.mean():.2f}")
+    assert d_want.mean() < d_anti.mean(), (d_want.mean(), d_anti.mean())

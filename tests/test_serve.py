@@ -390,3 +390,32 @@ def test_http_embed_batch_endpoint(service):
     finally:
         server.shutdown()
         batcher.close()
+
+
+def test_validate_rejects_non_uint8(service):
+    """ADVICE r2: a float frame would upcast the padded batch and
+    silently recompile the warmed uint8 program."""
+    bad = _images(1)[0].astype(np.float32)
+    with pytest.raises(ValueError, match="uint8"):
+        service.validate(bad)
+    batcher = DynamicBatcher(service)
+    try:
+        with pytest.raises(ValueError, match="uint8"):
+            batcher.submit(bad)
+    finally:
+        batcher.close()
+
+
+def test_submit_racing_close_fails_fast(service):
+    """ADVICE r2: a request enqueued concurrently with close()'s drain
+    must fail promptly, not block out its full submit timeout."""
+    import time
+
+    batcher = DynamicBatcher(service)
+    batcher.close()  # workers gone, queue drained
+    t0 = time.monotonic()
+    with pytest.raises((RuntimeError, TimeoutError)) as e:
+        batcher.submit(_images(1)[0], timeout=30.0)
+    # the post-put _stop re-check must fire: well under the timeout
+    assert time.monotonic() - t0 < 5.0
+    assert "closed" in str(e.value)

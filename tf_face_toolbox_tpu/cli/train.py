@@ -34,6 +34,8 @@ flags.DEFINE_enum("stem", "face", ["face", "imagenet", "space2depth"],
                   "7x7/s2+pool (throughput), space2depth=TResNet-style")
 flags.DEFINE_enum("head", "gap", ["gap", "flatten"],
                   "embedding head variant")
+flags.DEFINE_float("dropout", 0.0,
+                   "flatten-head dropout rate (train-mode only)")
 flags.DEFINE_integer("embedding_dim", 512, "embedding size")
 flags.DEFINE_integer("num_classes", 0,
                      "identity count (0 = infer from data)")
@@ -114,6 +116,7 @@ def build_config(num_classes: int) -> "TrainConfig":
         network=FLAGS.network,
         stem=FLAGS.stem,
         head_variant=FLAGS.head,
+        dropout_rate=FLAGS.dropout,
         embedding_dim=FLAGS.embedding_dim,
         num_classes=num_classes,
         image_size=FLAGS.image_size,

@@ -230,13 +230,21 @@ def pack_image_list(list_path: str, out_path: str, *, root: str = "",
         from PIL import Image
 
         def recode(blob: bytes) -> bytes:
+            # resize with the PIPELINE's half-pixel bilinear
+            # (_resize_u8), NOT PIL's antialiased Image.BILINEAR —
+            # recoded shards must match the pixels a plain shard
+            # produces at load time, or mixing the two skews train/eval
+            from tf_face_toolbox_tpu.data.pipeline import _resize_u8
+
             img = Image.open(io.BytesIO(blob)).convert("RGB")
-            if img.size != (recode_size, recode_size):
-                img = img.resize((recode_size, recode_size),
-                                 Image.BILINEAR)
+            arr = np.asarray(img, np.uint8)
+            if arr.shape[:2] != (recode_size, recode_size):
+                arr = _resize_u8(arr, recode_size, recode_size)
             buf = io.BytesIO()
             # subsampling=0 → 4:4:4: uniform block grid across Y/Cb/Cr
-            img.save(buf, "JPEG", quality=recode_quality, subsampling=0)
+            Image.fromarray(arr).save(buf, "JPEG",
+                                      quality=recode_quality,
+                                      subsampling=0)
             return buf.getvalue()
 
     with ShardWriter(out_path, payload=PAYLOAD_JPEG) as writer:

@@ -93,6 +93,13 @@ class EmbeddingService:
                 f"image must be ({self.crop_from}, {self.crop_from}, 3) "
                 f"uint8 (got {getattr(image, 'shape', type(image))}); "
                 "use decode_request for raw bytes")
+        # dtype too: a float frame would upcast the whole padded batch
+        # in dispatch_batch and silently recompile the warmed uint8
+        # program with different standardization semantics
+        if getattr(image, "dtype", None) != np.uint8:
+            raise ValueError(
+                f"image dtype must be uint8 "
+                f"(got {getattr(image, 'dtype', type(image))})")
 
     def dispatch_batch(self, images: "np.ndarray"):
         """Async half of embed_batch: pad, enqueue the device call, and
@@ -218,6 +225,12 @@ class DynamicBatcher:
         self._count(requests=1)
         t0 = time.monotonic()
         self._q.put(p)
+        # re-check AFTER the put: close() drains the queue once, so a
+        # request enqueued concurrently with that drain would otherwise
+        # block out its full timeout instead of failing fast
+        if self._stop.is_set() and not p.event.is_set():
+            p.error = RuntimeError("batcher is closed")
+            p.event.set()
         ok = p.event.wait(timeout)
         # record latency for EVERY outcome: a timed-out request is
         # exactly the tail p99 must expose, not a survivorship gap

@@ -48,10 +48,14 @@ from tf_face_toolbox_tpu.train.state import TrainState
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     """All training hyperparameters (rebuild of the reference's tf.app.flags
-    surface [TF1-IDIOM]; see utils/flags.py for the CLI binding)."""
+    surface [TF1-IDIOM]; CLI bindings live per entry point — cli/train.py)."""
     network: str = "resnet_v1_50"
     stem: str = "face"          # "face" | "imagenet" | "space2depth"
     head_variant: str = "gap"
+    # flatten-head dropout (ArcFace "E" head). Train-mode stochasticity
+    # needs a 'dropout' PRNG stream: the trainer folds one from the same
+    # per-device step RNG that drives augmentation.
+    dropout_rate: float = 0.0
     embedding_dim: int = 512
     num_classes: int = 10572          # CASIA-WebFace identity count
     image_size: int = 112
@@ -120,7 +124,8 @@ def create_train_state(cfg: TrainConfig, rng: jax.Array,
         kwargs = {}
         if cfg.network.startswith(("resnet", "se_resnet", "resnext",
                                    "se_resnext", "densenet")):
-            kwargs = dict(stem=cfg.stem, head_variant=cfg.head_variant)
+            kwargs = dict(stem=cfg.stem, head_variant=cfg.head_variant,
+                          dropout_rate=cfg.dropout_rate)
         if cfg.quantized:
             kwargs["quantized"] = cfg.quantized
         net = create_network(cfg.network, embedding_dim=cfg.embedding_dim,
@@ -234,10 +239,15 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
             x = images
         x = x.astype(cfg.dtype)
 
+        # distinct tag keeps the augmentation streams (kc/kf above)
+        # byte-identical whether or not dropout is enabled
+        drop_rng = jax.random.fold_in(dev_rng, 0x0D12)
+
         def loss_fn(params, classifier):
             emb, updates = net.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                x, train=True, mutable=["batch_stats"])
+                x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": drop_rng})
             updates = dict(updates)
             updates.setdefault("batch_stats", {})
             emb = emb.astype(jnp.float32)
