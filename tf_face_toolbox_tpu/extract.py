@@ -32,10 +32,19 @@ def flip_averaged_embeddings(apply_fn: Callable, variables: Any,
 
     ``apply_fn(variables, images)`` must run the backbone in eval mode.
     Flip is along the width axis (NHWC axis 2), matching
-    tf.image.flip_left_right semantics (SURVEY.md §8).
+    tf.image.flip_left_right semantics (SURVEY.md §8). When ``images``
+    is a DCT-coefficient tensor (trailing dim C·64, the dct stem's
+    zero-decode input), the flip happens in the frequency domain —
+    exactly equivalent (ops/dct.flip_coefficients, tested).
     """
     n = images.shape[0]
-    both = jnp.concatenate([images, images[:, :, ::-1, :]], axis=0)
+    if images.shape[-1] != 3 and images.shape[-1] % 64 == 0:
+        from tf_face_toolbox_tpu.ops.dct import flip_coefficients
+
+        flipped = flip_coefficients(images)
+    else:
+        flipped = images[:, :, ::-1, :]
+    both = jnp.concatenate([images, flipped], axis=0)
     emb = apply_fn(variables, both)
     return l2_normalize(emb[:n] + emb[n:])
 
@@ -96,11 +105,19 @@ def extract_shard(net, variables, source, *, image_size: int,
     Python pool), "native", "python", or "native_dct" — host
     entropy-decode only, the TPU finishes the JPEG (ops/jpeg_tpu);
     needs a uniform 4:4:4 shard of exactly crop_from² geometry
-    (cli.pack --recode_size).
+    (cli.pack --recode_size). "dct_domain": the zero-decode path for
+    stem="dct" backbones — coefficients go straight into the net
+    (ops/dct.prepare_coefficients; no IDCT, no pixels, flip in the
+    frequency domain); needs a recoded shard at exactly image_size
+    (crop_from == image_size — block-aligned crops don't exist).
 
     ``crop_from`` defaults to image_size + 8 (the training default);
     pass crop_from == image_size for whole-image resize semantics.
     """
+    if loader == "dct_domain" and getattr(net, "stem", None) != "dct":
+        # a non-dct stem would silently convolve over 192 "channels"
+        raise ValueError("loader='dct_domain' requires a stem='dct' "
+                         "backbone (e.g. dct_resnet_50)")
     fn = extract_fn or make_extract_fn(net, donate=False)
     n = source.index.count
     outs = []
@@ -151,6 +168,32 @@ def _standardized_batches(source, *, image_size: int, crop_from: int = 0,
                for lo in range(0, n, batch)]
     if limit_batches:
         windows = windows[:limit_batches]
+
+    if loader == "dct_domain":
+        if crop_from != image_size:
+            raise ValueError(
+                f"loader='dct_domain' needs crop_from == image_size "
+                f"(got {crop_from} vs {image_size}): center-cropping "
+                f"coefficients would need a block-aligned offset; pack "
+                f"the shard with --recode_size={image_size}")
+        if image_size % 8:
+            raise ValueError("image_size must be a multiple of 8 for "
+                             "the dct domain")
+        from tf_face_toolbox_tpu.data.native import NativeShardReader
+        from tf_face_toolbox_tpu.ops.dct import prepare_coefficients
+        reader = NativeShardReader(source.index.path,
+                                   num_threads=num_threads)
+        try:
+            for bi, ids in enumerate(windows):
+                if bi + 1 < len(windows):
+                    reader.prefetch(windows[bi + 1])
+                coef, qtab = reader.dct_batch(ids, image_size,
+                                              image_size)
+                yield prepare_coefficients(jnp.asarray(coef),
+                                           jnp.asarray(qtab))
+        finally:
+            reader.close()
+        return
 
     if loader in ("native", "native_dct"):
         from tf_face_toolbox_tpu.data.native import NativeShardReader

@@ -42,6 +42,18 @@ _REGISTRY: dict[str, tuple[type, dict[str, Any]]] = {
     "se_resnext_50": (ResNet, dict(stage_sizes=(3, 4, 6, 3), groups=32,
                                    width_per_group=4, expansion=2,
                                    se_reduction=16)),
+    # JPEG/DCT-domain face backbone (PAPERS.md: Gueguen et al. 2018,
+    # Ehrlich & Davis 2018, dos Santos 2021 — frequency-domain entry at
+    # equal ImageNet accuracy). Late stages identical to r50's
+    # (w256@14², w512@7²); a w128 28² stage (r50 stage-1 geometry)
+    # replaces the 56² stage whose local filtering the 8x8 DCT basis
+    # subsumes. The bf16 accuracy-class serving config (docs/design.md).
+    # Geometry picked by measurement (tools/dct_arch_sweep.py, v5e-1
+    # b256 bf16): (3,6,3)/(128,256,512) = 11.9k faces/sec (min 11.4k)
+    # vs (4,6,3)/(128,..) 9.6k and (4,6,3)/(96,..) 10.9k.
+    "dct_resnet_50": (ResNet, dict(stage_sizes=(3, 6, 3),
+                                   stage_widths=(128, 256, 512),
+                                   stem="dct")),
     # DenseNet family (ref: upstream nets/densenet.py [UPSTREAM-K])
     "densenet_121": (DenseNet, dict(stage_sizes=(6, 12, 24, 16))),
     "densenet_169": (DenseNet, dict(stage_sizes=(6, 12, 32, 32))),
@@ -68,6 +80,15 @@ def create_network(name: str, *, embedding_dim: int = 512,
         raise ValueError(
             f"unknown network '{name}'; available: {list_networks()}")
     cls, kwargs = _REGISTRY[name]
+    # A stem pinned in the registry is structural (dct_resnet_50 only
+    # works in the frequency domain); CLIs pass their --stem default
+    # unconditionally, so the pin wins over a conflicting override.
+    if "stem" in kwargs and overrides.get("stem", kwargs["stem"]) \
+            != kwargs["stem"]:
+        from absl import logging
+        logging.warning("network %s pins stem=%s; ignoring stem=%s",
+                        name, kwargs["stem"], overrides["stem"])
+        overrides = {k: v for k, v in overrides.items() if k != "stem"}
     merged = {**kwargs, **overrides,
               "embedding_dim": embedding_dim, "dtype": dtype}
     return cls(**merged)

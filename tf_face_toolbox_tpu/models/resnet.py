@@ -92,13 +92,19 @@ class ResNet(nn.Module):
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)   # ResNet-50
     width_per_group: int = 64
+    # Explicit per-stage bottleneck widths; None = the classic
+    # width_per_group·groups·2^stage doubling. Used by the JPEG-domain
+    # variant whose stages start at 28² with r50's late-stage widths.
+    stage_widths: Sequence[int] | None = None
     groups: int = 1
     se_reduction: int = 0
     # Output channels = bottleneck width × expansion. ResNet uses 4;
     # ResNeXt-32x4d uses 2 (width 128 → output 256 at stage 0).
     expansion: int = 4
     embedding_dim: int = 512
-    stem: str = "face"          # "face" | "imagenet"
+    stem: str = "face"    # "face" | "imagenet" | "space2depth" | "dct"
+    # dct stem: channels after the frequency-domain 1x1 + depth2space
+    dct_stem_features: int = 256
     head_variant: str = "gap"
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
@@ -138,6 +144,40 @@ class ResNet(nn.Module):
             x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
                 n, h // 2, w // 2, 4 * c)
             x = ConvBN(64, (3, 3), strides=(1, 1), dtype=self.dtype)(x, train)
+        elif self.stem == "dct":
+            # JPEG-domain entry (PAPERS.md: Gueguen et al. 2018 "Faster
+            # Neural Networks Straight from JPEG"; Ehrlich & Davis 2018;
+            # dos Santos 2021): the 8x8 blockwise DCT replaces the
+            # 112²/56² high-resolution stages — their MXU-hostile
+            # 64-channel convs are where the accuracy-class stems spend
+            # most of their time (docs/design.md). Accepts EITHER
+            # standardized pixels (N, H, W, 3) — exact linear re-layout
+            # to (H/8, W/8, 192) — or an already-prepared coefficient
+            # tensor (N, H/8, W/8, 192) from ops/dct.prepare_coefficients
+            # (the zero-decode serving path: entropy decode on host,
+            # nothing else).
+            from tf_face_toolbox_tpu.ops import dct as dct_ops
+
+            if x.shape[-1] == 3:
+                x = dct_ops.block_dct(x).astype(self.dtype)
+            elif x.shape[-1] != 192:
+                raise ValueError(
+                    f"dct stem wants (N,H,W,3) pixels or (N,h,w,192) "
+                    f"coefficients, got trailing dim {x.shape[-1]}")
+            # Frequency norm (Gueguen §4.2): coefficient magnitudes span
+            # orders of magnitude across the band; BN equalizes them.
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=jnp.float32)(x)
+            # Learned frequency→space up-projection: 1x1 over the 192
+            # frequency channels to 4·C, then depth-to-space to 28² —
+            # a full-rank learnable sibling of the fixed IDCT re-layout,
+            # with every matmul ≥192 wide (full MXU tiles).
+            c0 = self.dct_stem_features
+            x = ConvBN(4 * c0, (1, 1), dtype=self.dtype)(x, train)
+            n, h, w, _ = x.shape
+            x = x.reshape(n, h, w, 2, 2, c0)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, c0)
         else:
             raise ValueError(f"unknown stem: {self.stem}")
 
@@ -164,7 +204,11 @@ class ResNet(nn.Module):
         qat_carry = self.quantized == "qat" and train
         block_counter = 0
         for stage_idx, num_blocks in enumerate(self.stage_sizes):
-            features = self.width_per_group * self.groups * (2 ** stage_idx)
+            if self.stage_widths is not None:
+                features = self.stage_widths[stage_idx]
+            else:
+                features = (self.width_per_group * self.groups
+                            * (2 ** stage_idx))
             for block_idx in range(num_blocks):
                 # Face stem keeps stage 0 at stride 2 too (112 → 56);
                 # imagenet/s2d stems already downsampled, so stage 0 is s1.

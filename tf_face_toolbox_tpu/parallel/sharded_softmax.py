@@ -106,3 +106,115 @@ def sharded_margin_softmax_loss(embeddings: jax.Array, w_shard: jax.Array,
     target = jax.lax.psum(local_target, axis_name)  # exactly one owner
     nll = jnp.log(denom) - target
     return jnp.mean(nll)
+
+
+def sampled_sharded_margin_softmax_loss(
+        embeddings: jax.Array, w_shard: jax.Array, labels: jax.Array,
+        cfg: MarginConfig, key: jax.Array, budget: int,
+        axis_name: str = "model",
+        total_classes: int | None = None) -> jax.Array:
+    """Sampled Partial-FC: score a per-shard class subset, not all of C.
+
+    The exact head above is full Partial-FC model-parallelism but still
+    scores every class each step; at the identity counts the classifier
+    shard exists for (10^5..10^7 — An et al. 2021, "Partial FC"), the
+    (N, C_local) logit block and its bf16 GEMM dominate step time and
+    HBM. This variant samples each shard's columns per step:
+
+    - every class owned by a batch label is kept (the "keep target
+      class" rule — positives always get their gradient);
+    - ``budget - |positives|`` negatives are drawn uniformly without
+      replacement (iid uniform keys + top_k — a sort-free equivalent of
+      a Fisher-Yates prefix);
+    - the softmax denominator is importance-corrected: a sampled valid
+      negative's exp-term is weighted by 1/q with q = its inclusion
+      probability, making the sampled denominator an unbiased estimator
+      of the true one (the log of it is consistent; tf.nn.
+      sampled_softmax_loss's classic correction). ``budget == C_local``
+      degenerates to the exact loss bit-for-bit in expectation and
+      numerically (q == 1; tested).
+
+    ``key`` must be identical across the shard group for a given step
+    (fold only the step, not the device, into it): each shard then
+    draws its own columns (axis_index folds in below), and the psum'd
+    denominator sums one coherent estimator.
+
+    Static shapes throughout: ``budget`` is a Python int; requires
+    ``budget >= N`` so positives can never overflow the sample.
+    """
+    n = labels.shape[0]
+    c_local = w_shard.shape[0]
+    if not 0 < budget <= c_local:
+        raise ValueError(f"budget {budget} must be in (0, {c_local}]")
+    # a shard can own at most min(N, C_local) distinct positive classes
+    if budget < min(n, c_local):
+        raise ValueError(
+            f"budget {budget} < min(batch {n}, shard {c_local}): owned "
+            f"positives could overflow the sampled set")
+    idx_dev = jax.lax.axis_index(axis_name)
+    offset = idx_dev * c_local
+    local = labels - offset
+    owned = (local >= 0) & (local < c_local)
+    safe = jnp.where(owned, local, 0)
+    pos_in_shard = jnp.zeros((c_local,), bool).at[safe].max(
+        owned, mode="drop")
+    num_pos = jnp.sum(pos_in_shard.astype(jnp.int32))
+    if total_classes is not None:
+        valid_local = jnp.clip(total_classes - offset, 0, c_local)
+        col_valid = jnp.arange(c_local) < valid_local
+    else:
+        valid_local = jnp.int32(c_local)
+        col_valid = jnp.ones((c_local,), bool)
+
+    # Draw: positives first (key −1), valid negatives by iid uniform,
+    # pad columns last (key +2 > any uniform) — top_k of the negated
+    # keys yields exactly {positives} ∪ uniform-without-replacement
+    # negatives, padded only if the shard runs out of valid columns.
+    shard_key = jax.random.fold_in(key, idx_dev)
+    r = jax.random.uniform(shard_key, (c_local,))
+    r = jnp.where(pos_in_shard, -1.0, jnp.where(col_valid, r, 2.0))
+    _, sampled = jax.lax.top_k(-r, budget)          # (budget,) indices
+
+    w_sub = w_shard[sampled]                        # (budget, D) gather
+    # position of each label's class within the sampled set
+    pos_of_class = jnp.zeros((c_local,), jnp.int32).at[sampled].set(
+        jnp.arange(budget, dtype=jnp.int32))
+    one_hot = jax.nn.one_hot(pos_of_class[safe], budget,
+                             dtype=jnp.float32)
+    one_hot = one_hot * owned[:, None].astype(jnp.float32)
+
+    cos_theta = cosine_logits(embeddings, w_sub)
+    cos_c = jnp.clip(cos_theta, -1.0 + 1e-7, 1.0 - 1e-7)
+    if cfg.m1 != 1.0 or cfg.m2 != 0.0:
+        theta = jnp.arccos(cos_c)
+        theta_m = cfg.m1 * theta + cfg.m2
+        target = jnp.where(theta_m <= jnp.pi, jnp.cos(theta_m),
+                           -1.0 - (theta_m - jnp.pi))
+    else:
+        target = cos_c
+    target = target - cfg.m3
+    logits = cfg.scale * jnp.where(one_hot > 0, target, cos_theta)
+
+    samp_valid = col_valid[sampled]                  # (budget,) bool
+    samp_pos = pos_in_shard[sampled]
+    # inclusion probability of a surviving valid negative
+    n_neg_drawn = jnp.minimum(budget - num_pos, valid_local - num_pos)
+    pool = jnp.maximum(valid_local - num_pos, 1)
+    q = jnp.clip(n_neg_drawn.astype(jnp.float32) / pool, 1e-9, 1.0)
+    # weight per sampled column: pos → 1, valid neg → 1/q, pad → 0
+    weight = jnp.where(
+        samp_pos, 1.0,
+        jnp.where(samp_valid, 1.0 / q, 0.0))[None, :]
+
+    neg_inf = jnp.float32(-1e30)
+    masked_logits = jnp.where(weight > 0, logits, neg_inf)
+    local_max = jnp.max(masked_logits, axis=-1)
+    global_max = jax.lax.pmax(
+        jax.lax.stop_gradient(local_max), axis_name)
+    shifted = masked_logits - global_max[:, None]
+    local_denom = jnp.sum(jnp.exp(shifted) * weight, axis=-1)
+    denom = jax.lax.psum(local_denom, axis_name)
+    local_target = jnp.sum(shifted * one_hot, axis=-1)
+    tgt = jax.lax.psum(local_target, axis_name)
+    nll = jnp.log(denom) - tgt
+    return jnp.mean(nll)

@@ -50,18 +50,37 @@ class CheckpointManager:
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 
-    def restore(self, target: TrainState, step: int | None = None) -> TrainState:
+    def restore(self, target: TrainState, step: int | None = None,
+                *, mesh=None, pspecs=None) -> TrainState:
         """Restore into the structure/shardings of ``target``.
 
         ``target`` is a freshly-initialized state (create_train_state):
         orbax uses its pytree structure, dtypes, and shardings as the
         restore spec — so a checkpoint written on one mesh restores onto
         another as long as shapes match.
+
+        Multi-process: pass ``mesh`` + ``pspecs`` (trainer.state_pspecs)
+        so orbax restores each leaf DIRECTLY as a global array with its
+        canonical sharding. A fresh ``target``'s leaves are process-local
+        host arrays, and re-sharding them after the fact would need a
+        cross-host device transfer the CPU/TPU backends don't do outside
+        DCN configs (caught by the two-process durability test).
         """
         step = self._mgr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint found in {self._dir}")
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            shardings = jax.tree.map(
+                lambda spec: NamedSharding(mesh, spec), pspecs,
+                is_leaf=lambda x: isinstance(x, P))
+            abstract = jax.tree.map(
+                lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                                  sharding=s),
+                abstract, shardings)
         return self._mgr.restore(
             step, args=ocp.args.StandardRestore(abstract))
 

@@ -64,7 +64,16 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
                     "checkpoint EMA state does not match config: resume "
                     f"with {'--ema_decay>0' if mgr.has_ema() else '--ema_decay=0'} "
                     "(the same setting the run was started with)")
-            state = shard_state(mgr.restore(state), mesh)
+            from tf_face_toolbox_tpu.train.trainer import state_pspecs
+
+            if jax.process_count() > 1:
+                # restore straight into global shardings — resharding
+                # after the fact is a cross-host transfer (see
+                # CheckpointManager.restore)
+                state = mgr.restore(state, mesh=mesh,
+                                    pspecs=state_pspecs(state))
+            else:
+                state = shard_state(mgr.restore(state), mesh)
     step_fn = make_train_step(net, cfg, mesh, state,
                               input_format=input_format)
     logger = logger or MetricLogger(train_dir,

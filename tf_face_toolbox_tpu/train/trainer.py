@@ -39,6 +39,7 @@ from tf_face_toolbox_tpu.ops.losses import MarginConfig
 from tf_face_toolbox_tpu.parallel import collectives
 from tf_face_toolbox_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from tf_face_toolbox_tpu.parallel.sharded_softmax import (
+    sampled_sharded_margin_softmax_loss,
     sharded_margin_softmax_loss,
 )
 from tf_face_toolbox_tpu.train.schedule import staircase
@@ -72,6 +73,13 @@ class TrainConfig:
     margin_m1: float = 1.0
     margin_m2: float = 0.0
     margin_m3: float = 0.35           # CosFace default
+    # Sampled Partial-FC (An et al. 2021): fraction of each classifier
+    # shard scored per step (1.0 = exact full softmax). At 10^6..10^7
+    # identities the (N, C_local) logit block is the step's dominant
+    # GEMM/HBM cost; 0.1 is the paper's accuracy-neutral setting. The
+    # sampled denominator is importance-corrected (unbiased estimator
+    # of the exact one) — parallel/sharded_softmax.py.
+    pfc_sample_rate: float = 1.0
     # compute
     dtype: Any = jnp.float32          # jnp.bfloat16 on TPU
     augment: bool = True              # on-device crop/flip when input is u8
@@ -123,7 +131,8 @@ def create_train_state(cfg: TrainConfig, rng: jax.Array,
     if net is None:
         kwargs = {}
         if cfg.network.startswith(("resnet", "se_resnet", "resnext",
-                                   "se_resnext", "densenet")):
+                                   "se_resnext", "densenet",
+                                   "dct_resnet")):
             kwargs = dict(stem=cfg.stem, head_variant=cfg.head_variant,
                           dropout_rate=cfg.dropout_rate)
         if cfg.quantized:
@@ -255,9 +264,24 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
             # model axis so each class shard scores every sample.
             emb_g = jax.lax.all_gather(emb, MODEL_AXIS, tiled=True)
             lab_g = jax.lax.all_gather(labels, MODEL_AXIS, tiled=True)
-            loss = sharded_margin_softmax_loss(
-                emb_g, classifier, lab_g, margin,
-                axis_name=MODEL_AXIS, total_classes=num_classes)
+            if cfg.pfc_sample_rate < 1.0:
+                import math
+                c_local = classifier.shape[0]
+                budget = min(
+                    max(math.ceil(cfg.pfc_sample_rate * c_local),
+                        lab_g.shape[0]),
+                    c_local)
+                # one sampling key per STEP, shared across the model
+                # axis (fold step, not device — every shard of a data
+                # row must draw one coherent sample set)
+                pfc_key = jax.random.fold_in(step_rng, 0x9FC)
+                loss = sampled_sharded_margin_softmax_loss(
+                    emb_g, classifier, lab_g, margin, pfc_key, budget,
+                    axis_name=MODEL_AXIS, total_classes=num_classes)
+            else:
+                loss = sharded_margin_softmax_loss(
+                    emb_g, classifier, lab_g, margin,
+                    axis_name=MODEL_AXIS, total_classes=num_classes)
             # ÷ model-axis size: every device in a data row computes the
             # SAME row loss, and the collective transposes (all_gather →
             # psum_scatter, psum → broadcast) accumulate all replicas'
