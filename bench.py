@@ -253,7 +253,7 @@ def main() -> None:
                         "single Pallas kernels (one HBM read/write per "
                         "block run)")
     p.add_argument("--quant", default="none",
-                   choices=["none", "dynamic", "static"],
+                   choices=["none", "dynamic", "static", "static_dense"],
                    help="int8 serving: static = calibrated scales + "
                         "int8 residual carry (measured ~1.45x bf16 on "
                         "the imagenet stem; puts the face stem over "
@@ -290,7 +290,7 @@ def main() -> None:
     variables = init_variables(
         create_network(args.network, dtype=jnp.bfloat16, stem=args.stem),
         jax.random.key(0), (1, 112, 112, 3))
-    if quant == "static":
+    if quant in ("static", "static_dense"):
         from tf_face_toolbox_tpu.models import calibrate_quant_stats
         variables = calibrate_quant_stats(
             args.network, variables,

@@ -419,3 +419,116 @@ def test_submit_racing_close_fails_fast(service):
     # the post-put _stop re-check must fire: well under the timeout
     assert time.monotonic() - t0 < 5.0
     assert "closed" in str(e.value)
+
+
+def _unix_post(path, route, body, timeout=30.0):
+    """Minimal HTTP POST over an AF_UNIX socket."""
+    import http.client
+    import socket
+
+    class _Conn(http.client.HTTPConnection):
+        def __init__(self):
+            super().__init__("localhost", timeout=timeout)
+
+        def connect(self):
+            self.sock = socket.socket(socket.AF_UNIX,
+                                      socket.SOCK_STREAM)
+            self.sock.settimeout(self.timeout)
+            self.sock.connect(path)
+
+    conn = _Conn()
+    try:
+        conn.request("POST", route, body=body,
+                     headers={"Content-Length": str(len(body))})
+        r = conn.getresponse()
+        return r.status, json.loads(r.read())
+    finally:
+        conn.close()
+
+
+def _npy_bytes(arr):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+def test_unix_socket_serving(service, tmp_path):
+    """HTTP over AF_UNIX: same endpoints, no TCP."""
+    sock_path = str(tmp_path / "embed.sock")
+    batcher = DynamicBatcher(service)
+    server = serve(batcher, unix_socket=sock_path)
+    try:
+        status, out = _unix_post(sock_path, "/embed",
+                                 _npy_bytes(_images(1)[0]))
+        assert status == 200 and len(out["embedding"]) == DIM
+    finally:
+        server.shutdown()
+        server.wait_idle(10)
+        server.server_close()
+        batcher.close()
+
+
+def test_rolling_restart_zero_dropped_requests(service, tmp_path):
+    """Rolling restart over one unix-socket path (VERDICT r2 #8): the
+    new server takes the path over atomically; the old one drains its
+    in-flight requests. Every client request — including those accepted
+    by the OLD server at switchover — must succeed; retries only cover
+    the instant between old-close and new-rename."""
+    import threading
+    import time
+
+    sock_path = str(tmp_path / "roll.sock")
+    payloads = [_npy_bytes(img) for img in _images(8, seed=3)]
+
+    batcher_a = DynamicBatcher(service)
+    server_a = serve(batcher_a, unix_socket=sock_path)
+
+    results = []
+    results_mu = threading.Lock()
+    stop_clients = threading.Event()
+
+    def client(idx):
+        k = 0
+        while not stop_clients.is_set():
+            body = payloads[(idx + k) % len(payloads)]
+            k += 1
+            for attempt in range(50):
+                try:
+                    status, _ = _unix_post(sock_path, "/embed", body)
+                    with results_mu:
+                        results.append(status)
+                    break
+                except (ConnectionRefusedError, FileNotFoundError,
+                        ConnectionResetError, BrokenPipeError):
+                    time.sleep(0.05)
+            else:
+                with results_mu:
+                    results.append(-1)  # permanently failed
+            time.sleep(0.01)
+
+    threads = [threading.Thread(target=client, args=(i,), daemon=True)
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    time.sleep(0.8)  # traffic flowing against server A
+
+    # --- rolling restart: B takes the path over, A drains ---
+    batcher_b = DynamicBatcher(service)
+    server_b = serve(batcher_b, unix_socket=sock_path)
+    server_a.shutdown()                # A: stop accepting
+    assert server_a.wait_idle(30)      # A: in-flight completed
+    server_a.server_close()
+    batcher_a.close()
+
+    time.sleep(0.8)  # traffic flowing against server B
+    stop_clients.set()
+    for t in threads:
+        t.join(timeout=60)
+    server_b.shutdown()
+    server_b.wait_idle(10)
+    server_b.server_close()
+    batcher_b.close()
+
+    assert results, "no requests completed"
+    bad = [r for r in results if r != 200]
+    assert not bad, f"{len(bad)} non-200 of {len(results)}: {bad[:10]}"

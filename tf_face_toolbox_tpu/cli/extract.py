@@ -142,11 +142,11 @@ def main(argv):
 
     quant = FLAGS.quant_mode if FLAGS.quant_mode != "none" else (
         "dynamic" if FLAGS.quantized else False)
-    if FLAGS.network.startswith("densenet") and (
-            quant or FLAGS.stem == "space2depth"):
+    if FLAGS.network.startswith("densenet") and \
+            FLAGS.stem == "space2depth":
         raise SystemExit(
-            "--quant_mode / --stem=space2depth are resnet-family "
-            "options; densenet supports stem=face|imagenet, fp only")
+            "--stem=space2depth is a resnet-family option; densenet "
+            "supports stem=face|imagenet")
     dtype = jnp.bfloat16 if FLAGS.bf16 else jnp.float32
     if FLAGS.variables_npz:
         if FLAGS.checkpoint_dir:

@@ -45,6 +45,10 @@ flags.DEFINE_integer("calibrate_batches", 4,
                      "calibration batches (of --max_batch)")
 flags.DEFINE_string("host", "127.0.0.1", "bind address")
 flags.DEFINE_integer("port", 8000, "bind port")
+flags.DEFINE_string("unix_socket", "",
+                    "serve over an AF_UNIX socket at this path instead "
+                    "of TCP (rolling restarts: the next daemon takes "
+                    "the path over atomically while this one drains)")
 flags.DEFINE_integer("max_batch", 64, "device batch (pad-to-batch)")
 flags.DEFINE_float("max_wait_ms", 5.0,
                    "straggler wait after the first request of a batch")
@@ -128,8 +132,11 @@ def main(argv):
     logging.info("warming the b%d compiled extractor...", FLAGS.max_batch)
     service.warmup()
     batcher = DynamicBatcher(service, max_wait_ms=FLAGS.max_wait_ms)
-    server = serve(batcher, host=FLAGS.host, port=FLAGS.port)
-    print(f"serving on http://{FLAGS.host}:{server.server_address[1]} "
+    server = serve(batcher, host=FLAGS.host, port=FLAGS.port,
+                   unix_socket=FLAGS.unix_socket or None)
+    where = (f"unix:{FLAGS.unix_socket}" if FLAGS.unix_socket else
+             f"http://{FLAGS.host}:{server.server_address[1]}")
+    print(f"serving on {where} "
           f"(batch={FLAGS.max_batch}, wait={FLAGS.max_wait_ms}ms)",
           flush=True)
     import signal

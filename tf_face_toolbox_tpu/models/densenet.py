@@ -22,14 +22,24 @@ from flax import linen as nn
 from tf_face_toolbox_tpu.models.layers import (
     EmbeddingHead,
     conv_kernel_init,
+    int8_conv,
 )
 
 
 class _BNReLUConv(nn.Module):
+    """Pre-activation BN→ReLU→Conv (DenseNet ordering).
+
+    ``quantized`` mirrors layers.ConvBN's serving modes for the
+    post-activation conv input (False | "dynamic"/True | "calibrate" |
+    "static") — the concat stream between layers stays bf16 (XLA keeps
+    the concats as views, so unlike ResNet's inter-block residual
+    stream there is no single carry tensor worth quantizing)."""
+
     features: int
     kernel_size: tuple[int, int]
     strides: tuple[int, int] = (1, 1)
     dtype: jnp.dtype = jnp.float32
+    quantized: bool | str = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -37,10 +47,31 @@ class _BNReLUConv(nn.Module):
                          epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32)(x)
         x = nn.relu(x)
-        x = nn.Conv(self.features, self.kernel_size, strides=self.strides,
-                    padding="SAME", use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32,
-                    kernel_init=conv_kernel_init)(x)
+        kernel = self.param(
+            "kernel", conv_kernel_init,
+            (*self.kernel_size, x.shape[-1], self.features), jnp.float32)
+        mode = "dynamic" if self.quantized is True else self.quantized
+        if mode == "calibrate" and not train:
+            stat = self.variable("quant_stats", "act_max",
+                                 lambda: jnp.zeros((), jnp.float32))
+            stat.value = jnp.maximum(
+                stat.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+            mode = False
+        if mode == "static" and not train:
+            if not self.has_variable("quant_stats", "act_max"):
+                raise ValueError(
+                    "quantized='static' needs calibrated quant_stats; "
+                    "run models.calibrate_quant_stats(...) first")
+            act_max = self.get_variable("quant_stats", "act_max")
+            x = int8_conv(x, kernel, self.strides,
+                          act_scale=act_max / 127.0).astype(self.dtype)
+        elif mode == "dynamic" and not train:
+            x = int8_conv(x, kernel, self.strides).astype(self.dtype)
+        else:
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                self.strides, "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return x
 
 
@@ -49,11 +80,14 @@ class DenseLayer(nn.Module):
 
     growth_rate: int
     dtype: jnp.dtype = jnp.float32
+    quantized: bool | str = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        y = _BNReLUConv(4 * self.growth_rate, (1, 1), dtype=self.dtype)(x, train)
-        y = _BNReLUConv(self.growth_rate, (3, 3), dtype=self.dtype)(y, train)
+        y = _BNReLUConv(4 * self.growth_rate, (1, 1), dtype=self.dtype,
+                        quantized=self.quantized)(x, train)
+        y = _BNReLUConv(self.growth_rate, (3, 3), dtype=self.dtype,
+                        quantized=self.quantized)(y, train)
         return jnp.concatenate([x, y], axis=-1)
 
 
@@ -68,6 +102,10 @@ class DenseNet(nn.Module):
     head_variant: str = "gap"
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # serving-only W8A8 on every dense-layer/transition conv (stem conv
+    # stays fp — 3-channel input, negligible cost, quantization-noise
+    # prone): False | True/"dynamic" | "calibrate" | "static".
+    quantized: bool | str = False
 
     @nn.compact
     def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
@@ -90,11 +128,13 @@ class DenseNet(nn.Module):
 
         for stage_idx, num_layers in enumerate(self.stage_sizes):
             for _ in range(num_layers):
-                x = DenseLayer(self.growth_rate, dtype=self.dtype)(x, train)
+                x = DenseLayer(self.growth_rate, dtype=self.dtype,
+                               quantized=self.quantized)(x, train)
             if stage_idx != len(self.stage_sizes) - 1:
                 # Transition: 1x1 compress + 2x2 avg-pool downsample.
                 out = int(x.shape[-1] * self.compression)
-                x = _BNReLUConv(out, (1, 1), dtype=self.dtype)(x, train)
+                x = _BNReLUConv(out, (1, 1), dtype=self.dtype,
+                                quantized=self.quantized)(x, train)
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
 
         # Final BN-ReLU before the head (DenseNet convention).

@@ -166,6 +166,13 @@ class ConvBN(nn.Module):
             (*self.kernel_size, in_features // self.groups,
              self.features), jnp.float32)
         mode = ("dynamic" if self.quantized is True else self.quantized)
+        if mode == "static_dense":
+            # ResNeXt probe finding (r3, docs/design.md): a grouped 3x3
+            # with width-4 groups has per-group contraction K=36 and
+            # N=4 — two orders below the 128x128 MXU tile, so int8's 2x
+            # peak never engages and its quantize/dequant is pure
+            # overhead. Quantize dense convs only.
+            mode = "static" if self.groups == 1 else False
         if mode == "qat":
             if train:
                 # QAT in f32 (quantization error << bf16 resolution),

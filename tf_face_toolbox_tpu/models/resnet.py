@@ -196,7 +196,8 @@ class ResNet(nn.Module):
         # ONCE per boundary with a frozen block-level scale; the block's
         # convs and its skip path all read the same s8 buffer, so the
         # bf16 copy of every 56²/28²/14² activation vanishes from HBM.
-        carry_int8 = self.quantized == "static" and not train
+        carry_int8 = (self.quantized in ("static", "static_dense")
+                      and not train)
         record_carry = self.quantized == "calibrate" and not train
         # QAT: fake-quantize the inter-block stream too, mirroring the
         # static-int8 residual carry the model will serve with (the

@@ -330,14 +330,22 @@ class DynamicBatcher:
 
 
 def serve(batcher: DynamicBatcher, *, host: str = "127.0.0.1",
-          port: int = 0, max_body_mb: int = 64):
+          port: int = 0, unix_socket: str | None = None,
+          max_body_mb: int = 64):
     """Start the HTTP front-end; returns the (running) HTTPServer.
     Caller owns shutdown(); call ``server.wait_idle(timeout)`` after
     shutdown() to let in-flight handlers finish (the stdlib's
     ``server_close`` does NOT join daemon handler threads — verified on
     py3.12). Endpoints: POST /embed, POST /embed_batch (npy
     (N, H, W, 3); bodies over ``max_body_mb`` get 413), GET /healthz,
-    GET /stats."""
+    GET /stats.
+
+    ``unix_socket``: serve HTTP over an AF_UNIX socket at this path
+    instead of TCP — the rolling-restart/reverse-proxy transport
+    (docs/ROADMAP r2 #5): no TCP handshake/TIME_WAIT per request, and
+    the next daemon takes the path over atomically (bind to a temp
+    name + rename) so a proxy never sees connection-refused between
+    generations. A stale path from a dead process is replaced."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     service = batcher.service
@@ -443,7 +451,37 @@ def serve(batcher: DynamicBatcher, *, host: str = "127.0.0.1",
                 self._reply(503 if isinstance(e, TimeoutError) else 500,
                             {"error": f"{type(e).__name__}: {e}"})
 
-    server = ThreadingHTTPServer((host, port), Handler)
+    if unix_socket:
+        import os
+        import socket as socket_mod
+
+        class UnixHTTPServer(ThreadingHTTPServer):
+            address_family = socket_mod.AF_UNIX
+
+            def server_bind(self):
+                # bind a unique temp name, then rename over the target:
+                # atomic takeover — clients connecting to the path get
+                # either the old (draining) or the new server, never a
+                # refused window
+                self._tmp_path = f"{unix_socket}.{os.getpid()}.tmp"
+                try:
+                    os.unlink(self._tmp_path)
+                except FileNotFoundError:
+                    pass
+                self.socket.bind(self._tmp_path)
+                os.rename(self._tmp_path, unix_socket)
+                self.server_address = unix_socket
+
+            def get_request(self):
+                # AF_UNIX peers have no (host, port); give the handler
+                # the tuple shape BaseHTTPRequestHandler expects
+                sock, _ = super().get_request()
+                return sock, ("unix", 0)
+
+        server = UnixHTTPServer(unix_socket, Handler,
+                                bind_and_activate=True)
+    else:
+        server = ThreadingHTTPServer((host, port), Handler)
 
     def wait_idle(timeout: float = 30.0) -> bool:
         """Block until no handler is mid-request (call after
