@@ -7,8 +7,15 @@ from tf_face_toolbox_tpu.models import list_networks
 from tf_face_toolbox_tpu.train.trainer import TrainConfig
 
 
-def test_all_five_present():
-    assert len(list_configs()) == 5
+def test_all_baseline_milestones_present():
+    # five BASELINE milestones + the r3 accuracy-serving and sampled-PFC
+    # presets
+    assert len(list_configs()) == 7
+    for name in ["extract_verify_cpu", "se_resnet_extract",
+                 "variant_backbones", "casia_single_chip",
+                 "v5e8_data_parallel", "accuracy_serving_bf16",
+                 "large_id_pfc_v5e8"]:
+        assert name in list_configs()
 
 
 def test_train_configs_valid():
@@ -25,6 +32,44 @@ def test_eval_configs_reference_known_networks():
     assert get_config("se_resnet_extract")["network"] in list_networks()
     for n in get_config("variant_backbones")["networks"]:
         assert n in list_networks()
+
+
+def test_accuracy_serving_preset_names_real_paths():
+    cfg = get_config("accuracy_serving_bf16")
+    assert cfg["network"] in list_networks()
+    assert cfg["loader"] == "dct_domain"
+
+
+def test_config7_pfc_runs_on_class_sharded_mesh():
+    """CONFIG_7 executes: 2x4 (data x model) mesh, sampled-PFC head.
+    Extents scaled for the CPU box; mesh shape, pfc_sample_rate, margin
+    and dtype are the preset's own."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+    from tf_face_toolbox_tpu.train.trainer import (
+        create_train_state,
+        make_train_step,
+    )
+
+    preset = get_config("large_id_pfc_v5e8")
+    assert preset.pfc_sample_rate == 0.1
+    mesh = create_mesh(data=2, model=4)
+    cfg = dataclasses.replace(
+        preset, network="resnet_tiny", embedding_dim=16,
+        num_classes=4_000, image_size=12, crop_from=16, global_batch=16)
+    state, net = create_train_state(cfg, jax.random.key(0), mesh)
+    assert state.classifier.shape[0] == 4_000  # 1000/shard over model=4
+    step_fn = make_train_step(net, cfg, mesh, state)
+    images = jax.random.randint(
+        jax.random.key(1), (16, 16, 16, 3), 0, 256, jnp.int32
+    ).astype(jnp.uint8)
+    labels = jax.random.randint(jax.random.key(2), (16,), 0, 4_000)
+    state, metrics = step_fn(state, images, labels.astype(jnp.int32))
+    assert jnp.isfinite(jax.device_get(metrics["loss"]))
 
 
 def test_unknown_config_raises():

@@ -85,12 +85,54 @@ CONFIG_5_V5E8_DATA_PARALLEL = TrainConfig(
 # mesh for config 5: parallel.mesh.create_mesh()  → all 8 chips on `data`
 # (add model=N for Partial-FC class sharding at larger identity counts)
 
+# r3 additions beyond the five BASELINE milestones ----------------------
+
+# The bf16-only accuracy-class serving recommendation (docs/design.md):
+# JPEG-domain backbone, zero-decode input, no quantization. 11.9k
+# faces/sec/chip measured (min 11.4k, b256 v5e-1) — over the 10k
+# north-star with no int8 anywhere.
+CONFIG_6_ACCURACY_SERVING_BF16: dict[str, Any] = dict(
+    network="dct_resnet_50",
+    embedding_dim=512,
+    image_size=112,
+    batch=256,
+    flip_average=True,
+    loader="dct_domain",        # cli.pack --recode_size=112 shards
+    bf16=True,
+)
+
+# Large-identity-count training: class-sharded head over `model` with
+# sampled Partial-FC (An et al. 2021; parallel/sharded_softmax.py).
+# Shaped for MS1M-class datasets (~10^5 ids); at 10^6-10^7 raise
+# mesh model-axis and keep pfc_sample_rate ~0.1.
+CONFIG_7_LARGE_ID_PFC_V5E8 = TrainConfig(
+    network="resnet_v1_50",
+    embedding_dim=512,
+    num_classes=93_431,            # MS1MV3 identity count
+    image_size=112,
+    crop_from=120,
+    global_batch=2048,
+    base_lr=0.4,
+    lr_boundaries=(60_000, 100_000, 140_000),
+    warmup_steps=5_000,
+    weight_decay=5e-4,
+    margin_scale=64.0,
+    margin_m3=0.35,
+    dtype=jnp.bfloat16,
+    augment=True,
+    pfc_sample_rate=0.1,
+)
+# mesh for config 7: create_mesh(data=2, model=4) (or data=1, model=8
+# at 10^6+ ids) — the classifier shards over `model`.
+
 _REGISTRY = {
     "extract_verify_cpu": CONFIG_1_EXTRACT_VERIFY_CPU,
     "se_resnet_extract": CONFIG_2_SE_RESNET_EXTRACT,
     "variant_backbones": CONFIG_3_VARIANT_BACKBONES,
     "casia_single_chip": CONFIG_4_CASIA_SINGLE_CHIP,
     "v5e8_data_parallel": CONFIG_5_V5E8_DATA_PARALLEL,
+    "accuracy_serving_bf16": CONFIG_6_ACCURACY_SERVING_BF16,
+    "large_id_pfc_v5e8": CONFIG_7_LARGE_ID_PFC_V5E8,
 }
 
 

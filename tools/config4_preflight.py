@@ -11,14 +11,16 @@ weights).
     python tools/config4_preflight.py --train_dir /tmp/c4 \
         --steps 1500 --network resnet_v1_50 --stem imagenet
 
-Input staging: batches are pre-staged on device and cycled (an
-"epoch pool"), because this image's TPU tunnel moves H2D at ~10 MB/s —
-feeding fresh b512 batches per step is transfer-bound (~2 s/step of
-pure copy; see tools/convergence_demo.py). The pool still exercises
-the REAL on-device augment chain (random crop 120²→112² + flip +
-standardize) with fresh RNG per step, so no two steps see identical
-pixels. The host input pipeline itself is exercised by the CLI e2e
-tests; the 10 MB/s link is an image artifact, not a v5e property.
+Input staging: this image's TPU tunnel moves H2D at ~1-10 MB/s, so
+feeding fresh b512 batches from host per step is transfer-bound
+(~2-20 s/step of pure copy; see tools/convergence_demo.py). Default
+--data=device ships the identity-template bank once and synthesizes
+every batch ON-DEVICE (fresh gaussian samples each step, one tiny jit);
+--data=pool stages a cycled batch pool instead. Either way the REAL
+on-device augment chain runs (random crop 120²→112² + flip +
+standardize) with fresh RNG per step. The host input pipeline itself is
+exercised by the CLI e2e tests; the slow link is an image artifact, not
+a v5e property.
 """
 
 import os
@@ -85,7 +87,13 @@ def main() -> None:
     p.add_argument("--num_ids", type=int, default=1000)
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--pool", type=int, default=24,
-                   help="device-staged batch pool size")
+                   help="device-staged batch pool size (--data=pool)")
+    p.add_argument("--data", default="device",
+                   choices=["device", "pool"],
+                   help="device = ship the templates once and "
+                        "synthesize every batch on-device (fresh "
+                        "samples each step, ~10x less H2D); pool = "
+                        "stage a cycled batch pool")
     p.add_argument("--eval_every", type=int, default=250)
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--noise", type=float, default=2.0)
@@ -117,16 +125,43 @@ def main() -> None:
     mgr = CheckpointManager(args.train_dir, save_every=args.save_every)
     logger = MetricLogger(args.train_dir, batch_size=args.batch)
 
-    print(f"# staging {args.pool} x b{args.batch} batches on device "
-          f"(~{args.pool * args.batch * crop_from**2 * 3 >> 20} MB)",
-          flush=True)
-    pool = []
-    for _ in range(args.pool):
-        imgs, labels = sample_u8(args.batch)
-        pool.append((jax.device_put(imgs), jax.device_put(labels)))
+    if args.data == "pool":
+        print(f"# staging {args.pool} x b{args.batch} batches on device "
+              f"(~{args.pool * args.batch * crop_from**2 * 3 >> 20} MB)",
+              flush=True)
+        pool = []
+        for _ in range(args.pool):
+            imgs, labels = sample_u8(args.batch)
+            pool.append((jax.device_put(imgs), jax.device_put(labels)))
+
+        def next_batch(i):
+            return pool[i % args.pool]
+    else:
+        # ship the template bank once (u8), synthesize batches on-device
+        # — the tunnel's H2D is the bottleneck, and fresh samples every
+        # step beat a cycled pool anyway
+        print(f"# staging template bank "
+              f"(~{args.num_ids * crop_from**2 * 3 >> 20} MB) + "
+              f"on-device batch synthesis", flush=True)
+        bank = jax.device_put(to_u8(templates))
+
+        @jax.jit
+        def synth(key):
+            kl, kn = jax.random.split(key)
+            labels = jax.random.randint(kl, (args.batch,), 0,
+                                        args.num_ids)
+            base = bank[labels].astype(jnp.float32)
+            noise = (args.noise * 40.0) * jax.random.normal(
+                kn, (args.batch, crop_from, crop_from, 3))
+            imgs = jnp.clip(base + noise, 0, 255).astype(jnp.uint8)
+            return imgs, labels.astype(jnp.int32)
+
+        def next_batch(i):
+            return synth(jax.random.key(777 + i))
 
     # held-out eval: fresh noise on a template subset, LFW-style pairs
-    n_eval_ids = min(300, args.num_ids)
+    # 2*n pairs must split into the 10 LFW folds
+    n_eval_ids = max(5, min(300, args.num_ids) // 5 * 5)
     eval_ids = np.arange(n_eval_ids)
     ev_imgs_a = to_u8(templates[eval_ids][:, 4:116, 4:116]
                       + args.noise * rng.normal(
@@ -157,7 +192,7 @@ def main() -> None:
     curve = []
     t0 = time.time()
     for i in range(args.steps):
-        imgs, labels = pool[i % args.pool]
+        imgs, labels = next_batch(i)
         state, metrics = step_fn(state, imgs, labels)
         step = i + 1
         if step % 50 == 0 or step == args.steps:
