@@ -253,3 +253,31 @@ def test_cli_train_preemption_flush(tmp_path):
                 f"--num_steps={step + 2}", f"--save_every={step + 2}",
                 "--log_every=1", "--nobf16"])
     assert f"done: step={step + 2}" in out
+
+
+@pytest.mark.slow
+def test_cli_train_sampled_pfc(tmp_path):
+    """--pfc_sample_rate exercises the sampled Partial-FC head through
+    the real train CLI (r3)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    lines = []
+    for i in range(16):
+        arr = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(str(tmp_path / f"p{i}.jpg"),
+                                  "JPEG", quality=95)
+        lines.append(f"p{i}.jpg {i % 8}")
+    (tmp_path / "list.txt").write_text("\n".join(lines) + "\n")
+    shard = str(tmp_path / "p.faceshard")
+    _run(["tf_face_toolbox_tpu.cli.pack",
+          f"--list={tmp_path/'list.txt'}", f"--root={tmp_path}",
+          f"--output={shard}"])
+    out = _run(["tf_face_toolbox_tpu.cli.train",
+                f"--data={shard}", f"--train_dir={tmp_path/'run'}",
+                "--network=resnet_tiny", "--embedding_dim=16",
+                "--image_size=12", "--crop_from=16", "--global_batch=8",
+                "--num_steps=2", "--save_every=2", "--log_every=1",
+                "--nobf16", "--num_classes=64",
+                "--pfc_sample_rate=0.5"])
+    assert "done: step=2" in out

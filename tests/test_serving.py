@@ -137,3 +137,15 @@ def test_fused_stack_matches_xla_block():
                                  images_per_step=1, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_engine_refuses_dct_stem():
+    """The engine's fold plan assumes a pixel stem; it must refuse
+    stem='dct' at BUILD time, not crash at apply time (r3)."""
+    net = create_network("dct_resnet_50", embedding_dim=32,
+                         dtype=jnp.float32, stage_sizes=(1, 1, 1),
+                         stage_widths=(16, 32, 64),
+                         dct_stem_features=16)
+    variables = init_variables(net, jax.random.key(0), (1, 112, 112, 3))
+    with pytest.raises(ValueError, match="dct stem"):
+        make_serving_apply(net, variables)

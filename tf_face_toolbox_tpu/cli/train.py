@@ -57,6 +57,11 @@ flags.DEFINE_enum("margin", "cosface",
 flags.DEFINE_float("margin_scale", 64.0, "logit scale s")
 flags.DEFINE_float("margin_value", -1.0,
                    "margin (-1 = variant default)")
+flags.DEFINE_float("pfc_sample_rate", 1.0,
+                   "sampled Partial-FC: fraction of each classifier "
+                   "shard scored per step (1.0 = exact; 0.1 = the "
+                   "An et al. 2021 accuracy-neutral setting for "
+                   "10^5..10^7 identities)")
 flags.DEFINE_integer("mesh_model", 1,
                      "model-axis size (class-sharded head; Partial-FC)")
 flags.DEFINE_integer("mesh_slices", 0,
@@ -133,6 +138,7 @@ def build_config(num_classes: int) -> "TrainConfig":
         augment=True,
         crop_from=FLAGS.crop_from or FLAGS.image_size + 8,
         ema_decay=FLAGS.ema_decay,
+        pfc_sample_rate=FLAGS.pfc_sample_rate,
         pallas_input=FLAGS.pallas_input,
         quantized="qat" if FLAGS.qat else False,
     )

@@ -130,6 +130,11 @@ def build_plan(net, variables: Any) -> ServingPlan:
     if net.groups != 1:
         raise ValueError("serving engine does not support grouped convs "
                          "(ResNeXt); use net.apply")
+    if net.stem == "dct":
+        raise ValueError(
+            "serving engine does not fold the dct stem (frequency BN + "
+            "1x1 + depth2space); use net.apply — the dct net's bf16 "
+            "flax path is the measured 11.9k faces/sec config")
     if net.quantized:
         raise ValueError("int8 serving runs via net.apply "
                          "(models/layers.py); the engine serves fp")
