@@ -114,10 +114,15 @@ def extract_shard(net, variables, source, *, image_size: int,
     ``crop_from`` defaults to image_size + 8 (the training default);
     pass crop_from == image_size for whole-image resize semantics.
     """
-    if loader == "dct_domain" and getattr(net, "stem", None) != "dct":
-        # a non-dct stem would silently convolve over 192 "channels"
-        raise ValueError("loader='dct_domain' requires a stem='dct' "
-                         "backbone (e.g. dct_resnet_50)")
+    if loader == "dct_domain":
+        if getattr(net, "stem", None) != "dct":
+            # a non-dct stem would silently convolve over 192 "channels"
+            raise ValueError("loader='dct_domain' requires a stem='dct' "
+                             "backbone (e.g. dct_resnet_50)")
+        # no crop exists in the coefficient domain; the only legal
+        # source scale is the model's input size, so default to it
+        # instead of the pixel chain's image_size+8
+        crop_from = crop_from or image_size
     fn = extract_fn or make_extract_fn(net, donate=False)
     n = source.index.count
     outs = []

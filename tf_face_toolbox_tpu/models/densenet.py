@@ -51,6 +51,11 @@ class _BNReLUConv(nn.Module):
             "kernel", conv_kernel_init,
             (*self.kernel_size, x.shape[-1], self.features), jnp.float32)
         mode = "dynamic" if self.quantized is True else self.quantized
+        if mode == "static_dense":
+            # DenseNet has no grouped convs: the dense-only split is
+            # exactly "static" here (silently serving fp would mislabel
+            # benchmark results — review r3)
+            mode = "static"
         if mode == "calibrate" and not train:
             stat = self.variable("quant_stats", "act_max",
                                  lambda: jnp.zeros((), jnp.float32))

@@ -107,6 +107,7 @@ def standardize_coefficients(z: jax.Array) -> jax.Array:
     return out.reshape(n, bh, bw, ck)
 
 
+@jax.jit
 def prepare_coefficients(coef: jax.Array, qtab: jax.Array) -> jax.Array:
     """Dequantized-JPEG → standardized RGB coefficient input.
 

@@ -234,7 +234,7 @@ def main() -> None:
         lambda vv, xx: net8.apply(vv, xx, train=False), v, im))
     e_i8 = np.asarray(extract8(v_cal, ev_a))
     cos = np.sum(e_fp * e_i8, axis=1)
-    ea8 = np.asarray(extract8(v_cal, ev_a))
+    ea8 = e_i8
     eb8 = np.asarray(extract8(v_cal, ev_b))
     e1 = np.concatenate([ea8, ea8])
     e2 = np.concatenate([eb8, np.roll(eb8, -1, axis=0)])
