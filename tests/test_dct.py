@@ -282,3 +282,40 @@ def test_dct_stem_verification_parity_with_face_stem():
                dct_stem_features=16, embedding_dim=16))
     assert acc_face > 0.8 and acc_dct > 0.8, (acc_face, acc_dct)
     assert acc_dct >= acc_face - 0.05, (acc_face, acc_dct)
+
+
+def test_dct_net_int8_static_and_qat_modes():
+    """int8 serving modes compose with the dct stem: the stem itself
+    stays fp (frequency BN + 1x1), the bottleneck stages run the
+    calibrated static-int8 residual carry; QAT training mode runs."""
+    from tf_face_toolbox_tpu.models import calibrate_quant_stats
+
+    kw = dict(embedding_dim=32, **TINY_DCT)
+    net32 = create_network("dct_resnet_50", **kw)
+    v = init_variables(net32, jax.random.key(0), (1, 112, 112, 3))
+    calib = [jax.random.normal(jax.random.key(40 + i), (2, 112, 112, 3))
+             for i in range(2)]
+    v_cal = calibrate_quant_stats("dct_resnet_50", v, calib, **kw)
+    assert "quant_stats" in v_cal
+
+    x = jax.random.normal(jax.random.key(9), (2, 112, 112, 3))
+    e32 = np.asarray(net32.apply(v, x, train=False))
+    net8 = create_network("dct_resnet_50", quantized="static", **kw)
+    e8 = np.asarray(net8.apply(v_cal, x, train=False))
+    cos = np.sum(e32 * e8, axis=1) / (
+        np.linalg.norm(e32, axis=1) * np.linalg.norm(e8, axis=1))
+    assert np.isfinite(e8).all()
+    assert cos.min() >= 0.98, cos
+
+    # QAT: train-mode forward fake-quantizes; gradients flow
+    netq = create_network("dct_resnet_50", quantized="qat", **kw)
+
+    def loss(params):
+        out, _ = netq.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            x, train=True, mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree.leaves(g))

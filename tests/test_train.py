@@ -428,3 +428,34 @@ def test_flatten_head_dropout_trains_and_is_deterministic_at_eval():
     y1 = net.apply(variables, x, train=False)
     y2 = net.apply(variables, x, train=False)
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+@pytest.mark.parametrize("opt", ["adam", "adamw", "lars"])
+def test_optimizer_variants_train(opt):
+    """Non-SGD optimizers (r3 knob): one SPMD step runs, loss finite,
+    params move."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, optimizer=opt, base_lr=1e-3)
+    mesh = create_mesh()
+    state, net = create_train_state(cfg, jax.random.key(0), mesh,
+                                    net=_tiny_net())
+    p0 = jax.tree.map(np.asarray, state.params)
+    step_fn = make_train_step(net, cfg, mesh, state)
+    images, labels = _synthetic_batch(jax.random.key(1),
+                                      cfg.global_batch, cfg.image_size,
+                                      cfg.num_classes)
+    state, metrics = step_fn(state, images, labels)
+    assert np.isfinite(float(metrics["loss"]))
+    moved = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        state.params, p0)
+    assert max(jax.tree.leaves(moved)) > 0.0
+
+
+def test_unknown_optimizer_raises():
+    import dataclasses
+
+    from tf_face_toolbox_tpu.train.trainer import make_optimizer
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        make_optimizer(dataclasses.replace(CFG, optimizer="rmsprop"))

@@ -44,6 +44,9 @@ flags.DEFINE_integer("crop_from", 0,
                      "source image size (0 = image_size + 8)")
 flags.DEFINE_integer("global_batch", 256, "global batch size")
 flags.DEFINE_integer("num_steps", 200_000, "total train steps")
+flags.DEFINE_enum("optimizer", "sgd", ["sgd", "adam", "adamw", "lars"],
+                  "sgd = momentum SGD (reference convention); lars = "
+                  "layerwise trust ratios for very large global batches")
 flags.DEFINE_float("base_lr", 0.1, "initial learning rate")
 flags.DEFINE_list("lr_boundaries", ["100000", "160000", "220000"],
                   "staircase decay steps")
@@ -126,6 +129,7 @@ def build_config(num_classes: int) -> "TrainConfig":
         num_classes=num_classes,
         image_size=FLAGS.image_size,
         global_batch=FLAGS.global_batch,
+        optimizer=FLAGS.optimizer,
         base_lr=FLAGS.base_lr,
         lr_boundaries=tuple(int(b) for b in FLAGS.lr_boundaries),
         lr_decay=FLAGS.lr_decay,

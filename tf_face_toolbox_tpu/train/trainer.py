@@ -61,7 +61,9 @@ class TrainConfig:
     num_classes: int = 10572          # CASIA-WebFace identity count
     image_size: int = 112
     global_batch: int = 256
-    # optimizer (SGD + momentum, staircase LR — reference convention)
+    # optimizer (SGD + momentum, staircase LR — reference convention;
+    # "adam"/"adamw"/"lars" available — lars for CONFIG_5-class batches)
+    optimizer: str = "sgd"
     base_lr: float = 0.1
     lr_boundaries: tuple[int, ...] = (100_000, 160_000, 220_000)
     lr_decay: float = 0.1
@@ -105,7 +107,13 @@ def _padded_classes(num_classes: int, model_size: int) -> int:
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    """SGD+momentum with staircase LR; L2 on conv/fc kernels + classifier."""
+    """Optimizer + staircase LR; L2 on conv/fc kernels + classifier.
+
+    ``cfg.optimizer``: "sgd" (momentum SGD — the reference's choice
+    [TF1-IDIOM] and the default), "adam"/"adamw", or "lars" (layerwise
+    trust ratios — the large-batch option for CONFIG_5-class global
+    batches where plain momentum needs impractical warmup).
+    """
     def decay_mask(tree):
         def mask_path(path, leaf):
             names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
@@ -114,10 +122,30 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
     sched = staircase(cfg.base_lr, cfg.lr_boundaries, cfg.lr_decay,
                       cfg.warmup_steps)
-    return optax.chain(
-        optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask),
-        optax.sgd(sched, momentum=cfg.momentum),
-    ), sched
+    name = cfg.optimizer
+    if name == "sgd":
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask),
+            optax.sgd(sched, momentum=cfg.momentum))
+    elif name in ("adam", "adamw"):
+        # adamw applies decay inside the update (decoupled); plain adam
+        # keeps the SGD-style L2-on-kernels convention
+        if name == "adamw":
+            tx = optax.adamw(sched, weight_decay=cfg.weight_decay,
+                             mask=decay_mask)
+        else:
+            tx = optax.chain(
+                optax.add_decayed_weights(cfg.weight_decay,
+                                          mask=decay_mask),
+                optax.adam(sched))
+    elif name == "lars":
+        tx = optax.lars(sched, weight_decay=cfg.weight_decay,
+                        weight_decay_mask=decay_mask,
+                        momentum=cfg.momentum)
+    else:
+        raise ValueError(f"unknown optimizer '{name}'; "
+                         "have sgd|adam|adamw|lars")
+    return tx, sched
 
 
 def create_train_state(cfg: TrainConfig, rng: jax.Array,
