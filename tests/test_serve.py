@@ -532,3 +532,21 @@ def test_rolling_restart_zero_dropped_requests(service, tmp_path):
     assert results, "no requests completed"
     bad = [r for r in results if r != 200]
     assert not bad, f"{len(bad)} non-200 of {len(results)}: {bad[:10]}"
+
+
+def test_service_serves_dct_backbone():
+    """The daemon's pixel chain feeds stem='dct' nets unchanged (the
+    in-net blockwise DCT is part of the forward)."""
+    from tf_face_toolbox_tpu.models import create_network, init_variables
+
+    net = create_network("dct_resnet_50", embedding_dim=DIM,
+                         dtype=jnp.float32, stage_sizes=(1, 1, 1),
+                         stage_widths=(8, 16, 32), dct_stem_features=8)
+    variables = init_variables(net, jax.random.key(0), (1, 16, 16, 3))
+    svc = EmbeddingService(net, variables, image_size=16, crop_from=16,
+                           batch=2, dtype=jnp.float32)
+    svc.warmup()
+    out = svc.embed_batch(_images(2, seed=9))
+    assert out.shape == (2, DIM)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0,
+                               atol=1e-4)
