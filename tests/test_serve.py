@@ -211,6 +211,63 @@ def test_cli_serve_from_npz(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_serve_grpc_transport(tmp_path):
+    """cli.serve --transport=grpc boots, answers RPCs, and drains
+    cleanly on SIGTERM."""
+    import os
+    import re
+    import subprocess
+    import sys
+    import time
+
+    from tf_face_toolbox_tpu.interop.port import save_variables_npz
+    from tf_face_toolbox_tpu.serving.grpc_server import (
+        GrpcEmbeddingClient,
+    )
+
+    net = create_network("resnet_tiny", embedding_dim=DIM,
+                         dtype=jnp.float32)
+    variables = init_variables(net, jax.random.key(0), (1, SIZE, SIZE, 3))
+    npz = str(tmp_path / "vars.npz")
+    save_variables_npz(npz, variables)
+
+    env = dict(os.environ, TFFT_PLATFORM="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "tf_face_toolbox_tpu.cli.serve",
+         f"--variables_npz={npz}", "--network=resnet_tiny",
+         f"--embedding_dim={DIM}", f"--image_size={SIZE}",
+         "--nobf16", "--engine=flax", "--port=0", "--max_batch=2",
+         f"--crop_from={SIZE}", "--max_wait_ms=1",
+         "--transport=grpc"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env)
+    try:
+        line = _wait_serving(proc, 120)
+        m = re.search(r"grpc://[\d.]+:(\d+)", line)
+        assert m, f"no serving line: {line!r}"
+        with GrpcEmbeddingClient(f"127.0.0.1:{m.group(1)}") as client:
+            assert client.health()["status"] == "ok"
+            emb = client.embed(_images(1, seed=3)[0])
+            assert emb.shape == (DIM,)
+            embs = client.embed_batch(_images(3, seed=4))
+            assert embs.shape == (3, DIM)
+            stats = client.stats()
+            assert stats["requests"] >= 2
+        proc.terminate()
+        assert proc.wait(timeout=45) == 0
+        deadline = time.time() + 5
+        while time.time() < deadline and not any(
+                "drained; bye" in ln for ln in proc.captured):
+            time.sleep(0.1)
+        assert any("drained; bye" in ln for ln in proc.captured), (
+            proc.captured[-8:])
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=10)
+
+
+@pytest.mark.slow
 def test_cli_serve_static_int8(tmp_path):
     """Daemon boots with --quant_mode=static: calibrates scales from a
     shard at startup, serves int8, answers within cosine tolerance of
@@ -532,6 +589,131 @@ def test_rolling_restart_zero_dropped_requests(service, tmp_path):
     assert results, "no requests completed"
     bad = [r for r in results if r != 200]
     assert not bad, f"{len(bad)} non-200 of {len(results)}: {bad[:10]}"
+
+
+# --------------------------------------------------------------- gRPC
+
+
+@pytest.fixture(scope="module")
+def grpc_stack(service):
+    from tf_face_toolbox_tpu.serving.grpc_server import (
+        GrpcEmbeddingClient,
+        serve_grpc,
+    )
+
+    batcher = DynamicBatcher(service, max_wait_ms=1.0)
+    server = serve_grpc(batcher, port=0)
+    client = GrpcEmbeddingClient(f"127.0.0.1:{server.bound_port}")
+    yield client, batcher
+    client.close()
+    server.stop(grace=5).wait()
+    batcher.close()
+
+
+def test_grpc_embed_matches_service(grpc_stack, service):
+    from PIL import Image
+
+    client, _ = grpc_stack
+    img = _images(1, seed=3)[0]
+    want = service.embed_batch(img[None])[0]
+    # npy frame body
+    np.testing.assert_allclose(client.embed(img), want, atol=1e-5)
+    # JPEG body goes through the same decode_request sniffing
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=95)
+    emb = client.embed(buf.getvalue())
+    assert emb.shape == (DIM,)
+    np.testing.assert_allclose(np.linalg.norm(emb), 1.0, atol=1e-4)
+
+
+def test_grpc_embed_batch_and_stats(grpc_stack, service):
+    client, _ = grpc_stack
+    imgs = _images(BATCH + 2, seed=4)
+    got = client.embed_batch(imgs)
+    want = np.concatenate([service.embed_batch(imgs[:BATCH]),
+                           service.embed_batch(imgs[BATCH:])])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    health = client.health()
+    assert health["status"] == "ok" and health["batch"] == BATCH
+    stats = client.stats()
+    assert stats["images"] >= BATCH + 2
+    # the r3 per-endpoint latency split: bulk and coalesced singles
+    # are reported separately
+    assert "embed_batch" in stats["latency_ms_by_endpoint"]
+
+
+def test_grpc_malformed_is_invalid_argument(grpc_stack):
+    import grpc
+
+    client, _ = grpc_stack
+    with pytest.raises(grpc.RpcError) as exc:
+        client.embed(b"not an image")
+    assert exc.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+    with pytest.raises(grpc.RpcError) as exc:
+        client.embed_batch(_images(2)[0])  # (H, W, 3): missing N axis
+    assert exc.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+
+
+def test_grpc_unix_socket(service, tmp_path):
+    from tf_face_toolbox_tpu.serving.grpc_server import (
+        GrpcEmbeddingClient,
+        serve_grpc,
+    )
+
+    path = str(tmp_path / "tfft.sock")
+    batcher = DynamicBatcher(service, max_wait_ms=1.0)
+    server = serve_grpc(batcher, unix_socket=path)
+    try:
+        with GrpcEmbeddingClient(f"unix:{path}") as client:
+            img = _images(1, seed=5)[0]
+            want = service.embed_batch(img[None])[0]
+            np.testing.assert_allclose(client.embed(img), want,
+                                       atol=1e-5)
+    finally:
+        server.stop(grace=5).wait()
+        batcher.close()
+
+
+def test_grpc_drain_refuses_new_completes_inflight(service):
+    """server.stop(grace) is the gRPC drain: new RPCs are refused
+    while in-flight ones finish — the rolling-restart contract."""
+    import grpc
+
+    from tf_face_toolbox_tpu.serving.grpc_server import (
+        GrpcEmbeddingClient,
+        serve_grpc,
+    )
+
+    batcher = DynamicBatcher(service, max_wait_ms=50.0)
+    server = serve_grpc(batcher, port=0)
+    client = GrpcEmbeddingClient(f"127.0.0.1:{server.bound_port}")
+    try:
+        client.health()  # channel connects lazily; force it up first
+        seen = batcher.stats["requests"]
+        results = []
+
+        def work():
+            results.append(client.embed(_images(1, seed=6)[0]))
+
+        t = threading.Thread(target=work)
+        t.start()
+        # wait until the RPC is truly in-flight (in the batcher's
+        # straggler wait), THEN flip the server to draining
+        import time as time_mod
+        deadline = time_mod.monotonic() + 10
+        while (batcher.stats["requests"] <= seen
+               and time_mod.monotonic() < deadline):
+            time_mod.sleep(0.005)
+        assert batcher.stats["requests"] > seen, "RPC never arrived"
+        ev = server.stop(grace=10)
+        t.join(timeout=10)
+        assert results and results[0].shape == (DIM,)
+        assert ev.wait(timeout=10), "drain did not complete"
+        with pytest.raises(grpc.RpcError):
+            client.embed(_images(1, seed=7)[0], timeout=5)
+    finally:
+        client.close()
+        batcher.close()
 
 
 def test_service_serves_dct_backbone():

@@ -49,6 +49,11 @@ flags.DEFINE_string("unix_socket", "",
                     "serve over an AF_UNIX socket at this path instead "
                     "of TCP (rolling restarts: the next daemon takes "
                     "the path over atomically while this one drains)")
+flags.DEFINE_enum("transport", "http", ["http", "grpc"],
+                  "wire protocol: http (stdlib front-end) or grpc "
+                  "(raw-bytes tfft.Embedding service, "
+                  "serving/grpc_server.py); both honor --host/--port/"
+                  "--unix_socket and share the drain story")
 flags.DEFINE_integer("max_batch", 64, "device batch (pad-to-batch)")
 flags.DEFINE_float("max_wait_ms", 5.0,
                    "straggler wait after the first request of a batch")
@@ -132,10 +137,18 @@ def main(argv):
     logging.info("warming the b%d compiled extractor...", FLAGS.max_batch)
     service.warmup()
     batcher = DynamicBatcher(service, max_wait_ms=FLAGS.max_wait_ms)
-    server = serve(batcher, host=FLAGS.host, port=FLAGS.port,
-                   unix_socket=FLAGS.unix_socket or None)
-    where = (f"unix:{FLAGS.unix_socket}" if FLAGS.unix_socket else
-             f"http://{FLAGS.host}:{server.server_address[1]}")
+    if FLAGS.transport == "grpc":
+        from tf_face_toolbox_tpu.serving.grpc_server import serve_grpc
+
+        server = serve_grpc(batcher, host=FLAGS.host, port=FLAGS.port,
+                            unix_socket=FLAGS.unix_socket or None)
+        where = (f"unix:{FLAGS.unix_socket}" if FLAGS.unix_socket else
+                 f"grpc://{FLAGS.host}:{server.bound_port}")
+    else:
+        server = serve(batcher, host=FLAGS.host, port=FLAGS.port,
+                       unix_socket=FLAGS.unix_socket or None)
+        where = (f"unix:{FLAGS.unix_socket}" if FLAGS.unix_socket else
+                 f"http://{FLAGS.host}:{server.server_address[1]}")
     print(f"serving on {where} "
           f"(batch={FLAGS.max_batch}, wait={FLAGS.max_wait_ms}ms)",
           flush=True)
@@ -149,13 +162,18 @@ def main(argv):
     # graceful drain for rolling restarts: stop accepting, let running
     # handlers finish against the still-live batcher, then shut it down
     logging.info("draining: no new connections; completing in-flight")
-    server.shutdown()           # stop the accept loop
-    # server_close does NOT join daemon handler threads (py3.12);
-    # wait_idle tracks in-flight requests explicitly, against the
-    # still-live batcher so they complete normally
-    if not server.wait_idle(timeout=30):
-        logging.warning("drain timeout: abandoning stuck handlers")
-    server.server_close()
+    if FLAGS.transport == "grpc":
+        # gRPC's native drain: refuse new RPCs, finish in-flight ones
+        if not server.stop(grace=30).wait(timeout=35):
+            logging.warning("drain timeout: abandoning stuck RPCs")
+    else:
+        server.shutdown()       # stop the accept loop
+        # server_close does NOT join daemon handler threads (py3.12);
+        # wait_idle tracks in-flight requests explicitly, against the
+        # still-live batcher so they complete normally
+        if not server.wait_idle(timeout=30):
+            logging.warning("drain timeout: abandoning stuck handlers")
+        server.server_close()
     batcher.close()
     print("drained; bye", flush=True)
 

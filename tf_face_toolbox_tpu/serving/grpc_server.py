@@ -1,0 +1,238 @@
+"""gRPC transport for the embedding daemon.
+
+The HTTP front-end (serving/server.py) covers curl/reverse-proxy
+deployments; fleets fronted by gRPC load balancers want the same
+service speaking gRPC (docs/ROADMAP.md r3 #4). The reference had no
+serving story at all (SURVEY.md §1 — L6 is batch extraction only), so
+the wire contract is ours to define; it mirrors the HTTP endpoints
+one-to-one and shares the SAME ``DynamicBatcher``/``EmbeddingService``
+objects — both transports can run simultaneously over one compiled
+program and one stats surface.
+
+No protobuf codegen: grpcio is installed on this image but
+``grpcio-tools`` (the protoc python-grpc plugin) is not, so the
+service is registered with ``grpc.method_handlers_generic_handler``
+and raw-bytes (de)serializers. That is still a fully conformant gRPC
+service — any language calls it by registering identity byte
+marshallers for these method paths:
+
+- ``/tfft.Embedding/Embed``: request = one JPEG/PNG or ``.npy``
+  (H, W, 3) frame (same magic-sniffing as POST /embed); response =
+  ``.npy`` float32 (D,) unit-norm embedding. Coalesced through the
+  dynamic batcher.
+- ``/tfft.Embedding/EmbedBatch``: request = ``.npy`` uint8
+  (N, H, W, 3); response = ``.npy`` float32 (N, D). Chunks are
+  pipeline-dispatched exactly like POST /embed_batch.
+- ``/tfft.Embedding/Health`` and ``/tfft.Embedding/Stats``: empty
+  request; JSON (UTF-8 bytes) response, same payloads as GET
+  /healthz and GET /stats.
+
+Error mapping: malformed payloads → INVALID_ARGUMENT; batcher
+backlog timeout → RESOURCE_EXHAUSTED (retryable); closed/draining
+batcher → UNAVAILABLE; anything else → INTERNAL.
+
+``GrpcEmbeddingClient`` below is the reference client (used by
+tests/test_serve.py and cli.serve_bench); ``npy`` framing keeps
+payloads self-describing without a schema registry.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from typing import Any
+
+import numpy as np
+
+
+def _identity(b: bytes) -> bytes:
+    return b
+
+
+def _npy_bytes(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, np.ascontiguousarray(arr), allow_pickle=False)
+    return buf.getvalue()
+
+
+def _npy_load(body: bytes) -> np.ndarray:
+    return np.load(io.BytesIO(body), allow_pickle=False)
+
+
+class _Handlers:
+    """Method bodies; one instance per server, shared batcher."""
+
+    def __init__(self, batcher, max_body: int):
+        import grpc
+
+        self._grpc = grpc
+        self.batcher = batcher
+        self.service = batcher.service
+        self.max_body = max_body
+
+    def _guard_size(self, body: bytes, context) -> None:
+        if len(body) > self.max_body:
+            context.abort(
+                self._grpc.StatusCode.INVALID_ARGUMENT,
+                f"body {len(body)} bytes > {self.max_body} cap")
+
+    def embed(self, request: bytes, context) -> bytes:
+        grpc = self._grpc
+        self._guard_size(request, context)
+        try:
+            image = self.service.decode_request(request)
+        except Exception as e:
+            context.abort(grpc.StatusCode.INVALID_ARGUMENT,
+                          f"{type(e).__name__}: {e}")
+        try:
+            emb = self.batcher.submit(image)
+        except TimeoutError as e:
+            context.abort(grpc.StatusCode.RESOURCE_EXHAUSTED, str(e))
+        except RuntimeError as e:  # batcher closed (draining)
+            context.abort(grpc.StatusCode.UNAVAILABLE, str(e))
+        except Exception as e:
+            context.abort(grpc.StatusCode.INTERNAL,
+                          f"{type(e).__name__}: {e}")
+        return _npy_bytes(np.asarray(emb, np.float32))
+
+    def embed_batch(self, request: bytes, context) -> bytes:
+        import time
+
+        grpc = self._grpc
+        self._guard_size(request, context)
+        service = self.service
+        try:
+            arr = _npy_load(request)
+            if arr.ndim != 4 or arr.shape[-1] != 3:
+                raise ValueError(
+                    f"npy payload must be (N, H, W, 3), got {arr.shape}")
+            images = np.stack([service.decode_array(a) for a in arr])
+        except Exception as e:
+            context.abort(grpc.StatusCode.INVALID_ARGUMENT,
+                          f"{type(e).__name__}: {e}")
+        try:
+            t0 = time.monotonic()
+            # dispatch every chunk before materializing any — the
+            # device round trips overlap (same pipelining as HTTP)
+            spans = [(i, min(i + service.batch, len(images)))
+                     for i in range(0, len(images), service.batch)]
+            outs = [service.dispatch_batch(images[a:b])
+                    for a, b in spans]
+            embs = np.concatenate([np.asarray(o)[:b - a]
+                                   for o, (a, b) in zip(outs, spans)])
+            self.batcher.record_bulk(
+                images=len(images), device_calls=len(spans),
+                elapsed=time.monotonic() - t0)
+        except Exception as e:
+            context.abort(grpc.StatusCode.INTERNAL,
+                          f"{type(e).__name__}: {e}")
+        return _npy_bytes(embs.astype(np.float32))
+
+    def health(self, request: bytes, context) -> bytes:
+        del request, context
+        return json.dumps({"status": "ok",
+                           "batch": self.service.batch,
+                           "image_size": self.service.image_size,
+                           }).encode()
+
+    def stats(self, request: bytes, context) -> bytes:
+        del request, context
+        s = dict(self.batcher.stats)
+        calls = max(s["device_calls"], 1)
+        s["mean_batch_fill"] = round(s["images"] / calls, 2)
+        return json.dumps(s).encode()
+
+
+def serve_grpc(batcher, *, host: str = "127.0.0.1", port: int = 0,
+               unix_socket: str | None = None, max_workers: int = 16,
+               max_body_mb: int = 64):
+    """Start the gRPC front-end; returns the started ``grpc.Server``
+    with ``bound_port`` set (0 when serving a unix socket). Caller
+    owns shutdown: ``server.stop(grace)`` returns an event —
+    in-flight RPCs complete within ``grace`` seconds while new ones
+    are refused, which is the drain half of a rolling restart
+    (gRPC's native equivalent of the HTTP server's wait_idle).
+
+    ``unix_socket``: serve on ``unix:<path>`` instead of TCP — gRPC
+    supports AF_UNIX targets natively on both ends.
+    """
+    import concurrent.futures
+
+    import grpc
+
+    handlers = _Handlers(batcher, max_body_mb * (1 << 20))
+    methods = {
+        "Embed": handlers.embed,
+        "EmbedBatch": handlers.embed_batch,
+        "Health": handlers.health,
+        "Stats": handlers.stats,
+    }
+    generic = grpc.method_handlers_generic_handler(
+        "tfft.Embedding",
+        {name: grpc.unary_unary_rpc_method_handler(
+            fn, request_deserializer=_identity,
+            response_serializer=_identity)
+         for name, fn in methods.items()})
+    server = grpc.server(
+        concurrent.futures.ThreadPoolExecutor(
+            max_workers=max_workers,
+            thread_name_prefix="tfft-grpc"))
+    server.add_generic_rpc_handlers((generic,))
+    target = (f"unix:{unix_socket}" if unix_socket
+              else f"{host}:{port}")
+    bound = server.add_insecure_port(target)
+    if not unix_socket and bound == 0:
+        raise OSError(f"could not bind gRPC server to {target}")
+    server.start()
+    server.bound_port = 0 if unix_socket else bound
+    return server
+
+
+class GrpcEmbeddingClient:
+    """Reference client for the raw-bytes wire contract above.
+
+    ``target`` is any gRPC target string — ``host:port`` or
+    ``unix:/path``. Methods mirror the HTTP client calls in
+    tests/test_serve.py.
+    """
+
+    def __init__(self, target: str):
+        import grpc
+
+        self._grpc = grpc
+        self._channel = grpc.insecure_channel(target)
+        mk = lambda m: self._channel.unary_unary(  # noqa: E731
+            f"/tfft.Embedding/{m}", request_serializer=_identity,
+            response_deserializer=_identity)
+        self._embed = mk("Embed")
+        self._embed_batch = mk("EmbedBatch")
+        self._health = mk("Health")
+        self._stats = mk("Stats")
+
+    def embed(self, image: "np.ndarray | bytes",
+              timeout: float = 30.0) -> np.ndarray:
+        """One frame (uint8 array or raw JPEG/npy bytes) → (D,) f32."""
+        body = image if isinstance(image, (bytes, bytearray)) \
+            else _npy_bytes(np.asarray(image))
+        return _npy_load(self._embed(bytes(body), timeout=timeout))
+
+    def embed_batch(self, images: np.ndarray,
+                    timeout: float = 120.0) -> np.ndarray:
+        """(N, H, W, 3) uint8 → (N, D) f32."""
+        return _npy_load(
+            self._embed_batch(_npy_bytes(images), timeout=timeout))
+
+    def health(self, timeout: float = 10.0) -> dict:
+        return json.loads(self._health(b"", timeout=timeout))
+
+    def stats(self, timeout: float = 10.0) -> dict:
+        return json.loads(self._stats(b"", timeout=timeout))
+
+    def close(self) -> None:
+        self._channel.close()
+
+    def __enter__(self) -> "GrpcEmbeddingClient":
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self.close()

@@ -17,7 +17,12 @@ coalescing, so this module provides the missing deployment piece:
   dependencies): POST /embed (body: JPEG or raw npy) → JSON embedding;
   POST /embed_batch (npy (N, H, W, 3) → N embeddings, chunks
   pipeline-dispatched); GET /healthz; GET /stats (requests, device
-  calls, mean batch fill, p50/p95/p99 latency).
+  calls, mean batch fill, p50/p95/p99 latency — overall and split per
+  endpoint, since coalesced singles and bulk sweeps have different
+  latency regimes).
+- ``grpc_server.serve_grpc()``: the same service over gRPC (see
+  serving/grpc_server.py) for deployments fronted by gRPC load
+  balancers.
 
 CLI: ``python -m tf_face_toolbox_tpu.cli.serve --checkpoint_dir=... --port=...``
 """
@@ -184,9 +189,14 @@ class DynamicBatcher:
         self._stop = threading.Event()
         self._stats_mu = threading.Lock()
         self._stats = {"requests": 0, "device_calls": 0, "images": 0}
-        # ring of recent request latencies (seconds) for percentiles
-        self._latencies: collections.deque = collections.deque(
-            maxlen=2048)
+        # rings of recent request latencies (seconds), split by
+        # endpoint: coalesced singles vs bulk have very different
+        # latency regimes (straggler wait vs chunked device sweeps),
+        # so one merged percentile hides both
+        self._latencies: dict[str, collections.deque] = {
+            "embed": collections.deque(maxlen=2048),
+            "embed_batch": collections.deque(maxlen=2048),
+        }
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             daemon=True)
         self._resolver = threading.Thread(target=self._resolve_loop,
@@ -198,15 +208,21 @@ class DynamicBatcher:
     def stats(self) -> dict:
         with self._stats_mu:
             out = dict(self._stats)
-            lats = sorted(self._latencies)
-        if lats:
+            by_ep = {ep: sorted(d)
+                     for ep, d in self._latencies.items() if d}
+
+        def pcts(lats: list) -> dict:
             pick = lambda q: lats[min(len(lats) - 1,  # noqa: E731
                                       int(q * len(lats)))]
-            out["latency_ms"] = {
-                "p50": round(1e3 * pick(0.50), 2),
-                "p95": round(1e3 * pick(0.95), 2),
-                "p99": round(1e3 * pick(0.99), 2),
-            }
+            return {"p50": round(1e3 * pick(0.50), 2),
+                    "p95": round(1e3 * pick(0.95), 2),
+                    "p99": round(1e3 * pick(0.99), 2)}
+
+        merged = sorted(lat for lats in by_ep.values() for lat in lats)
+        if merged:
+            out["latency_ms"] = pcts(merged)
+            out["latency_ms_by_endpoint"] = {
+                ep: pcts(lats) for ep, lats in by_ep.items()}
         return out
 
     def _count(self, **deltas) -> None:
@@ -235,7 +251,7 @@ class DynamicBatcher:
         # record latency for EVERY outcome: a timed-out request is
         # exactly the tail p99 must expose, not a survivorship gap
         with self._stats_mu:
-            self._latencies.append(time.monotonic() - t0)
+            self._latencies["embed"].append(time.monotonic() - t0)
         if not ok:
             raise TimeoutError("embedding request timed out")
         if p.error is not None:
@@ -249,7 +265,7 @@ class DynamicBatcher:
         self._count(requests=1, images=images,
                     device_calls=device_calls)
         with self._stats_mu:
-            self._latencies.append(elapsed)
+            self._latencies["embed_batch"].append(elapsed)
 
     def close(self) -> None:
         self._stop.set()
