@@ -423,6 +423,28 @@ def test_http_embed_batch_endpoint(service):
         want = np.concatenate([service.embed_batch(imgs[:BATCH]),
                                service.embed_batch(imgs[BATCH:])])
         np.testing.assert_allclose(embs, want, atol=1e-5)
+        # content negotiation: Accept: application/x-npy returns the
+        # same embeddings as a binary .npy body (bulk JSON encode is
+        # the HTTP bottleneck — serve_bench --transports)
+        buf = io.BytesIO()
+        np.save(buf, imgs)
+        req = urllib.request.Request(
+            f"{base}/embed_batch", data=buf.getvalue(), method="POST",
+            headers={"Accept": "application/x-npy"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.headers["Content-Type"] == "application/x-npy"
+            npy_embs = np.load(io.BytesIO(r.read()), allow_pickle=False)
+        assert npy_embs.dtype == np.float32
+        np.testing.assert_allclose(npy_embs, want, atol=1e-5)
+        # the single-frame endpoint honors the same Accept header
+        buf = io.BytesIO()
+        np.save(buf, imgs[0])
+        req = urllib.request.Request(
+            f"{base}/embed", data=buf.getvalue(), method="POST",
+            headers={"Accept": "application/x-npy"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            one = np.load(io.BytesIO(r.read()), allow_pickle=False)
+        np.testing.assert_allclose(one, want[0], atol=1e-5)
         # malformed: 3-d payload is a client error
         buf = io.BytesIO()
         np.save(buf, imgs[0])

@@ -16,7 +16,10 @@ coalescing, so this module provides the missing deployment piece:
 - ``serve()``: a threaded HTTP front-end (stdlib http.server — no new
   dependencies): POST /embed (body: JPEG or raw npy) → JSON embedding;
   POST /embed_batch (npy (N, H, W, 3) → N embeddings, chunks
-  pipeline-dispatched); GET /healthz; GET /stats (requests, device
+  pipeline-dispatched); ``Accept: application/x-npy`` on either POST
+  returns the embeddings as a binary .npy body instead of JSON (the
+  JSON float encode dominates bulk responses); GET /healthz; GET
+  /stats (requests, device
   calls, mean batch fill, p50/p95/p99 latency — overall and split per
   endpoint, since coalesced singles and bulk sweeps have different
   latency regimes).
@@ -353,8 +356,9 @@ def serve(batcher: DynamicBatcher, *, host: str = "127.0.0.1",
     shutdown() to let in-flight handlers finish (the stdlib's
     ``server_close`` does NOT join daemon handler threads — verified on
     py3.12). Endpoints: POST /embed, POST /embed_batch (npy
-    (N, H, W, 3); bodies over ``max_body_mb`` get 413), GET /healthz,
-    GET /stats.
+    (N, H, W, 3); bodies over ``max_body_mb`` get 413; send
+    ``Accept: application/x-npy`` for a binary .npy response instead
+    of JSON), GET /healthz, GET /stats.
 
     ``unix_socket``: serve HTTP over an AF_UNIX socket at this path
     instead of TCP — the rolling-restart/reverse-proxy transport
@@ -378,6 +382,30 @@ def serve(batcher: DynamicBatcher, *, host: str = "127.0.0.1",
                 body = json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except (BrokenPipeError, ConnectionError):
+                pass  # client went away; nothing to tell it
+
+        def _wants_npy(self) -> bool:
+            # content negotiation for the embedding payload: JSON text
+            # is the compatible default, but at 512 floats/face its
+            # encode dominates bulk responses (serve_bench
+            # --transports: 4.9x) — a binary .npy body closes that gap
+            # without switching transports
+            accept = self.headers.get("Accept", "")
+            return ("application/x-npy" in accept
+                    or "application/octet-stream" in accept)
+
+        def _reply_npy(self, arr: "np.ndarray") -> None:
+            try:
+                buf = io.BytesIO()
+                np.save(buf, np.ascontiguousarray(arr),
+                        allow_pickle=False)
+                body = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-npy")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -459,10 +487,16 @@ def serve(batcher: DynamicBatcher, *, host: str = "127.0.0.1",
                     batcher.record_bulk(
                         images=len(images), device_calls=len(spans),
                         elapsed=time.monotonic() - t0)
-                    self._reply(200, {"embeddings": embs.tolist()})
+                    if self._wants_npy():
+                        self._reply_npy(embs.astype(np.float32))
+                    else:
+                        self._reply(200, {"embeddings": embs.tolist()})
                 else:
                     emb = batcher.submit(images[0])
-                    self._reply(200, {"embedding": emb.tolist()})
+                    if self._wants_npy():
+                        self._reply_npy(np.asarray(emb, np.float32))
+                    else:
+                        self._reply(200, {"embedding": emb.tolist()})
             except Exception as e:  # device/backlog fault → server error
                 self._reply(503 if isinstance(e, TimeoutError) else 500,
                             {"error": f"{type(e).__name__}: {e}"})

@@ -10,8 +10,9 @@ Measures four layers of the serving stack on the current device:
    DynamicBatcher.submit (adds coalescing + future overhead);
 4. transport front-ends (``--transports``) — the same batcher behind
    the HTTP and gRPC servers, driven via bulk ``embed_batch`` from a
-   loopback client: isolates wire + (de)serialization overhead (HTTP
-   returns JSON embeddings; gRPC returns an ``.npy`` frame).
+   loopback client: isolates wire + (de)serialization overhead.
+   Three rows: HTTP returning JSON embeddings (default), HTTP with
+   ``Accept: application/x-npy`` (binary body), gRPC (``.npy`` frame).
 
 On this image the TPU tunnel makes 1 and 3 RTT-bound (~100 ms/round
 trip) — the interesting column locally is the RELATIVE gain of 2.
@@ -166,8 +167,17 @@ def _bench_transports(batcher, imgs, reps, pipe):
             with urllib.request.urlopen(req, timeout=120) as r:
                 return np.asarray(json.loads(r.read())["embeddings"])
 
-        for name, once in (("http", http_once),
-                           ("grpc", lambda: client.embed_batch(imgs))):
+        def http_npy_once():
+            req = urllib.request.Request(
+                url, data=body, method="POST",
+                headers={"Accept": "application/x-npy"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return np.load(io.BytesIO(r.read()),
+                               allow_pickle=False)
+
+        for name, once in (("http json", http_once),
+                           ("http npy ", http_npy_once),
+                           ("grpc     ", lambda: client.embed_batch(imgs))):
             once()  # warm the connection/codec path
             t0 = time.perf_counter()
             for _ in range(reps):
