@@ -676,6 +676,59 @@ def test_grpc_malformed_is_invalid_argument(grpc_stack):
     assert exc.value.code() == grpc.StatusCode.INVALID_ARGUMENT
 
 
+def test_grpc_body_over_4mib_reaches_our_guard(grpc_stack):
+    """gRPC's transport default is a 4 MiB message cap, which would
+    reject big-but-legal bodies BEFORE the server's max_body guard
+    (as a retryable-looking RESOURCE_EXHAUSTED). The server must own
+    the limit: a >4 MiB malformed payload has to come back as our
+    INVALID_ARGUMENT (shape guard), proving the transport let it in."""
+    import grpc
+
+    client, _ = grpc_stack
+    with pytest.raises(grpc.RpcError) as exc:
+        client.embed_batch(np.zeros(5 << 20, np.uint8))  # 5 MiB, 1-d
+    assert exc.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+    assert "must be (N, H, W, 3)" in exc.value.details()
+
+
+def test_grpc_unix_takeover_survives_old_server_drain(service,
+                                                      tmp_path):
+    """Rolling restart over one socket path: after the NEW server
+    takes the path over, the OLD server's stop() must not delete it
+    (grpc core unlinks its own bound path on stop — the temp+rename
+    bind keeps that unlink off the live target)."""
+    import os
+
+    from tf_face_toolbox_tpu.serving.grpc_server import (
+        GrpcEmbeddingClient,
+        serve_grpc,
+    )
+
+    path = str(tmp_path / "tfft.sock")
+    old_b = DynamicBatcher(service, max_wait_ms=1.0)
+    new_b = DynamicBatcher(service, max_wait_ms=1.0)
+    old = serve_grpc(old_b, unix_socket=path)
+    new = None
+    try:
+        with GrpcEmbeddingClient(f"unix:{path}") as client:
+            assert client.health()["status"] == "ok"
+        new = serve_grpc(new_b, unix_socket=path)  # atomic takeover
+        old.stop(grace=5).wait()                   # old drains away
+        assert os.path.exists(path), \
+            "old server's stop() unlinked the new server's socket"
+        img = _images(1, seed=9)[0]
+        want = service.embed_batch(img[None])[0]
+        with GrpcEmbeddingClient(f"unix:{path}") as client:
+            np.testing.assert_allclose(client.embed(img), want,
+                                       atol=1e-5)
+            assert new_b.stats["requests"] >= 1  # served by NEW
+    finally:
+        if new is not None:
+            new.stop(grace=5).wait()
+        old_b.close()
+        new_b.close()
+
+
 def test_grpc_unix_socket(service, tmp_path):
     from tf_face_toolbox_tpu.serving.grpc_server import (
         GrpcEmbeddingClient,

@@ -27,9 +27,12 @@ marshallers for these method paths:
   request; JSON (UTF-8 bytes) response, same payloads as GET
   /healthz and GET /stats.
 
-Error mapping: malformed payloads → INVALID_ARGUMENT; batcher
-backlog timeout → RESOURCE_EXHAUSTED (retryable); closed/draining
-batcher → UNAVAILABLE; anything else → INTERNAL.
+Error mapping: malformed or over-``max_body`` payloads →
+INVALID_ARGUMENT (not retryable; the transport's receive cap is set
+above ``max_body`` so the size guard, not gRPC's default 4 MiB
+message cap, decides); batcher backlog timeout → RESOURCE_EXHAUSTED
+(retryable); closed/draining batcher → UNAVAILABLE; anything else →
+INTERNAL.
 
 ``GrpcEmbeddingClient`` below is the reference client (used by
 tests/test_serve.py and tools/serve_bench.py); ``npy`` framing keeps
@@ -100,7 +103,7 @@ class _Handlers:
         return _npy_bytes(np.asarray(emb, np.float32))
 
     def embed_batch(self, request: bytes, context) -> bytes:
-        import time
+        from tf_face_toolbox_tpu.serving.server import bulk_embed
 
         grpc = self._grpc
         self._guard_size(request, context)
@@ -115,36 +118,23 @@ class _Handlers:
             context.abort(grpc.StatusCode.INVALID_ARGUMENT,
                           f"{type(e).__name__}: {e}")
         try:
-            t0 = time.monotonic()
-            # dispatch every chunk before materializing any — the
-            # device round trips overlap (same pipelining as HTTP)
-            spans = [(i, min(i + service.batch, len(images)))
-                     for i in range(0, len(images), service.batch)]
-            outs = [service.dispatch_batch(images[a:b])
-                    for a, b in spans]
-            embs = np.concatenate([np.asarray(o)[:b - a]
-                                   for o, (a, b) in zip(outs, spans)])
-            self.batcher.record_bulk(
-                images=len(images), device_calls=len(spans),
-                elapsed=time.monotonic() - t0)
+            embs = bulk_embed(self.batcher, images)
         except Exception as e:
             context.abort(grpc.StatusCode.INTERNAL,
                           f"{type(e).__name__}: {e}")
         return _npy_bytes(embs.astype(np.float32))
 
     def health(self, request: bytes, context) -> bytes:
+        from tf_face_toolbox_tpu.serving.server import health_payload
+
         del request, context
-        return json.dumps({"status": "ok",
-                           "batch": self.service.batch,
-                           "image_size": self.service.image_size,
-                           }).encode()
+        return json.dumps(health_payload(self.service)).encode()
 
     def stats(self, request: bytes, context) -> bytes:
+        from tf_face_toolbox_tpu.serving.server import stats_payload
+
         del request, context
-        s = dict(self.batcher.stats)
-        calls = max(s["device_calls"], 1)
-        s["mean_batch_fill"] = round(s["images"] / calls, 2)
-        return json.dumps(s).encode()
+        return json.dumps(stats_payload(self.batcher)).encode()
 
 
 def serve_grpc(batcher, *, host: str = "127.0.0.1", port: int = 0,
@@ -158,13 +148,22 @@ def serve_grpc(batcher, *, host: str = "127.0.0.1", port: int = 0,
     (gRPC's native equivalent of the HTTP server's wait_idle).
 
     ``unix_socket``: serve on ``unix:<path>`` instead of TCP — gRPC
-    supports AF_UNIX targets natively on both ends.
+    supports AF_UNIX targets natively on both ends. The listener is
+    bound to a unique temp name and renamed over the target, the same
+    atomic-takeover protocol as the HTTP unix server: grpc core
+    unlinks ITS OWN bound path when the server stops, so a draining
+    old daemon that had bound the target path directly would delete
+    the socket file the NEW daemon just took over (verified on grpcio
+    1.76); after the rename, the old daemon's stop-unlink hits its
+    stale temp name instead and the takeover survives the drain.
     """
     import concurrent.futures
+    import os
 
     import grpc
 
-    handlers = _Handlers(batcher, max_body_mb * (1 << 20))
+    max_body = max_body_mb * (1 << 20)
+    handlers = _Handlers(batcher, max_body)
     methods = {
         "Embed": handlers.embed,
         "EmbedBatch": handlers.embed_batch,
@@ -180,15 +179,28 @@ def serve_grpc(batcher, *, host: str = "127.0.0.1", port: int = 0,
     server = grpc.server(
         concurrent.futures.ThreadPoolExecutor(
             max_workers=max_workers,
-            thread_name_prefix="tfft-grpc"))
+            thread_name_prefix="tfft-grpc"),
+        # gRPC's transport defaults to a 4 MiB message cap, which
+        # would silently override the max_body contract before
+        # _guard_size ever ran; the +1 MiB slack ensures an over-cap
+        # body reaches the guard and fails loudly as INVALID_ARGUMENT.
+        # Send side is uncapped: responses are our own (N, D) frames.
+        options=[("grpc.max_receive_message_length",
+                  max_body + (1 << 20)),
+                 ("grpc.max_send_message_length", -1)])
     server.add_generic_rpc_handlers((generic,))
-    target = (f"unix:{unix_socket}" if unix_socket
-              else f"{host}:{port}")
-    bound = server.add_insecure_port(target)
-    if not unix_socket and bound == 0:
-        raise OSError(f"could not bind gRPC server to {target}")
+    if unix_socket:
+        tmp = f"{unix_socket}.{os.getpid()}.tmp"
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
+        server.add_insecure_port(f"unix:{tmp}")  # raises on failure
+        os.rename(tmp, unix_socket)
+        server.bound_port = 0
+    else:
+        server.bound_port = server.add_insecure_port(f"{host}:{port}")
     server.start()
-    server.bound_port = 0 if unix_socket else bound
     return server
 
 
@@ -204,7 +216,14 @@ class GrpcEmbeddingClient:
         import grpc
 
         self._grpc = grpc
-        self._channel = grpc.insecure_channel(target)
+        # lift the channel's own 4 MiB defaults: body limits are the
+        # SERVER'S contract (max_body → INVALID_ARGUMENT), not
+        # something the client transport should pre-empt, and bulk
+        # embedding responses can exceed 4 MiB (N > 2048 at D=512)
+        self._channel = grpc.insecure_channel(
+            target,
+            options=[("grpc.max_send_message_length", -1),
+                     ("grpc.max_receive_message_length", -1)])
         mk = lambda m: self._channel.unary_unary(  # noqa: E731
             f"/tfft.Embedding/{m}", request_serializer=_identity,
             response_deserializer=_identity)

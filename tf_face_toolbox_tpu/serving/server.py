@@ -161,6 +161,39 @@ class EmbeddingService:
                           self.crop_from, self.crop_from)
 
 
+def bulk_embed(batcher: "DynamicBatcher",
+               images: "np.ndarray") -> np.ndarray:
+    """Bulk path shared by every transport front-end: chunk ``images``
+    (already decoded to the service scale) through the fixed-batch
+    program, dispatching every chunk BEFORE materializing any so the
+    device round trips overlap (the batcher's own dispatch→resolve
+    split), and fold the work into the batcher's stats."""
+    service = batcher.service
+    t0 = time.monotonic()
+    spans = [(i, min(i + service.batch, len(images)))
+             for i in range(0, len(images), service.batch)]
+    outs = [service.dispatch_batch(images[a:b]) for a, b in spans]
+    embs = np.concatenate([np.asarray(o)[:b - a]
+                           for o, (a, b) in zip(outs, spans)])
+    batcher.record_bulk(images=len(images), device_calls=len(spans),
+                        elapsed=time.monotonic() - t0)
+    return embs
+
+
+def health_payload(service: EmbeddingService) -> dict:
+    """GET /healthz == tfft.Embedding/Health body."""
+    return {"status": "ok", "batch": service.batch,
+            "image_size": service.image_size}
+
+
+def stats_payload(batcher: "DynamicBatcher") -> dict:
+    """GET /stats == tfft.Embedding/Stats body."""
+    s = dict(batcher.stats)
+    calls = max(s["device_calls"], 1)
+    s["mean_batch_fill"] = round(s["images"] / calls, 2)
+    return s
+
+
 @dataclass
 class _Pending:
     image: np.ndarray
@@ -414,14 +447,9 @@ def serve(batcher: DynamicBatcher, *, host: str = "127.0.0.1",
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply(200, {"status": "ok",
-                                  "batch": service.batch,
-                                  "image_size": service.image_size})
+                self._reply(200, health_payload(service))
             elif self.path == "/stats":
-                s = dict(batcher.stats)
-                calls = max(s["device_calls"], 1)
-                s["mean_batch_fill"] = round(s["images"] / calls, 2)
-                self._reply(200, s)
+                self._reply(200, stats_payload(batcher))
             else:
                 self._reply(404, {"error": "unknown path"})
 
@@ -472,21 +500,7 @@ def serve(batcher: DynamicBatcher, *, host: str = "127.0.0.1",
                 return
             try:
                 if self.path == "/embed_batch":
-                    t0 = time.monotonic()
-                    # dispatch every chunk BEFORE materializing any:
-                    # the device round trips overlap (same pipelining
-                    # as the batcher's dispatch→resolve split)
-                    spans = [(i, min(i + service.batch, len(images)))
-                             for i in range(0, len(images),
-                                            service.batch)]
-                    outs = [service.dispatch_batch(images[a:b])
-                            for a, b in spans]
-                    embs = np.concatenate(
-                        [np.asarray(o)[:b - a]
-                         for o, (a, b) in zip(outs, spans)])
-                    batcher.record_bulk(
-                        images=len(images), device_calls=len(spans),
-                        elapsed=time.monotonic() - t0)
+                    embs = bulk_embed(batcher, images)
                     if self._wants_npy():
                         self._reply_npy(embs.astype(np.float32))
                     else:
