@@ -75,61 +75,9 @@ flags.mark_flag_as_required("data")
 flags.mark_flag_as_required("output")
 
 
-def load_variables(checkpoint_dir: str, network: str, embedding_dim: int,
-                   image_size: int, dtype, use_ema: bool = False,
-                   stem: str = "face", head: str = "gap",
-                   quantized: bool | str = False):
-    """Backbone variables from a train checkpoint (or fresh init)."""
-    from tf_face_toolbox_tpu.models import create_network, init_variables
-
-    kwargs = dict(stem=stem, head_variant=head)
-    if quantized:
-        kwargs["quantized"] = quantized
-    net = create_network(network, embedding_dim=embedding_dim, dtype=dtype,
-                         **kwargs)
-    # Init with the fp twin: a quantized='static' module can't run
-    # before calibration, and the param tree is identical by design.
-    init_net = (net if not quantized else create_network(
-        network, embedding_dim=embedding_dim, dtype=dtype,
-        stem=stem, head_variant=head))
-    variables = init_variables(init_net, jax.random.key(0),
-                               (1, image_size, image_size, 3))
-    if checkpoint_dir:
-        from tf_face_toolbox_tpu.parallel.mesh import create_mesh
-        from tf_face_toolbox_tpu.train.checkpoint import CheckpointManager
-        from tf_face_toolbox_tpu.train.trainer import (
-            TrainConfig, create_train_state)
-
-        # Restore shapes come from a state built with matching config.
-        mgr = CheckpointManager(checkpoint_dir)
-        mesh = create_mesh(data=1, devices=jax.devices()[:1])
-        # num_classes (and whether EMA was on) are read back from the
-        # checkpoint metadata so the template tree matches exactly.
-        meta = mgr.tree_metadata()
-        if meta is None:
-            raise FileNotFoundError("no checkpoint found")
-        template, _ = create_train_state(
-            TrainConfig(network=network, stem=stem, head_variant=head,
-                        embedding_dim=embedding_dim,
-                        image_size=image_size, dtype=dtype,
-                        num_classes=_classifier_rows_from(meta),
-                        ema_decay=0.999 if mgr.has_ema(meta) else 0.0),
-            jax.random.key(0), mesh, net=init_net)
-        state = mgr.restore(template)
-        params = state.params
-        if use_ema:
-            if state.ema_params is None:
-                raise ValueError("--use_ema set but checkpoint has no EMA")
-            params = state.ema_params
-        variables = {"params": params, "batch_stats": state.batch_stats}
-        logging.info("restored step %d from %s (ema=%s)",
-                     int(jax.device_get(state.step)), checkpoint_dir,
-                     use_ema)
-    return net, variables
-
-
-def _classifier_rows_from(tree: dict) -> int:
-    return int(tree["('classifier',)"]["value_metadata"]["write_shape"][0])
+# Shared with cli.serve and train.finetune; lives in a flag-free module
+# so non-CLI code can use it without colliding absl namespaces.
+from tf_face_toolbox_tpu.pretrained import load_variables  # noqa: E402
 
 
 def main(argv):

@@ -93,7 +93,7 @@ def main(argv):
         variables = jax.tree.map(jnp.asarray,
                                  load_variables_npz(FLAGS.variables_npz))
     else:
-        from tf_face_toolbox_tpu.cli.extract import load_variables
+        from tf_face_toolbox_tpu.pretrained import load_variables
 
         net, variables = load_variables(
             FLAGS.checkpoint_dir, FLAGS.network, FLAGS.embedding_dim,

@@ -83,6 +83,15 @@ flags.DEFINE_enum("loader", "auto",
                   "threads; native_dct = entropy-decode only, the "
                   "train step finishes the JPEG on-device (needs a "
                   "cli.pack --recode_size=<crop_from> shard)")
+flags.DEFINE_string("finetune_from", "",
+                    "warm-start source: a previous run's train_dir or "
+                    "an interop variables .npz — backbone params + BN "
+                    "stats are grafted in, classifier/optimizer/step "
+                    "start fresh (the slim-era checkpoint_exclude_"
+                    "scopes workflow). Ignored when train_dir already "
+                    "holds a checkpoint (resume wins).")
+flags.DEFINE_bool("finetune_use_ema", False,
+                  "warm-start from the source checkpoint's EMA weights")
 flags.DEFINE_float("ema_decay", 0.0,
                    "weight EMA decay (0 = off; reference-era 0.999/0.9999)")
 flags.DEFINE_bool("pallas_input", False,
@@ -312,6 +321,18 @@ def main(argv):
     stop = threading.Event()
     signal.signal(signal.SIGTERM, lambda *_: stop.set())
 
+    warm_start = None
+    if FLAGS.finetune_from:
+        from tf_face_toolbox_tpu.train.finetune import (
+            load_pretrained_variables,
+            warm_start_state,
+        )
+
+        pretrained = load_pretrained_variables(
+            FLAGS.finetune_from, cfg, use_ema=FLAGS.finetune_use_ema)
+        warm_start = lambda state: warm_start_state(  # noqa: E731
+            state, pretrained, log=logging.info)
+
     result = train_loop(
         cfg, mesh, batches,
         num_steps=FLAGS.num_steps,
@@ -323,6 +344,7 @@ def main(argv):
         eval_every=FLAGS.eval_every,
         input_format="dct" if FLAGS.loader == "native_dct" else "u8",
         should_stop=stop.is_set,
+        warm_start=warm_start,
     )
     if result.last_metrics.get("preempted"):
         step = int(jax.device_get(result.state.step))

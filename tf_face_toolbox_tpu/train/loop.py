@@ -44,7 +44,8 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
                eval_fn=None,
                eval_every: int = 0,
                input_format: str = "u8",
-               should_stop=None) -> LoopResult:
+               should_stop=None,
+               warm_start=None) -> LoopResult:
     """Run (or resume) training for ``num_steps`` total steps.
 
     Resume semantics match the reference's Saver/latest_checkpoint
@@ -52,13 +53,20 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
     continues from its step with optimizer state, BN stats, and RNG
     intact. The caller aligns the data iterator (see
     data.pipeline.batch_iterator start_epoch/start_step).
+
+    ``warm_start``: optional ``state -> state`` fine-tune initializer
+    (train.finetune), applied ONLY when the run starts fresh — a
+    checkpoint in ``train_dir`` always wins, so a preempted fine-tune
+    run resumes its own progress instead of re-grafting the source.
     """
     state, net = create_train_state(cfg, jax.random.key(rng_seed), mesh,
                                     net=net)
+    resumed = False
     mgr = None
     if train_dir:
         mgr = CheckpointManager(train_dir, save_every=save_every)
         if mgr.latest_step() is not None:
+            resumed = True
             if mgr.has_ema() != (state.ema_params is not None):
                 raise ValueError(
                     "checkpoint EMA state does not match config: resume "
@@ -74,6 +82,8 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
                                     pspecs=state_pspecs(state))
             else:
                 state = shard_state(mgr.restore(state), mesh)
+    if warm_start is not None and not resumed:
+        state = warm_start(state)
     step_fn = make_train_step(net, cfg, mesh, state,
                               input_format=input_format)
     logger = logger or MetricLogger(train_dir,
