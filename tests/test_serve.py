@@ -807,3 +807,252 @@ def test_service_serves_dct_backbone():
     assert out.shape == (2, DIM)
     np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0,
                                atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Hot model reload (serving/reload.py + EmbeddingService.reload)
+# ---------------------------------------------------------------------------
+
+def _net_and_variables(seed, dim=DIM, **kw):
+    from tf_face_toolbox_tpu.models import create_network, init_variables
+
+    net = create_network("resnet_tiny", embedding_dim=dim,
+                         dtype=jnp.float32, **kw)
+    return net, init_variables(net, jax.random.key(seed),
+                               (1, SIZE, SIZE, 3))
+
+
+def _service(net, variables, **kw):
+    svc = EmbeddingService(net, variables, image_size=SIZE,
+                           crop_from=SIZE, batch=BATCH,
+                           dtype=jnp.float32, **kw)
+    svc.warmup()
+    return svc
+
+
+def test_reload_swaps_weights_without_recompile():
+    from tf_face_toolbox_tpu.serving.server import (
+        health_payload,
+        stats_payload,
+    )
+
+    net, v0 = _net_and_variables(0)
+    _, v1 = _net_and_variables(1)
+    svc = _service(net, v0)
+    imgs = _images(2, seed=3)
+    before = svc.embed_batch(imgs)
+    fwd = svc._forward
+    svc.reload(v1, step=7)
+    after = svc.embed_batch(imgs)
+    assert svc._forward is fwd          # same compiled program
+    assert svc.step == 7 and svc.reloads == 1
+    assert not np.allclose(before, after)
+    assert health_payload(svc)["serving_step"] == 7
+    batcher = DynamicBatcher(svc, max_wait_ms=1.0)
+    try:
+        s = stats_payload(batcher)
+        assert s["serving_step"] == 7 and s["reloads"] == 1
+    finally:
+        batcher.close()
+
+
+def test_reload_refuses_mismatched_tree():
+    net, v0 = _net_and_variables(0)
+    _, bad = _net_and_variables(1, dim=DIM * 2)
+    svc = _service(net, v0)
+    imgs = _images(1, seed=4)
+    before = svc.embed_batch(imgs)
+    with pytest.raises(ValueError, match="do not match"):
+        svc.reload(bad)
+    # old model still live, untouched
+    np.testing.assert_array_equal(svc.embed_batch(imgs), before)
+    assert svc.reloads == 0
+
+
+def test_reload_folded_engine_rebuilds_and_matches_flax():
+    from tf_face_toolbox_tpu.serving import make_serving_apply
+
+    net, v0 = _net_and_variables(0, stem="imagenet")
+    _, v1 = _net_and_variables(1, stem="imagenet")
+    svc = _service(net, v0, apply_fn=make_serving_apply(net, v0))
+    imgs = _images(2, seed=5)
+    fwd = svc._forward
+    svc.reload(v1, apply_fn=make_serving_apply(net, v1), step=3)
+    assert svc._forward is not fwd      # rebuilt + rewarmed
+    flax_svc = _service(net, v1)
+    np.testing.assert_allclose(svc.embed_batch(imgs),
+                               flax_svc.embed_batch(imgs),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_reload_does_not_drop_inflight_requests():
+    net, v0 = _net_and_variables(0)
+    _, v1 = _net_and_variables(1)
+    svc = _service(net, v0)
+    batcher = DynamicBatcher(svc, max_wait_ms=1.0)
+    errors: list = []
+
+    def client(seed):
+        img = _images(1, seed=seed)[0]
+        for _ in range(15):
+            try:
+                e = batcher.submit(img, timeout=30)
+                assert np.isfinite(e).all()
+            except Exception as exc:  # noqa: BLE001 — collect, assert after
+                errors.append(exc)
+
+    threads = [threading.Thread(target=client, args=(s,))
+               for s in range(3)]
+    for t in threads:
+        t.start()
+    for i in range(10):
+        svc.reload(v1 if i % 2 == 0 else v0)
+    for t in threads:
+        t.join()
+    batcher.close()
+    assert not errors
+    assert svc.reloads == 10
+
+
+def test_checkpoint_watcher_hot_reloads(tmp_path):
+    """TF-Serving-style polling: train → serve → train more → the
+    watcher swaps the daemon onto the new step without a restart."""
+    from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+    from tf_face_toolbox_tpu.pretrained import load_variables
+    from tf_face_toolbox_tpu.serving.reload import CheckpointWatcher
+    from tf_face_toolbox_tpu.train.checkpoint import CheckpointManager
+    from tf_face_toolbox_tpu.train.loop import train_loop
+    from tf_face_toolbox_tpu.train.trainer import TrainConfig
+
+    cfg = TrainConfig(network="resnet_tiny", num_classes=12,
+                      embedding_dim=DIM, image_size=SIZE,
+                      global_batch=8, augment=False,
+                      dtype=jnp.float32, weight_decay=0.0,
+                      warmup_steps=0, base_lr=0.05)
+    mesh = create_mesh()
+
+    def batches():
+        rng = np.random.default_rng(0)
+        while True:
+            yield {"image": rng.normal(
+                       size=(8, SIZE, SIZE, 3)).astype(np.float32),
+                   "label": (np.arange(8) % 12).astype(np.int32)}
+
+    train_dir = str(tmp_path / "run")
+    train_loop(cfg, mesh, batches(), num_steps=1, train_dir=train_dir,
+               save_every=1, log_every=1)
+
+    net, variables = load_variables(train_dir, "resnet_tiny", DIM,
+                                    SIZE, jnp.float32)
+    svc = _service(net, variables, step=1)
+
+    def rebuild():
+        step = CheckpointManager(train_dir).latest_step()
+        _, v = load_variables(train_dir, "resnet_tiny", DIM, SIZE,
+                              jnp.float32)
+        return v, None, step
+
+    watcher = CheckpointWatcher(svc, train_dir, rebuild, interval=3600)
+    assert watcher.poll_once() is False         # nothing new yet
+    imgs = _images(2, seed=9)
+    before = svc.embed_batch(imgs)
+
+    train_loop(cfg, mesh, batches(), num_steps=3, train_dir=train_dir,
+               save_every=1, log_every=1)       # resumes 1 → 3
+    assert watcher.poll_once() is True
+    assert svc.step == 3 and svc.reloads == 1
+    np.testing.assert_allclose(svc.embed_batch(imgs), before, atol=1e-3)
+    # served weights are now EXACTLY the step-3 checkpoint's (embedding
+    # deltas after 2 tiny steps are sub-1e-5 — tree equality is the
+    # real contract, not a visible output change)
+    want, _, _ = rebuild()
+    live = jax.tree.leaves(svc._variables)
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(live, jax.tree.leaves(want)))
+    booted = jax.tree.leaves(variables)
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(live, booted))
+    assert watcher.poll_once() is False         # idempotent at latest
+
+
+@pytest.mark.slow
+def test_cli_serve_watch_hot_reload(tmp_path):
+    """cli.serve --watch_interval: a training process writes a newer
+    checkpoint and the live daemon advances to it (TF-Serving-style
+    version polling) without a restart."""
+    import os
+    import re
+    import subprocess
+    import sys
+    import time
+
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(12):
+        arr = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(str(tmp_path / f"img{i}.jpg"),
+                                  "JPEG", quality=95)
+        lines.append(f"img{i}.jpg {i % 4}")
+    (tmp_path / "list.txt").write_text("\n".join(lines) + "\n")
+
+    env = dict(os.environ, TFFT_PLATFORM="cpu")
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=8"
+                        ).strip()
+
+    def run(args):
+        r = subprocess.run([sys.executable, "-m"] + args,
+                           capture_output=True, text=True, env=env)
+        assert r.returncode == 0, f"{args}:\n{r.stdout}\n{r.stderr}"
+
+    shard = str(tmp_path / "data.faceshard")
+    run(["tf_face_toolbox_tpu.cli.pack",
+         f"--list={tmp_path/'list.txt'}", f"--root={tmp_path}",
+         f"--output={shard}"])
+    train = ["tf_face_toolbox_tpu.cli.train", f"--data={shard}",
+             f"--train_dir={tmp_path/'run'}", "--network=resnet_tiny",
+             "--embedding_dim=16", "--image_size=12", "--crop_from=16",
+             "--global_batch=8", "--nobf16", "--save_every=2",
+             "--log_every=1"]
+    run(train + ["--num_steps=2"])
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "tf_face_toolbox_tpu.cli.serve",
+         f"--checkpoint_dir={tmp_path/'run'}", "--network=resnet_tiny",
+         "--embedding_dim=16", "--image_size=12", "--crop_from=16",
+         "--nobf16", "--engine=flax", "--port=0", "--max_batch=2",
+         "--max_wait_ms=1", "--watch_interval=0.5"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env)
+    try:
+        line = _wait_serving(proc, 180)
+        port = int(re.search(r"http://[\d.]+:(\d+)", line).group(1))
+
+        def serving_step():
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+                return json.loads(r.read())["serving_step"]
+
+        assert serving_step() == 2
+        run(train + ["--num_steps=4"])      # resume 2 -> 4, new ckpt
+        deadline = time.time() + 90
+        while time.time() < deadline and serving_step() != 4:
+            time.sleep(0.5)
+        assert serving_step() == 4, proc.captured[-8:]
+        # the daemon still answers embedding traffic after the swap
+        buf = io.BytesIO()
+        np.save(buf, rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/embed", data=buf.getvalue(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            emb = np.asarray(json.loads(r.read())["embedding"])
+        assert emb.shape == (16,)
+        proc.terminate()
+        assert proc.wait(timeout=30) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=10)

@@ -57,6 +57,10 @@ flags.DEFINE_enum("transport", "http", ["http", "grpc"],
 flags.DEFINE_integer("max_batch", 64, "device batch (pad-to-batch)")
 flags.DEFINE_float("max_wait_ms", 5.0,
                    "straggler wait after the first request of a batch")
+flags.DEFINE_float("watch_interval", 0.0,
+                   "poll --checkpoint_dir every N seconds and hot-swap "
+                   "onto new checkpoints without dropping traffic "
+                   "(TF-Serving-style version polling; 0 = off)")
 
 
 def main(argv):
@@ -78,6 +82,43 @@ def main(argv):
     if bool(FLAGS.checkpoint_dir) == bool(FLAGS.variables_npz):
         raise SystemExit(
             "pass exactly one of --checkpoint_dir / --variables_npz")
+    if FLAGS.engine == "folded" and quant:
+        raise SystemExit("--engine folded serves fp; int8 uses flax")
+    if FLAGS.watch_interval > 0 and not FLAGS.checkpoint_dir:
+        raise SystemExit("--watch_interval polls a --checkpoint_dir")
+
+    def prepare(net, variables):
+        """Post-restore serving prep (static-int8 calibration + BN
+        fold) — shared verbatim by boot and hot reload, so a reloaded
+        model goes through exactly the chain the booted one did."""
+        if quant == "static":
+            from tf_face_toolbox_tpu.data.pipeline import FaceShardSource
+            from tf_face_toolbox_tpu.extract import calibrate_on_shard
+
+            logging.info("calibrating static-int8 scales on %d batches "
+                         "of %s", FLAGS.calibrate_batches,
+                         FLAGS.calibrate_data)
+            variables = calibrate_on_shard(
+                FLAGS.network, variables,
+                FaceShardSource(FLAGS.calibrate_data),
+                image_size=FLAGS.image_size, crop_from=FLAGS.crop_from,
+                batch=min(FLAGS.max_batch, 128),
+                num_batches=FLAGS.calibrate_batches,
+                embedding_dim=FLAGS.embedding_dim, dtype=dtype,
+                stem=FLAGS.stem, head_variant=FLAGS.head)
+        apply_fn = None
+        if FLAGS.engine != "flax" and not quant:
+            from tf_face_toolbox_tpu.serving import make_serving_apply
+            try:
+                apply_fn = make_serving_apply(net, variables)
+            except ValueError as e:
+                if FLAGS.engine == "folded":
+                    raise SystemExit(f"--engine folded: {e}") from e
+                logging.info("serving engine not applicable (%s); "
+                             "using net.apply", e)
+        return variables, apply_fn
+
+    boot_step = None
     if FLAGS.variables_npz:
         import jax
 
@@ -94,49 +135,49 @@ def main(argv):
                                  load_variables_npz(FLAGS.variables_npz))
     else:
         from tf_face_toolbox_tpu.pretrained import load_variables
+        from tf_face_toolbox_tpu.train.checkpoint import CheckpointManager
 
         net, variables = load_variables(
             FLAGS.checkpoint_dir, FLAGS.network, FLAGS.embedding_dim,
             FLAGS.image_size, dtype, use_ema=FLAGS.use_ema,
             stem=FLAGS.stem, head=FLAGS.head, quantized=quant)
+        boot_step = CheckpointManager(FLAGS.checkpoint_dir).latest_step()
 
-    if quant == "static":
-        from tf_face_toolbox_tpu.data.pipeline import FaceShardSource
-        from tf_face_toolbox_tpu.extract import calibrate_on_shard
-
-        logging.info("calibrating static-int8 scales on %d batches "
-                     "of %s", FLAGS.calibrate_batches,
-                     FLAGS.calibrate_data)
-        variables = calibrate_on_shard(
-            FLAGS.network, variables,
-            FaceShardSource(FLAGS.calibrate_data),
-            image_size=FLAGS.image_size, crop_from=FLAGS.crop_from,
-            batch=min(FLAGS.max_batch, 128),
-            num_batches=FLAGS.calibrate_batches,
-            embedding_dim=FLAGS.embedding_dim, dtype=dtype,
-            stem=FLAGS.stem, head_variant=FLAGS.head)
-
-    apply_fn = None
-    if FLAGS.engine != "flax" and not quant:
-        from tf_face_toolbox_tpu.serving import make_serving_apply
-        try:
-            apply_fn = make_serving_apply(net, variables)
-        except ValueError as e:
-            if FLAGS.engine == "folded":
-                raise SystemExit(f"--engine folded: {e}") from e
-            logging.info("serving engine not applicable (%s); "
-                         "using net.apply", e)
-    elif FLAGS.engine == "folded" and quant:
-        raise SystemExit("--engine folded serves fp; int8 uses flax")
+    variables, apply_fn = prepare(net, variables)
 
     service = EmbeddingService(net, variables,
                                image_size=FLAGS.image_size,
                                crop_from=FLAGS.crop_from,
                                batch=FLAGS.max_batch,
-                               apply_fn=apply_fn, dtype=dtype)
+                               apply_fn=apply_fn, dtype=dtype,
+                               step=boot_step)
     logging.info("warming the b%d compiled extractor...", FLAGS.max_batch)
     service.warmup()
     batcher = DynamicBatcher(service, max_wait_ms=FLAGS.max_wait_ms)
+
+    watcher = None
+    if FLAGS.watch_interval > 0:
+        from tf_face_toolbox_tpu.pretrained import load_variables
+        from tf_face_toolbox_tpu.serving.reload import CheckpointWatcher
+        from tf_face_toolbox_tpu.train.checkpoint import CheckpointManager
+
+        def rebuild():
+            # step read BEFORE restore: if a newer checkpoint lands in
+            # between, the recorded step undershoots and the next poll
+            # simply reloads again — converges, never serves stale
+            step = CheckpointManager(FLAGS.checkpoint_dir).latest_step()
+            _, v = load_variables(
+                FLAGS.checkpoint_dir, FLAGS.network, FLAGS.embedding_dim,
+                FLAGS.image_size, dtype, use_ema=FLAGS.use_ema,
+                stem=FLAGS.stem, head=FLAGS.head, quantized=quant)
+            v, a = prepare(net, v)
+            return v, a, step
+
+        watcher = CheckpointWatcher(service, FLAGS.checkpoint_dir,
+                                    rebuild,
+                                    interval=FLAGS.watch_interval).start()
+        logging.info("watching %s every %.1fs for new checkpoints",
+                     FLAGS.checkpoint_dir, FLAGS.watch_interval)
     if FLAGS.transport == "grpc":
         from tf_face_toolbox_tpu.serving.grpc_server import serve_grpc
 
@@ -162,6 +203,8 @@ def main(argv):
     # graceful drain for rolling restarts: stop accepting, let running
     # handlers finish against the still-live batcher, then shut it down
     logging.info("draining: no new connections; completing in-flight")
+    if watcher is not None:
+        watcher.stop()
     if FLAGS.transport == "grpc":
         # gRPC's native drain: refuse new RPCs, finish in-flight ones
         if not server.stop(grace=30).wait(timeout=35):

@@ -64,20 +64,33 @@ class EmbeddingService:
 
     def __init__(self, net, variables, *, image_size: int = 112,
                  crop_from: int = 0, batch: int = 32,
-                 apply_fn: Callable | None = None, dtype=jnp.bfloat16):
-        from tf_face_toolbox_tpu.extract import flip_averaged_embeddings
-        from tf_face_toolbox_tpu.ops.preprocess import preprocess_eval
-
-        if apply_fn is None:
-            def apply_fn(v, x):
-                return net.apply(v, x, train=False)
+                 apply_fn: Callable | None = None, dtype=jnp.bfloat16,
+                 step: int | None = None):
+        self._net = net
+        self._dtype = dtype
         self.batch = int(batch)
         self.image_size = int(image_size)
         self.crop_from = int(crop_from) or image_size + 8
         if self.crop_from < image_size:
             raise ValueError(f"crop_from ({self.crop_from}) must be "
                              f">= image_size ({image_size})")
-        self._variables = variables
+        # (forward, variables) swap as ONE reference so a hot reload
+        # can never pair a new program with old weights mid-dispatch
+        self._model = (self._build_forward(apply_fn), variables)
+        # serving metadata: checkpoint step currently live (None =
+        # fresh init / .npz source) and hot-reload count — both
+        # surfaced on /healthz and /stats
+        self.step = step
+        self.reloads = 0
+
+    def _build_forward(self, apply_fn: Callable | None) -> Callable:
+        from tf_face_toolbox_tpu.extract import flip_averaged_embeddings
+        from tf_face_toolbox_tpu.ops.preprocess import preprocess_eval
+
+        net, dtype, image_size = self._net, self._dtype, self.image_size
+        if apply_fn is None:
+            def apply_fn(v, x):
+                return net.apply(v, x, train=False)
 
         @jax.jit
         def forward(variables, images_u8):
@@ -85,13 +98,64 @@ class EmbeddingService:
             x = x.astype(dtype)
             return flip_averaged_embeddings(apply_fn, variables, x)
 
-        self._forward = forward
+        return forward
+
+    @property
+    def _variables(self):
+        return self._model[1]
+
+    @property
+    def _forward(self):
+        return self._model[0]
 
     def warmup(self) -> None:
         """Compile the fixed-batch program before accepting traffic."""
+        forward, variables = self._model
         dummy = np.zeros(
             (self.batch, self.crop_from, self.crop_from, 3), np.uint8)
-        np.asarray(self._forward(self._variables, jnp.asarray(dummy)))
+        np.asarray(forward(variables, jnp.asarray(dummy)))
+
+    def reload(self, variables, *, apply_fn: Callable | None | type(...) = ...,
+               step: int | None = None) -> None:
+        """Hot-swap the served weights without dropping traffic.
+
+        The TF-Serving-style version-advance the reference era got from
+        pointing the serving binary at a SavedModel dir [TF1-IDIOM]:
+
+        - ``apply_fn`` omitted (the flax / int8 paths, where weights
+          are a real argument of the compiled program): the new tree is
+          validated leaf-by-leaf against the live one (same structure,
+          shapes, dtypes — anything else would silently retrace the
+          warmed program) and swapped in with ZERO recompilation.
+        - ``apply_fn`` passed (the folded engine bakes weights into the
+          closure): a new forward is built and warmed HERE, off the
+          request path, before the atomic swap.
+
+        In-flight batches finish on whichever (forward, variables) pair
+        they dispatched with; there is no torn state because the pair
+        swaps as one reference.
+        """
+        live = jax.tree.map(
+            lambda a: (getattr(a, "shape", ()), str(getattr(a, "dtype", ""))),
+            self._model[1])
+        new = jax.tree.map(
+            lambda a: (getattr(a, "shape", ()), str(getattr(a, "dtype", ""))),
+            variables)
+        if live != new:
+            raise ValueError(
+                "reload variables do not match the live tree "
+                "(structure/shape/dtype); a mismatched swap would "
+                "recompile the warmed program — refuse instead")
+        if apply_fn is ...:
+            forward = self._model[0]          # same jitted program
+        else:
+            forward = self._build_forward(apply_fn)
+            dummy = np.zeros(
+                (self.batch, self.crop_from, self.crop_from, 3), np.uint8)
+            np.asarray(forward(variables, jnp.asarray(dummy)))  # warm
+        self._model = (forward, variables)
+        self.step = step
+        self.reloads += 1
 
     def validate(self, image: "np.ndarray") -> None:
         """Raise unless `image` is one service-ready frame."""
@@ -126,7 +190,8 @@ class EmbeddingService:
         if n < self.batch:
             pad = np.zeros((self.batch - n,) + images.shape[1:], np.uint8)
             images = np.concatenate([images, pad])
-        return self._forward(self._variables, jnp.asarray(images))
+        forward, variables = self._model   # one read: reload-atomic
+        return forward(variables, jnp.asarray(images))
 
     def embed_batch(self, images: "np.ndarray") -> np.ndarray:
         """(N<=batch, crop_from, crop_from, 3) uint8 → (N, D) f32
@@ -183,7 +248,8 @@ def bulk_embed(batcher: "DynamicBatcher",
 def health_payload(service: EmbeddingService) -> dict:
     """GET /healthz == tfft.Embedding/Health body."""
     return {"status": "ok", "batch": service.batch,
-            "image_size": service.image_size}
+            "image_size": service.image_size,
+            "serving_step": service.step}
 
 
 def stats_payload(batcher: "DynamicBatcher") -> dict:
@@ -191,6 +257,8 @@ def stats_payload(batcher: "DynamicBatcher") -> dict:
     s = dict(batcher.stats)
     calls = max(s["device_calls"], 1)
     s["mean_batch_fill"] = round(s["images"] / calls, 2)
+    s["serving_step"] = batcher.service.step
+    s["reloads"] = batcher.service.reloads
     return s
 
 

@@ -50,6 +50,13 @@ class CheckpointManager:
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 
+    def refresh(self) -> None:
+        """Drop the cached step list. Orbax caches the directory's
+        steps at manager construction; a watcher polling a train dir
+        that ANOTHER process writes to (serving hot reload) must
+        refresh before latest_step() reflects new checkpoints."""
+        self._mgr.reload()
+
     def restore(self, target: TrainState, step: int | None = None,
                 *, mesh=None, pspecs=None) -> TrainState:
         """Restore into the structure/shardings of ``target``.
