@@ -144,10 +144,10 @@ def test_load_pretrained_from_npz(tmp_path):
     src = init_variables(src_net, jax.random.key(7), (1, 16, 16, 3))
     path = str(tmp_path / "vars.npz")
     save_variables_npz(path, dict(src))
-    got = load_pretrained_variables(path, CFG)
+    got = load_pretrained_variables(path)
     assert _tree_equal(got["params"], src["params"])
     with pytest.raises(ValueError, match="use_ema"):
-        load_pretrained_variables(path, CFG, use_ema=True)
+        load_pretrained_variables(path, use_ema=True)
 
 
 def test_load_pretrained_from_train_dir_and_full_cycle(tmp_path):
@@ -170,12 +170,29 @@ def test_load_pretrained_from_train_dir_and_full_cycle(tmp_path):
 
     ft_cfg = dataclasses.replace(CFG, num_classes=5)
     fresh, _ = create_train_state(ft_cfg, jax.random.key(1), mesh)
-    pretrained = load_pretrained_variables(str(tmp_path / "pre"), ft_cfg)
+    pretrained = load_pretrained_variables(str(tmp_path / "pre"))
     new = warm_start_state(fresh, pretrained)
     assert _tree_equal(new.params, state.params)
     assert _tree_equal(new.batch_stats, state.batch_stats)
     assert new.classifier.shape[0] != state.classifier.shape[0]
     assert int(new.step) == 0
+
+    # architecture delta: a new run with a different embedding_dim must
+    # graft every conv/BN and skip only the head projection — the raw
+    # (template-free) restore is what makes this a graft-time skip
+    # instead of an orbax shape error
+    big_cfg = dataclasses.replace(CFG, embedding_dim=32)
+    big, _ = create_train_state(big_cfg, jax.random.key(2), mesh)
+    grafted = warm_start_state(big, pretrained)
+    head = grafted.params["EmbeddingHead_0"]["Dense_0"]["kernel"]
+    assert head.shape[-1] == 32                       # kept fresh
+    np.testing.assert_array_equal(
+        np.asarray(grafted.params["ConvBN_0"]["kernel"]),
+        np.asarray(state.params["ConvBN_0"]["kernel"]))
+
+    # CFG trains without EMA; asking for EMA weights must fail loudly
+    with pytest.raises(ValueError, match="no EMA"):
+        load_pretrained_variables(str(tmp_path / "pre"), use_ema=True)
 
 
 def test_train_loop_resume_beats_warm_start(tmp_path):

@@ -869,6 +869,20 @@ def test_reload_refuses_mismatched_tree():
     assert svc.reloads == 0
 
 
+def test_reload_bare_swap_refused_when_weights_baked():
+    """A folded-engine forward ignores its variables argument; a bare
+    variable swap on such a service would be a silent no-op that still
+    advances step/reloads — it must be refused instead."""
+    from tf_face_toolbox_tpu.serving import make_serving_apply
+
+    net, v0 = _net_and_variables(0, stem="imagenet")
+    _, v1 = _net_and_variables(1, stem="imagenet")
+    svc = _service(net, v0, apply_fn=make_serving_apply(net, v0))
+    with pytest.raises(ValueError, match="bakes weights"):
+        svc.reload(v1, step=9)
+    assert svc.reloads == 0 and svc.step is None
+
+
 def test_reload_folded_engine_rebuilds_and_matches_flax():
     from tf_face_toolbox_tpu.serving import make_serving_apply
 

@@ -87,10 +87,14 @@ def main(argv):
     if FLAGS.watch_interval > 0 and not FLAGS.checkpoint_dir:
         raise SystemExit("--watch_interval polls a --checkpoint_dir")
 
-    def prepare(net, variables):
+    def prepare(net, variables, *, boot=False):
         """Post-restore serving prep (static-int8 calibration + BN
         fold) — shared verbatim by boot and hot reload, so a reloaded
-        model goes through exactly the chain the booted one did."""
+        model goes through exactly the chain the booted one did.
+        ``boot`` gates the exit-the-process error translation: inside
+        the watcher thread a failure must stay an ordinary exception
+        (logged, retried next poll), never a SystemExit — which
+        BaseException-ness would silently kill the watcher."""
         if quant == "static":
             from tf_face_toolbox_tpu.data.pipeline import FaceShardSource
             from tf_face_toolbox_tpu.extract import calibrate_on_shard
@@ -113,7 +117,9 @@ def main(argv):
                 apply_fn = make_serving_apply(net, variables)
             except ValueError as e:
                 if FLAGS.engine == "folded":
-                    raise SystemExit(f"--engine folded: {e}") from e
+                    if boot:
+                        raise SystemExit(f"--engine folded: {e}") from e
+                    raise
                 logging.info("serving engine not applicable (%s); "
                              "using net.apply", e)
         return variables, apply_fn
@@ -137,13 +143,18 @@ def main(argv):
         from tf_face_toolbox_tpu.pretrained import load_variables
         from tf_face_toolbox_tpu.train.checkpoint import CheckpointManager
 
+        # step read BEFORE the restore (the ordering rebuild() also
+        # uses): if a newer checkpoint lands during the restore, the
+        # recorded step undershoots what was loaded and the watcher's
+        # first poll reloads — reading after would overshoot and make
+        # the watcher skip the new version forever
+        boot_step = CheckpointManager(FLAGS.checkpoint_dir).latest_step()
         net, variables = load_variables(
             FLAGS.checkpoint_dir, FLAGS.network, FLAGS.embedding_dim,
             FLAGS.image_size, dtype, use_ema=FLAGS.use_ema,
             stem=FLAGS.stem, head=FLAGS.head, quantized=quant)
-        boot_step = CheckpointManager(FLAGS.checkpoint_dir).latest_step()
 
-    variables, apply_fn = prepare(net, variables)
+    variables, apply_fn = prepare(net, variables, boot=True)
 
     service = EmbeddingService(net, variables,
                                image_size=FLAGS.image_size,

@@ -328,10 +328,15 @@ def main(argv):
             warm_start_state,
         )
 
-        pretrained = load_pretrained_variables(
-            FLAGS.finetune_from, cfg, use_ema=FLAGS.finetune_use_ema)
-        warm_start = lambda state: warm_start_state(  # noqa: E731
-            state, pretrained, log=logging.info)
+        def warm_start(state):
+            # loaded HERE, not at flag-parse time: train_loop only
+            # calls this when the run starts fresh, so a preempted
+            # fine-tune resume never re-reads (or re-requires) the
+            # source checkpoint, and the weights aren't pinned in
+            # host RAM for the whole run
+            pretrained = load_pretrained_variables(
+                FLAGS.finetune_from, use_ema=FLAGS.finetune_use_ema)
+            return warm_start_state(state, pretrained, log=logging.info)
 
     result = train_loop(
         cfg, mesh, batches,

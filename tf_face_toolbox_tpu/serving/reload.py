@@ -65,7 +65,11 @@ class CheckpointWatcher:
             else:
                 self.service.reload(variables, apply_fn=apply_fn,
                                     step=step)
-        except Exception as e:
+        # SystemExit too: it is a BaseException, and a rebuild closure
+        # that reuses boot-path helpers could leak one — in a non-main
+        # thread Python swallows it and the watcher would die silently,
+        # permanently stopping version tracking
+        except (Exception, SystemExit) as e:
             logging.warning("reload to step %s failed (still serving "
                             "step %s): %s", latest, old, e)
             return False

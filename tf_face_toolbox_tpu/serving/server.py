@@ -77,6 +77,11 @@ class EmbeddingService:
         # (forward, variables) swap as ONE reference so a hot reload
         # can never pair a new program with old weights mid-dispatch
         self._model = (self._build_forward(apply_fn), variables)
+        # a custom apply_fn (the folded engine) bakes weights into its
+        # closure and IGNORES the variables argument — reload() must
+        # refuse a bare variable swap on such a service (it would
+        # advance step/reloads while embeddings stay stale)
+        self._weights_baked = apply_fn is not None
         # serving metadata: checkpoint step currently live (None =
         # fresh init / .npz source) and hot-reload count — both
         # surfaced on /healthz and /stats
@@ -147,12 +152,19 @@ class EmbeddingService:
                 "(structure/shape/dtype); a mismatched swap would "
                 "recompile the warmed program — refuse instead")
         if apply_fn is ...:
+            if self._weights_baked:
+                raise ValueError(
+                    "this service's forward bakes weights into its "
+                    "closure (custom apply_fn / folded engine); a bare "
+                    "variable swap would be a silent no-op — pass the "
+                    "rebuilt apply_fn to reload()")
             forward = self._model[0]          # same jitted program
         else:
             forward = self._build_forward(apply_fn)
             dummy = np.zeros(
                 (self.batch, self.crop_from, self.crop_from, 3), np.uint8)
             np.asarray(forward(variables, jnp.asarray(dummy)))  # warm
+            self._weights_baked = apply_fn is not None
         self._model = (forward, variables)
         self.step = step
         self.reloads += 1

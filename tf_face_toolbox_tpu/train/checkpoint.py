@@ -91,6 +91,30 @@ class CheckpointManager:
         return self._mgr.restore(
             step, args=ocp.args.StandardRestore(abstract))
 
+    def restore_raw(self, step: int | None = None) -> dict:
+        """Restore the checkpoint AS SAVED, to host numpy, with no
+        template: leaves come back with the checkpoint's own shapes and
+        dtypes regardless of the caller's config, mesh, or process
+        topology. The warm-start loader (train.finetune) needs exactly
+        this — shape mismatches are graft_tree's job to skip, and numpy
+        leaves carry no device placement to conflict with multi-process
+        runs (a template restore targets an addressable device, which
+        global device 0 is not on every host)."""
+        import numpy as np
+
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found in {self._dir}")
+        path = os.path.join(self._dir, str(step), "default")
+        ckptr = ocp.PyTreeCheckpointer()
+        tree = ckptr.metadata(path).item_metadata
+        restore_args = jax.tree.map(
+            lambda m: (ocp.RestoreArgs(restore_type=np.ndarray)
+                       if m is not None else ocp.RestoreArgs()),
+            tree, is_leaf=lambda x: x is None)
+        return ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
+
     def tree_metadata(self, step: int | None = None) -> dict | None:
         """The checkpoint's _METADATA tree, read straight off disk (a
         fresh orbax manager exposes no item metadata before a restore).

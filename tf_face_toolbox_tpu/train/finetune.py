@@ -39,11 +39,11 @@ def graft_tree(dst: Any, src: Any, *, path: tuple = (),
     path exists in both AND the leaf shapes match; keep the ``dst``
     leaf otherwise. Returns (new_tree, restored_paths, skipped_paths).
 
-    Source leaves are materialized to host numpy: a leaf restored from
-    a checkpoint comes back committed to one device, and a committed
-    array fed into the sharded train step would conflict with the
-    step's own placement — numpy leaves place exactly like a fresh
-    init's.
+    Source leaves are materialized to host numpy (restore_raw already
+    yields numpy; an .npz or in-memory source may hold device arrays,
+    and a committed array fed into the sharded train step would
+    conflict with the step's own placement — numpy leaves place
+    exactly like a fresh init's).
     """
     restored = [] if restored is None else restored
     skipped = [] if skipped is None else skipped
@@ -65,16 +65,19 @@ def graft_tree(dst: Any, src: Any, *, path: tuple = (),
                        f"{getattr(dst, 'shape', None)})")
         return dst, restored, skipped
     restored.append(name)
-    return src_arr.astype(np.asarray(dst).dtype), restored, skipped
+    return src_arr.astype(dst.dtype), restored, skipped
 
 
-def load_pretrained_variables(source: str, cfg, *,
+def load_pretrained_variables(source: str, *,
                               use_ema: bool = False) -> dict:
     """``source`` → ``{"params": ..., "batch_stats": ...}``.
 
     Two source kinds, matching what the repo's own tools emit:
-    - a train directory (orbax checkpoint; restored via the same
-      template machinery as ``cli.extract``), or
+    - a train directory (orbax checkpoint, restored RAW via
+      ``CheckpointManager.restore_raw`` — leaves keep the checkpoint's
+      own shapes, so an architecture delta vs the new run is a
+      graft-time skip, not an orbax restore error; and numpy leaves
+      restore identically on every process of a multi-host run), or
     - a flat ``.npz`` from ``interop.port.save_variables_npz`` (the
       TF1 / Keras importer output).
     """
@@ -86,13 +89,16 @@ def load_pretrained_variables(source: str, cfg, *,
                 ".npz sources hold one weight set; --finetune_use_ema "
                 "only applies to train-dir sources")
         return load_variables_npz(source)
-    from tf_face_toolbox_tpu.pretrained import load_variables
+    from tf_face_toolbox_tpu.train.checkpoint import CheckpointManager
 
-    _, variables = load_variables(
-        source, cfg.network, cfg.embedding_dim, cfg.image_size,
-        cfg.dtype, use_ema=use_ema, stem=cfg.stem,
-        head=cfg.head_variant)
-    return variables
+    raw = CheckpointManager(source).restore_raw()
+    params = raw.get("params")
+    if use_ema:
+        params = raw.get("ema_params")
+        if params is None or not jax.tree.leaves(params):
+            raise ValueError(
+                "--finetune_use_ema: the source checkpoint has no EMA")
+    return {"params": params, "batch_stats": raw.get("batch_stats", {})}
 
 
 def warm_start_state(state: TrainState, variables: dict,
