@@ -68,6 +68,17 @@ flags.DEFINE_enum("loader", "auto",
                   "shard of crop_from geometry), dct_domain = "
                   "zero-decode coefficients straight into a stem=dct "
                   "backbone (shard recoded at image_size exactly)")
+flags.DEFINE_integer("chunk_rows", 0,
+                     "resumable bulk mode: write embeddings into a "
+                     "disk-backed .npy in chunks of this many rows, "
+                     "recording progress in <output>.progress.json — "
+                     "re-running after a crash skips finished chunks. "
+                     "0 = classic one-shot write")
+flags.DEFINE_string("rows", "",
+                    "extract only records [lo:hi) of the shard (e.g. "
+                    "'0:1000000'); with --chunk_rows the rows land at "
+                    "their true offsets in a full-length output, so "
+                    "disjoint ranges can be sharded across jobs")
 flags.DEFINE_bool("bf16", True, "bfloat16 compute")
 flags.DEFINE_bool("use_ema", False,
                   "extract with the EMA weights (if trained with EMA)")
@@ -154,12 +165,30 @@ def main(argv):
         if apply_fn is not None:
             extract_fn = jax.jit(
                 lambda v, x: flip_averaged_embeddings(apply_fn, v, x))
-    emb = extract_shard(
-        net, variables, source,
-        image_size=FLAGS.image_size, crop_from=FLAGS.crop_from,
-        batch=FLAGS.batch, extract_fn=extract_fn, loader=FLAGS.loader,
-        progress=lambda done, n: logging.info("extracted %d / %d", done, n))
-    save_embeddings(FLAGS.output, emb)
+    rows = None
+    if FLAGS.rows:
+        lo, _, hi = FLAGS.rows.partition(":")
+        try:
+            rows = (int(lo), int(hi))
+        except ValueError:
+            raise SystemExit(f"--rows wants 'lo:hi', got {FLAGS.rows!r}")
+    progress = lambda done, n: logging.info(  # noqa: E731
+        "extracted %d / %d", done, n)
+    if FLAGS.chunk_rows:
+        from tf_face_toolbox_tpu.extract import extract_shard_to_npy
+        emb = extract_shard_to_npy(
+            net, variables, source, FLAGS.output,
+            image_size=FLAGS.image_size, crop_from=FLAGS.crop_from,
+            batch=FLAGS.batch, chunk_rows=FLAGS.chunk_rows,
+            extract_fn=extract_fn, loader=FLAGS.loader,
+            progress=progress, rows=rows)
+    else:
+        emb = extract_shard(
+            net, variables, source,
+            image_size=FLAGS.image_size, crop_from=FLAGS.crop_from,
+            batch=FLAGS.batch, extract_fn=extract_fn,
+            loader=FLAGS.loader, progress=progress, rows=rows)
+        save_embeddings(FLAGS.output, emb)
     print(f"wrote {emb.shape} embeddings to {FLAGS.output}")
 
 

@@ -88,6 +88,7 @@ def extract_shard(net, variables, source, *, image_size: int,
                   num_threads: int = 4, loader: str = "auto",
                   extract_fn: Callable | None = None,
                   progress: Callable[[int, int], None] | None = None,
+                  rows: tuple[int, int] | None = None,
                   ) -> np.ndarray:
     """Extract embeddings for every record of a FaceShardSource.
 
@@ -124,7 +125,7 @@ def extract_shard(net, variables, source, *, image_size: int,
         # instead of the pixel chain's image_size+8
         crop_from = crop_from or image_size
     fn = extract_fn or make_extract_fn(net, donate=False)
-    n = source.index.count
+    n = (rows[1] - rows[0]) if rows is not None else source.index.count
     outs = []
     done = 0
     pending = None  # one device batch in flight: jax dispatch is async,
@@ -136,7 +137,7 @@ def extract_shard(net, variables, source, *, image_size: int,
     for x in _standardized_batches(source, image_size=image_size,
                                    crop_from=crop_from, batch=batch,
                                    num_threads=num_threads,
-                                   loader=loader):
+                                   loader=loader, rows=rows):
         out = fn(variables, x)
         if pending is not None:
             outs.append(np.asarray(pending))
@@ -149,14 +150,148 @@ def extract_shard(net, variables, source, *, image_size: int,
         done += pending_rows
         if progress is not None:
             progress(done, n)
+    if not outs:
+        raise ValueError("nothing to extract: empty shard or row range")
     return np.concatenate(outs)
+
+
+def extract_shard_to_npy(net, variables, source, output_path: str, *,
+                         image_size: int, crop_from: int = 0,
+                         batch: int = 256, chunk_rows: int = 0,
+                         num_threads: int = 4, loader: str = "auto",
+                         extract_fn: Callable | None = None,
+                         progress: Callable[[int, int], None] | None = None,
+                         rows: tuple[int, int] | None = None,
+                         ) -> np.ndarray:
+    """Resumable bulk extraction with O(chunk) host memory.
+
+    :func:`extract_shard` holds every embedding in RAM and writes once
+    at the end — at corpus scale (10^8 faces) that is tens of GB of
+    host RAM and a crash loses hours of chip time. This variant writes
+    straight into a disk-backed ``.npy`` (``np.lib.format`` memmap, so
+    the finished file is a perfectly ordinary numpy array) in
+    ``chunk_rows``-sized chunks, recording completed chunks in a
+    ``<output>.progress.json`` sidecar after each flush. Re-running the
+    same command after a crash/preemption skips finished chunks and
+    recomputes at most one chunk; the sidecar is deleted on completion.
+    The reference had no equivalent — its extractor was a sess.run loop
+    with a single save at the end [TF1-IDIOM, SURVEY.md §3.2].
+
+    ``rows``: restrict to a [lo, hi) record range — embeddings land at
+    file offsets ``lo..hi`` of the FULL-length output, so disjoint
+    ranges run sequentially (or from distinct jobs on a shared
+    filesystem, one at a time) fill one file. An existing output is
+    never silently recreated: incompatible shape/dtype raises, and a
+    sidecar from a different range just means this range starts from
+    its own beginning.
+
+    Returns the finished array (memmap, read mode).
+    """
+    import json
+    import os
+
+    n_total = source.index.count
+    row_lo, row_hi = rows if rows is not None else (0, n_total)
+    if not 0 <= row_lo < row_hi <= n_total:
+        raise ValueError(f"rows [{row_lo}, {row_hi}) out of range for "
+                         f"a {n_total}-record shard")
+    if not output_path.endswith(".npy"):
+        raise ValueError("resumable extraction writes .npy (the memmap "
+                         f"format); got {output_path!r}")
+    chunk_rows = chunk_rows or 64 * batch
+    # align chunks to the batch grid so resume never re-pads a batch
+    # the jitted program hasn't seen (ragged tails recompile)
+    chunk_rows = max(batch, chunk_rows - chunk_rows % batch)
+
+    sidecar = output_path + ".progress.json"
+    meta = {"total_rows": n_total, "rows": [row_lo, row_hi],
+            "chunk_rows": chunk_rows, "batch": batch}
+    done_chunks: set[int] = set()
+    out = None
+    if os.path.exists(output_path):
+        # Never silently clobber: an existing output is either this
+        # extraction's earlier progress (possibly a DIFFERENT row range
+        # of the same corpus — sequential range jobs share one file) or
+        # the wrong file, which the caller must delete explicitly.
+        out = np.lib.format.open_memmap(output_path, mode="r+")
+        if (out.ndim != 2 or out.shape[0] != n_total
+                or out.dtype != np.float32):
+            raise ValueError(
+                f"{output_path} exists with shape {out.shape} "
+                f"{out.dtype}, incompatible with this {n_total}-row "
+                "extraction; delete it to start over")
+        if os.path.exists(sidecar):
+            try:
+                with open(sidecar) as f:
+                    prev = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                prev = None
+            if prev and all(prev.get(k) == v for k, v in meta.items()):
+                done_chunks = set(prev.get("done", []))
+            # else: sidecar belongs to another range/config — this
+            # range simply starts from scratch (rows outside it are
+            # untouched either way)
+
+    def _save_sidecar():
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({**meta, "done": sorted(done_chunks)}, f)
+        os.replace(tmp, sidecar)
+
+    if loader == "dct_domain":
+        if getattr(net, "stem", None) != "dct":
+            raise ValueError("loader='dct_domain' requires a stem='dct' "
+                             "backbone (e.g. dct_resnet_50)")
+        crop_from = crop_from or image_size
+    fn = extract_fn or make_extract_fn(net, donate=False)
+    chunks = list(range(row_lo, row_hi, chunk_rows))
+    done_rows = sum(min(c + chunk_rows, row_hi) - c
+                    for c in chunks if c in done_chunks)
+    for clo in chunks:
+        chi = min(clo + chunk_rows, row_hi)
+        if clo in done_chunks:
+            continue
+        embs = []
+        for x in _standardized_batches(
+                source, image_size=image_size, crop_from=crop_from,
+                batch=batch, num_threads=num_threads, loader=loader,
+                rows=(clo, chi)):
+            embs.append(fn(variables, x))
+        chunk = np.concatenate([np.asarray(e, np.float32)
+                                for e in embs])
+        if out is None:
+            out = np.lib.format.open_memmap(
+                output_path, mode="w+", dtype=np.float32,
+                shape=(n_total, chunk.shape[1]))
+        if chunk.shape[1] != out.shape[1]:
+            raise ValueError(
+                f"embedding dim {chunk.shape[1]} vs existing "
+                f"{output_path} dim {out.shape[1]}; delete the file "
+                "if the model changed")
+        out[clo:chi] = chunk
+        out.flush()
+        done_chunks.add(clo)
+        _save_sidecar()
+        done_rows += chi - clo
+        if progress is not None:
+            progress(done_rows, row_hi - row_lo)
+    if out is None:  # everything was already done, file validated above
+        out = np.lib.format.open_memmap(output_path, mode="r+")
+    if rows is None or (row_lo, row_hi) == (0, n_total):
+        os.remove(sidecar)  # complete: no resume state to keep
+    return np.lib.format.open_memmap(output_path, mode="r")
 
 
 def _standardized_batches(source, *, image_size: int, crop_from: int = 0,
                           batch: int = 256, num_threads: int = 4,
-                          limit_batches: int = 0, loader: str = "auto"):
+                          limit_batches: int = 0, loader: str = "auto",
+                          rows: tuple[int, int] | None = None):
     """Yield the eval-chain standardized image batches of a shard
-    (decode → resize to crop_from → center crop → standardize)."""
+    (decode → resize to crop_from → center crop → standardize).
+
+    ``rows``: half-open [lo, hi) record range — the unit of work for
+    resumable/multi-job extraction. Default: the whole shard.
+    """
     from tf_face_toolbox_tpu.ops.preprocess import preprocess_eval
 
     crop_from = crop_from or image_size + 8
@@ -169,8 +304,12 @@ def _standardized_batches(source, *, image_size: int, crop_from: int = 0,
         from tf_face_toolbox_tpu.data.native import native_available
         loader = "native" if native_available() else "python"
     n = source.index.count
-    windows = [list(range(lo, min(lo + batch, n)))
-               for lo in range(0, n, batch)]
+    row_lo, row_hi = rows if rows is not None else (0, n)
+    if not 0 <= row_lo <= row_hi <= n:
+        raise ValueError(f"rows [{row_lo}, {row_hi}) out of range for "
+                         f"a {n}-record shard")
+    windows = [list(range(lo, min(lo + batch, row_hi)))
+               for lo in range(row_lo, row_hi, batch)]
     if limit_batches:
         windows = windows[:limit_batches]
 
