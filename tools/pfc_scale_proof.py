@@ -32,6 +32,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                            " --xla_force_host_platform_device_count=8"
+                           # 8 virtual devices on a small host serialize
+                           # onto few cores; at 20 GB of sharded state a
+                           # device thread can lag the all-gather
+                           # rendezvous past the 20s/40s defaults and XLA
+                           # aborts the run (rendezvous.cc). Generous
+                           # timeouts keep the memory proof alive.
+                           " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+                           " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
                            ).strip()
 
 import argparse
@@ -87,8 +95,31 @@ def main() -> None:
     w_gb = 4 * args.num_classes * args.dim / 2**30
 
     t0 = time.perf_counter()
-    state, net = create_train_state(cfg, jax.random.key(0), mesh,
-                                    net=_TinyBackbone(args.dim))
+    # Tool-local init shortcut: jax's threefry normal generates ~2-3
+    # GB/min on this 1-core host — 20.5 GB of classifier would spend
+    # half an hour on an init whose DISTRIBUTION is irrelevant to the
+    # memory proof (the step program is what's under test). numpy's
+    # generator fills the same leaf two orders of magnitude faster;
+    # small leaves (the backbone) keep the real init path.
+    orig_normal = jax.random.normal
+
+    def fast_normal(key, shape, dtype=jnp.float32, **kw):
+        if np.prod(shape) < 1e8:
+            return orig_normal(key, shape, dtype, **kw)
+        rng_np = np.random.default_rng(0)
+        out = np.empty(shape, np.float32)
+        step = max(1, int(1e8) // int(np.prod(shape[1:]) or 1))
+        for i in range(0, shape[0], step):
+            out[i:i + step] = rng_np.standard_normal(
+                out[i:i + step].shape, dtype=np.float32)
+        return jnp.asarray(out).astype(dtype)
+
+    jax.random.normal = fast_normal
+    try:
+        state, net = create_train_state(cfg, jax.random.key(0), mesh,
+                                        net=_TinyBackbone(args.dim))
+    finally:
+        jax.random.normal = orig_normal
     step_fn = make_train_step(net, cfg, mesh, state)
     print(f"init: {time.perf_counter() - t0:.1f}s  "
           f"(W = {w_gb:.1f} GB + momentum {w_gb:.1f} GB, "
