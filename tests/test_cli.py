@@ -90,6 +90,19 @@ def test_cli_pipeline(tmp_path):
     emb = np.load(emb_path)
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-4)
 
+    # --- resumable chunked extract (fingerprinted sidecar) ---------------
+    embc_path = str(tmp_path / "embc.npy")
+    out = _run(["tf_face_toolbox_tpu.cli.extract",
+                f"--checkpoint_dir={train_dir}", f"--data={shard}",
+                f"--output={embc_path}", "--network=resnet_tiny",
+                "--embedding_dim=16", "--image_size=12", "--batch=8",
+                "--nobf16", "--chunk_rows=16"])
+    assert "wrote rows [0:24) of the (24, 16) output" in out
+    np.testing.assert_allclose(np.load(embc_path), emb, rtol=1e-5)
+    import json as _json
+    side = _json.load(open(embc_path + ".progress.json"))
+    assert "w=" in side["fingerprint"]  # weight digest recorded
+
     # --- extract through the BN-folded serving engine -------------------
     embf_path = str(tmp_path / "embf.npy")
     out = _run(["tf_face_toolbox_tpu.cli.extract",

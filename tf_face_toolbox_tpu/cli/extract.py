@@ -69,10 +69,13 @@ flags.DEFINE_enum("loader", "auto",
                   "zero-decode coefficients straight into a stem=dct "
                   "backbone (shard recoded at image_size exactly)")
 flags.DEFINE_integer("chunk_rows", 0,
-                     "resumable bulk mode: write embeddings into a "
-                     "disk-backed .npy in chunks of this many rows, "
-                     "recording progress in <output>.progress.json — "
-                     "re-running after a crash skips finished chunks. "
+                     "resumable bulk mode (.npy output only): write "
+                     "embeddings into a disk-backed .npy in chunks of "
+                     "this many rows, recording progress in a "
+                     "<output>[.rows<lo>-<hi>].progress.json sidecar — "
+                     "re-running after a crash skips finished chunks "
+                     "(resume requires the same model + flags; the "
+                     "sidecar records a weight digest). "
                      "0 = classic one-shot write")
 flags.DEFINE_string("rows", "",
                     "extract only records [lo:hi) of the shard (e.g. "
@@ -89,6 +92,30 @@ flags.mark_flag_as_required("output")
 # Shared with cli.serve and train.finetune; lives in a flag-free module
 # so non-CLI code can use it without colliding absl namespaces.
 from tf_face_toolbox_tpu.pretrained import load_variables  # noqa: E402
+
+
+def _weights_fingerprint(variables, quant) -> str:
+    """Digest of the restored weights + serving config for the resume
+    sidecar: resuming a chunked extraction with a DIFFERENT checkpoint
+    (or quant mode / network shape) must recompute, not silently mix
+    two models' embeddings in one output file. Per-leaf float64 sums
+    are cheap (<1s for 25M params), deterministic, and change with any
+    weight update (a later training step, EMA vs raw, a port)."""
+    import hashlib
+
+    import numpy as np
+
+    leaves = []
+    for path, leaf in sorted(
+            jax.tree_util.tree_flatten_with_path(variables)[0],
+            key=lambda kv: str(kv[0])):
+        arr = np.asarray(jax.device_get(leaf))
+        leaves.append(f"{path}:{arr.shape}:{arr.dtype}:"
+                      f"{float(arr.astype(np.float64).sum()):.6e}")
+    digest = hashlib.sha1("|".join(leaves).encode()).hexdigest()[:16]
+    return (f"{FLAGS.network}/{FLAGS.stem}/{FLAGS.head}/"
+            f"dim={FLAGS.embedding_dim}/q={quant}/bf16={FLAGS.bf16}/"
+            f"w={digest}")
 
 
 def main(argv):
@@ -175,13 +202,23 @@ def main(argv):
     progress = lambda done, n: logging.info(  # noqa: E731
         "extracted %d / %d", done, n)
     if FLAGS.chunk_rows:
+        if not FLAGS.output.endswith(".npy"):
+            raise SystemExit(
+                "--chunk_rows writes a disk-backed .npy (the memmap "
+                f"format); --output={FLAGS.output!r} is not .npy — "
+                "drop --chunk_rows for .npz/.mat/.bin one-shot dumps")
         from tf_face_toolbox_tpu.extract import extract_shard_to_npy
         emb = extract_shard_to_npy(
             net, variables, source, FLAGS.output,
             image_size=FLAGS.image_size, crop_from=FLAGS.crop_from,
             batch=FLAGS.batch, chunk_rows=FLAGS.chunk_rows,
             extract_fn=extract_fn, loader=FLAGS.loader,
-            progress=progress, rows=rows)
+            progress=progress, rows=rows,
+            fingerprint=_weights_fingerprint(variables, quant))
+        lo, hi = rows if rows else (0, emb.shape[0])
+        # emb is the FULL-length memmap; say what this job computed.
+        print(f"wrote rows [{lo}:{hi}) of the {emb.shape} output "
+              f"{FLAGS.output}")
     else:
         emb = extract_shard(
             net, variables, source,
@@ -189,7 +226,7 @@ def main(argv):
             batch=FLAGS.batch, extract_fn=extract_fn,
             loader=FLAGS.loader, progress=progress, rows=rows)
         save_embeddings(FLAGS.output, emb)
-    print(f"wrote {emb.shape} embeddings to {FLAGS.output}")
+        print(f"wrote {emb.shape} embeddings to {FLAGS.output}")
 
 
 if __name__ == "__main__":

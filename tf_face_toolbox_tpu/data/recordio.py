@@ -75,12 +75,16 @@ def read_records(path: str) -> Iterator[bytes]:
                 if not parts:
                     raise ValueError(f"{path}: middle without start")
                 parts.append(data)
-            else:                       # 3 = end
+            elif cflag == 3:            # end
                 if not parts:
                     raise ValueError(f"{path}: end without start")
                 parts.append(data)
                 yield b"".join(parts)
                 parts = []
+            else:                       # cflag is 3 bits; 4..7 unused
+                raise ValueError(
+                    f"{path}: unknown RecordIO cflag {cflag} "
+                    "(corrupt or not an MXNet .rec file)")
 
 
 def unpack_record(payload: bytes) -> tuple[np.ndarray, bytes]:
@@ -114,6 +118,7 @@ def convert_rec_to_faceshard(rec_path: str, out_path: str, *,
     from tf_face_toolbox_tpu.data.format import ShardWriter
 
     mapping: dict[int, int] = {}
+    seen: set[int] = set()  # relabel=False: count only, no dead mapping
     n = 0
     with ShardWriter(out_path) as w:
         for payload in read_records(rec_path):
@@ -125,13 +130,14 @@ def convert_rec_to_faceshard(rec_path: str, out_path: str, *,
                 label = mapping.setdefault(ident, len(mapping))
             else:
                 label = ident
-                mapping.setdefault(ident, ident)
+                seen.add(ident)
             w.add(content, label)
             n += 1
             if log_every and log and n % log_every == 0:
-                log("imported %d images (%d identities)", n, len(mapping))
+                log("imported %d images (%d identities)", n,
+                    len(mapping) if relabel else len(seen))
     if relabel:
         path = label_map_path or out_path + ".labels.json"
         with open(path, "w") as f:
             json.dump({str(k): v for k, v in mapping.items()}, f)
-    return n, len(mapping)
+    return n, len(mapping) if relabel else len(seen)

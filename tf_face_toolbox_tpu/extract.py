@@ -162,6 +162,7 @@ def extract_shard_to_npy(net, variables, source, output_path: str, *,
                          extract_fn: Callable | None = None,
                          progress: Callable[[int, int], None] | None = None,
                          rows: tuple[int, int] | None = None,
+                         fingerprint: str = "",
                          ) -> np.ndarray:
     """Resumable bulk extraction with O(chunk) host memory.
 
@@ -171,11 +172,15 @@ def extract_shard_to_npy(net, variables, source, output_path: str, *,
     straight into a disk-backed ``.npy`` (``np.lib.format`` memmap, so
     the finished file is a perfectly ordinary numpy array) in
     ``chunk_rows``-sized chunks, recording completed chunks in a
-    ``<output>.progress.json`` sidecar after each flush. Re-running the
-    same command after a crash/preemption skips finished chunks and
-    recomputes at most one chunk; the sidecar is deleted on completion.
-    The reference had no equivalent — its extractor was a sess.run loop
-    with a single save at the end [TF1-IDIOM, SURVEY.md §3.2].
+    ``<output>.progress.json`` sidecar after each flush (partial-range
+    jobs get their own ``<output>.rows<lo>-<hi>.progress.json``, so
+    concurrent-era range jobs never clobber each other's resume state).
+    Re-running the same command after a crash/preemption skips finished
+    chunks and recomputes at most one chunk; the sidecar is KEPT on
+    completion, so an idempotent retry of an already-finished job
+    recomputes nothing. The reference had no equivalent — its extractor
+    was a sess.run loop with a single save at the end [TF1-IDIOM,
+    SURVEY.md §3.2].
 
     ``rows``: restrict to a [lo, hi) record range — embeddings land at
     file offsets ``lo..hi`` of the FULL-length output, so disjoint
@@ -184,6 +189,13 @@ def extract_shard_to_npy(net, variables, source, output_path: str, *,
     never silently recreated: incompatible shape/dtype raises, and a
     sidecar from a different range just means this range starts from
     its own beginning.
+
+    ``fingerprint``: caller-supplied model/config identity string,
+    recorded in the sidecar. A resumed run whose fingerprint differs
+    (different checkpoint, quant mode, preprocessing...) discards the
+    previous progress and recomputes its whole range instead of
+    silently mixing embeddings from two models in one file
+    (``cli.extract`` passes a digest of the restored weights).
 
     Returns the finished array (memmap, read mode).
     """
@@ -203,9 +215,26 @@ def extract_shard_to_npy(net, variables, source, output_path: str, *,
     # the jitted program hasn't seen (ragged tails recompile)
     chunk_rows = max(batch, chunk_rows - chunk_rows % batch)
 
-    sidecar = output_path + ".progress.json"
+    if loader == "dct_domain":
+        if getattr(net, "stem", None) != "dct":
+            raise ValueError("loader='dct_domain' requires a stem='dct' "
+                             "backbone (e.g. dct_resnet_50)")
+        crop_from = crop_from or image_size
+
+    # Partial ranges get range-scoped sidecars: two sharded jobs over
+    # the same output must not overwrite each other's resume state.
+    full_range = (row_lo, row_hi) == (0, n_total)
+    sidecar = output_path + ("" if full_range
+                             else f".rows{row_lo}-{row_hi}") \
+        + ".progress.json"
+    # The meta block is the resume contract: progress is only reused
+    # when EVERY field matches, including the model/preprocess identity
+    # (fingerprint) — otherwise a resumed run would silently mix
+    # embeddings from two different models/configs in one output.
     meta = {"total_rows": n_total, "rows": [row_lo, row_hi],
-            "chunk_rows": chunk_rows, "batch": batch}
+            "chunk_rows": chunk_rows, "batch": batch,
+            "image_size": image_size, "crop_from": crop_from,
+            "loader": loader, "fingerprint": fingerprint}
     done_chunks: set[int] = set()
     out = None
     if os.path.exists(output_path):
@@ -238,11 +267,6 @@ def extract_shard_to_npy(net, variables, source, output_path: str, *,
             json.dump({**meta, "done": sorted(done_chunks)}, f)
         os.replace(tmp, sidecar)
 
-    if loader == "dct_domain":
-        if getattr(net, "stem", None) != "dct":
-            raise ValueError("loader='dct_domain' requires a stem='dct' "
-                             "backbone (e.g. dct_resnet_50)")
-        crop_from = crop_from or image_size
     fn = extract_fn or make_extract_fn(net, donate=False)
     chunks = list(range(row_lo, row_hi, chunk_rows))
     done_rows = sum(min(c + chunk_rows, row_hi) - c
@@ -277,8 +301,10 @@ def extract_shard_to_npy(net, variables, source, output_path: str, *,
             progress(done_rows, row_hi - row_lo)
     if out is None:  # everything was already done, file validated above
         out = np.lib.format.open_memmap(output_path, mode="r+")
-    if rows is None or (row_lo, row_hi) == (0, n_total):
-        os.remove(sidecar)  # complete: no resume state to keep
+    # The sidecar is kept on completion (all chunks recorded done): an
+    # idempotent retry of a finished job — common after a scheduler
+    # loses a node's "succeeded" status — must skip straight through,
+    # not re-extract the corpus. It is a few hundred bytes.
     return np.lib.format.open_memmap(output_path, mode="r")
 
 
