@@ -32,6 +32,12 @@ jax.config.update("jax_compilation_cache_dir",
                                ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# TFFT_PLATFORM=cpu: smoke a bench config off-TPU before paying a cold
+# tunnel compile (JAX_PLATFORMS is unreliable on this image — a site
+# hook clears it; the CLIs honor the same variable via setup_platform).
+if os.environ.get("TFFT_PLATFORM") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 BASELINE_FACES_PER_SEC = 10_000.0
 
 

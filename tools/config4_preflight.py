@@ -97,6 +97,15 @@ def main() -> None:
     p.add_argument("--eval_every", type=int, default=250)
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--noise", type=float, default=2.0)
+    p.add_argument("--base_lr", type=float, default=0.1)
+    p.add_argument("--qat", action="store_true",
+                   help="train with fake-quant (quantized='qat'): the "
+                        "PTQ remedy for stems whose trained weights "
+                        "fall under the 0.999 cosine gate. Typical use: "
+                        "copy a finished fp train_dir, rerun with "
+                        "--qat --steps <old+300> --base_lr 0.001 — the "
+                        "resume path turns it into a QAT fine-tune, "
+                        "then the same gates run on the QAT weights.")
     args = p.parse_args()
 
     size, crop_from = 112, 120
@@ -105,9 +114,10 @@ def main() -> None:
         num_classes=args.num_ids, image_size=size,
         global_batch=args.batch, dtype=jnp.bfloat16,
         augment=True, crop_from=crop_from,
-        base_lr=0.1, warmup_steps=100,
+        base_lr=args.base_lr, warmup_steps=100,
         lr_boundaries=(int(args.steps * 0.6), int(args.steps * 0.85)),
-        margin_scale=32.0, margin_m3=0.2, weight_decay=5e-4)
+        margin_scale=32.0, margin_m3=0.2, weight_decay=5e-4,
+        quantized="qat" if args.qat else False)
 
     print(f"# templates: {args.num_ids} ids at {crop_from}²", flush=True)
     templates = make_templates(args.num_ids, crop_from)
@@ -124,6 +134,16 @@ def main() -> None:
     step_fn = make_train_step(net, cfg, mesh, state)
     mgr = CheckpointManager(args.train_dir, save_every=args.save_every)
     logger = MetricLogger(args.train_dir, batch_size=args.batch)
+    start = 0
+    if mgr.tree_metadata() is not None:
+        # Preemption rehearsal: a killed run restarts with the same
+        # command and continues from the last flushed checkpoint (the
+        # same restore path cli.train uses; bit-exact resume is pinned
+        # by tests/test_train.py on the CPU mesh).
+        state = mgr.restore(state)
+        start = int(jax.device_get(state.step))
+        print(f"# resumed from {args.train_dir} at step {start}",
+              flush=True)
 
     if args.data == "pool":
         print(f"# staging {args.pool} x b{args.batch} batches on device "
@@ -191,14 +211,14 @@ def main() -> None:
 
     curve = []
     t0 = time.time()
-    for i in range(args.steps):
+    for i in range(start, args.steps):
         imgs, labels = next_batch(i)
         state, metrics = step_fn(state, imgs, labels)
         step = i + 1
         if step % 50 == 0 or step == args.steps:
             host = {k: float(v) for k, v in
                     jax.device_get(metrics).items()}
-            host["steps_per_sec"] = step / (time.time() - t0)
+            host["steps_per_sec"] = (step - start) / (time.time() - t0)
             logger.log(step, host)
             print(f"step {step}: loss={host['loss']:.4f} "
                   f"({host['steps_per_sec']:.2f} steps/s wall)",
@@ -245,7 +265,7 @@ def main() -> None:
     summary = {
         "network": args.network, "stem": args.stem,
         "steps": args.steps, "num_ids": args.num_ids,
-        "batch": args.batch,
+        "batch": args.batch, "qat": args.qat,
         "curve": curve,
         "final_verification_fp": curve[-1][1],
         "final_verification_int8": r8["accuracy_mean"],
