@@ -115,6 +115,18 @@ def test_cli_pipeline(tmp_path):
     cosf = (emb * embf).sum(1)
     assert cosf.min() >= 0.999, cosf  # fold is exact modulo f32 assoc
 
+    # --- data-parallel extract over the 8-device CPU mesh ---------------
+    # batch 10 over 24 records: the 4-row tail does not divide the mesh,
+    # exercising make_extract_fn's ragged pad through the CLI
+    embdp_path = str(tmp_path / "embdp.npy")
+    out = _run(["tf_face_toolbox_tpu.cli.extract",
+                f"--checkpoint_dir={train_dir}", f"--data={shard}",
+                f"--output={embdp_path}", "--network=resnet_tiny",
+                "--embedding_dim=16", "--image_size=12", "--batch=10",
+                "--nobf16", "--data_parallel"])
+    assert "wrote (24, 16)" in out
+    np.testing.assert_allclose(np.load(embdp_path), emb, atol=1e-4)
+
     # --- extract, static-int8 serving mode ------------------------------
     emb8_path = str(tmp_path / "emb8.npy")
     out = _run(["tf_face_toolbox_tpu.cli.extract",

@@ -118,6 +118,22 @@ def test_mesh_sharded_extraction_matches_single():
                                atol=2e-5)
 
 
+def test_mesh_sharded_extraction_pads_ragged_tail():
+    """A batch that does not divide by the data-axis size (a shard's
+    tail) is padded inside make_extract_fn and the pad rows dropped —
+    the CLI's --data_parallel path must not crash on the last batch."""
+    from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+    net, variables = _net_and_vars()
+    mesh = create_mesh()
+    assert mesh.devices.size > 1  # conftest's 8-device CPU mesh
+    x = jax.random.normal(jax.random.key(7), (5, 16, 16, 3))
+    single = make_extract_fn(net, donate=False)(variables, x)
+    sharded = make_extract_fn(net, donate=False, mesh=mesh)(variables, x)
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
+                               atol=2e-5)
+
+
 def test_embedding_file_formats_roundtrip(tmp_path):
     """save/load_embeddings route by extension: npy/npz/mat/bin — the
     reference-era feature-dump formats (SURVEY.md §3.2 '.npy/.mat/

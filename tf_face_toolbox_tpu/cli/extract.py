@@ -82,6 +82,13 @@ flags.DEFINE_string("rows", "",
                     "'0:1000000'); with --chunk_rows the rows land at "
                     "their true offsets in a full-length output, so "
                     "disjoint ranges can be sharded across jobs")
+flags.DEFINE_bool("data_parallel", False,
+                  "shard each extraction batch over ALL visible "
+                  "devices (data-axis mesh, params replicated) — "
+                  "multi-chip offline extraction from one process; "
+                  "ragged tail batches are padded transparently. "
+                  "Serves through net.apply (exclusive with "
+                  "--engine folded/fused)")
 flags.DEFINE_bool("bf16", True, "bfloat16 compute")
 flags.DEFINE_bool("use_ema", False,
                   "extract with the EMA weights (if trained with EMA)")
@@ -170,6 +177,19 @@ def main(argv):
             head_variant=FLAGS.head)
     extract_fn = None
     engine = FLAGS.engine
+    if FLAGS.data_parallel:
+        if engine in ("folded", "fused"):
+            raise SystemExit("--data_parallel shards net.apply over the "
+                             "device mesh; --engine folded/fused is "
+                             "single-device — drop one of the two")
+        from tf_face_toolbox_tpu.extract import make_extract_fn
+        from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh()
+        logging.info("data-parallel extraction over %d devices",
+                     mesh.devices.size)
+        extract_fn = make_extract_fn(net, donate=False, mesh=mesh)
+        engine = "flax"
     if engine == "auto":
         engine = "flax" if quant else "folded"
     if engine != "flax":

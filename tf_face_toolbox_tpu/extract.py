@@ -57,8 +57,10 @@ def make_extract_fn(net, *, donate: bool = True, mesh=None) -> Callable:
 
     ``mesh``: shard extraction data-parallel over a device mesh — the
     batch splits over the ``data`` axis, params replicate, and XLA runs
-    each chip on its shard (multi-chip serving; the batch must divide by
-    the data-axis size).
+    each chip on its shard (multi-chip serving). A batch that does not
+    divide by the data-axis size is padded up to the next multiple (the
+    pad rows recompute the first face and are dropped before returning),
+    so a shard's ragged tail batch just works.
     """
     def _apply(variables, images):
         return net.apply(variables, images, train=False)
@@ -75,12 +77,27 @@ def make_extract_fn(net, *, donate: bool = True, mesh=None) -> Callable:
 
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
     replicated = NamedSharding(mesh, P())
-    return jax.jit(
+    jitted = jax.jit(
         _extract,
         in_shardings=(replicated, batch_sharding),
         out_shardings=batch_sharding,
         donate_argnums=donate_argnums,
     )
+    n_data = mesh.shape[DATA_AXIS]
+    if n_data == 1:
+        return jitted
+
+    def _padded(variables, images):
+        n = images.shape[0]
+        rem = -n % n_data
+        if rem:
+            images = jnp.concatenate(
+                [images, jnp.broadcast_to(images[:1],
+                                          (rem,) + images.shape[1:])])
+        out = jitted(variables, images)
+        return out[:n] if rem else out
+
+    return _padded
 
 
 def extract_shard(net, variables, source, *, image_size: int,
