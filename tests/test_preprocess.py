@@ -110,3 +110,21 @@ def test_eval_chain_deterministic():
     a = np.asarray(pp.preprocess_eval(imgs, 12, 12))
     b = np.asarray(pp.preprocess_eval(imgs, 12, 12))
     np.testing.assert_array_equal(a, b)
+
+
+def test_fixed_standardization_affine():
+    """InsightFace fixed norm: (x - 127.5) / 127.5 exactly (imported
+    torch checkpoints' training convention; interop/torch_iresnet)."""
+    x = jnp.asarray([[[[0.0, 127.5, 255.0]]]])
+    np.testing.assert_allclose(
+        np.asarray(pp.fixed_standardization(x)), [[[[-1.0, 0.0, 1.0]]]])
+    imgs = jnp.asarray(_rand_u8((3, 16, 16, 3), seed=10))
+    fixed = pp.preprocess_eval(imgs, 12, 12, "fixed")
+    per_img = pp.preprocess_eval(imgs, 12, 12)
+    # same crop, different normalization; fixed is the exact affine
+    crop = np.asarray(pp.crop_at(
+        imgs, pp.center_offsets(3, 16, 16, 12, 12), 12, 12),
+        dtype=np.float32)
+    np.testing.assert_allclose(np.asarray(fixed), (crop - 127.5) / 127.5,
+                               rtol=1e-6)
+    assert not np.allclose(np.asarray(fixed), np.asarray(per_img))

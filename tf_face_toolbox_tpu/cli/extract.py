@@ -82,6 +82,13 @@ flags.DEFINE_string("rows", "",
                     "'0:1000000'); with --chunk_rows the rows land at "
                     "their true offsets in a full-length output, so "
                     "disjoint ranges can be sharded across jobs")
+flags.DEFINE_enum("input_norm", "per_image", ["per_image", "fixed"],
+                  "input standardization: per_image = the reference's "
+                  "tf.image chain; fixed = (x-127.5)/127.5, what "
+                  "InsightFace-ecosystem checkpoints (cli.import_torch, "
+                  "iresnet_*) were trained with — serving an imported "
+                  "model with the wrong norm silently destroys its "
+                  "accuracy")
 flags.DEFINE_bool("data_parallel", False,
                   "shard each extraction batch over ALL visible "
                   "devices (data-axis mesh, params replicated) — "
@@ -122,7 +129,7 @@ def _weights_fingerprint(variables, quant) -> str:
     digest = hashlib.sha1("|".join(leaves).encode()).hexdigest()[:16]
     return (f"{FLAGS.network}/{FLAGS.stem}/{FLAGS.head}/"
             f"dim={FLAGS.embedding_dim}/q={quant}/bf16={FLAGS.bf16}/"
-            f"w={digest}")
+            f"norm={FLAGS.input_norm}/w={digest}")
 
 
 def main(argv):
@@ -173,8 +180,8 @@ def main(argv):
             batch=min(FLAGS.batch, 128),
             num_batches=FLAGS.calibrate_batches,
             embedding_dim=FLAGS.embedding_dim, dtype=dtype,
-            loader=FLAGS.loader, stem=FLAGS.stem,
-            head_variant=FLAGS.head)
+            loader=FLAGS.loader, norm=FLAGS.input_norm,
+            stem=FLAGS.stem, head_variant=FLAGS.head)
     extract_fn = None
     engine = FLAGS.engine
     if FLAGS.data_parallel:
@@ -233,7 +240,7 @@ def main(argv):
             image_size=FLAGS.image_size, crop_from=FLAGS.crop_from,
             batch=FLAGS.batch, chunk_rows=FLAGS.chunk_rows,
             extract_fn=extract_fn, loader=FLAGS.loader,
-            progress=progress, rows=rows,
+            norm=FLAGS.input_norm, progress=progress, rows=rows,
             fingerprint=_weights_fingerprint(variables, quant))
         lo, hi = rows if rows else (0, emb.shape[0])
         # emb is the FULL-length memmap; say what this job computed.
@@ -244,7 +251,8 @@ def main(argv):
             net, variables, source,
             image_size=FLAGS.image_size, crop_from=FLAGS.crop_from,
             batch=FLAGS.batch, extract_fn=extract_fn,
-            loader=FLAGS.loader, progress=progress, rows=rows)
+            loader=FLAGS.loader, norm=FLAGS.input_norm,
+            progress=progress, rows=rows)
         save_embeddings(FLAGS.output, emb)
         print(f"wrote {emb.shape} embeddings to {FLAGS.output}")
 

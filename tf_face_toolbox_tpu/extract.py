@@ -103,6 +103,7 @@ def make_extract_fn(net, *, donate: bool = True, mesh=None) -> Callable:
 def extract_shard(net, variables, source, *, image_size: int,
                   crop_from: int = 0, batch: int = 256,
                   num_threads: int = 4, loader: str = "auto",
+                  norm: str = "per_image",
                   extract_fn: Callable | None = None,
                   progress: Callable[[int, int], None] | None = None,
                   rows: tuple[int, int] | None = None,
@@ -154,7 +155,7 @@ def extract_shard(net, variables, source, *, image_size: int,
     for x in _standardized_batches(source, image_size=image_size,
                                    crop_from=crop_from, batch=batch,
                                    num_threads=num_threads,
-                                   loader=loader, rows=rows):
+                                   loader=loader, norm=norm, rows=rows):
         out = fn(variables, x)
         if pending is not None:
             outs.append(np.asarray(pending))
@@ -176,6 +177,7 @@ def extract_shard_to_npy(net, variables, source, output_path: str, *,
                          image_size: int, crop_from: int = 0,
                          batch: int = 256, chunk_rows: int = 0,
                          num_threads: int = 4, loader: str = "auto",
+                         norm: str = "per_image",
                          extract_fn: Callable | None = None,
                          progress: Callable[[int, int], None] | None = None,
                          rows: tuple[int, int] | None = None,
@@ -251,7 +253,7 @@ def extract_shard_to_npy(net, variables, source, output_path: str, *,
     meta = {"total_rows": n_total, "rows": [row_lo, row_hi],
             "chunk_rows": chunk_rows, "batch": batch,
             "image_size": image_size, "crop_from": crop_from,
-            "loader": loader, "fingerprint": fingerprint}
+            "loader": loader, "norm": norm, "fingerprint": fingerprint}
     done_chunks: set[int] = set()
     out = None
     if os.path.exists(output_path):
@@ -296,7 +298,7 @@ def extract_shard_to_npy(net, variables, source, output_path: str, *,
         for x in _standardized_batches(
                 source, image_size=image_size, crop_from=crop_from,
                 batch=batch, num_threads=num_threads, loader=loader,
-                rows=(clo, chi)):
+                norm=norm, rows=(clo, chi)):
             embs.append(fn(variables, x))
         chunk = np.concatenate([np.asarray(e, np.float32)
                                 for e in embs])
@@ -328,12 +330,19 @@ def extract_shard_to_npy(net, variables, source, output_path: str, *,
 def _standardized_batches(source, *, image_size: int, crop_from: int = 0,
                           batch: int = 256, num_threads: int = 4,
                           limit_batches: int = 0, loader: str = "auto",
+                          norm: str = "per_image",
                           rows: tuple[int, int] | None = None):
     """Yield the eval-chain standardized image batches of a shard
     (decode → resize to crop_from → center crop → standardize).
 
     ``rows``: half-open [lo, hi) record range — the unit of work for
     resumable/multi-job extraction. Default: the whole shard.
+
+    ``norm``: "per_image" (reference tf.image semantics) or "fixed"
+    ((x-127.5)/127.5 — imported InsightFace-ecosystem checkpoints,
+    ops.preprocess.fixed_standardization). Pixel loaders only; the
+    dct_domain path bakes per-image standardization into its
+    frequency-domain prepare step.
     """
     from tf_face_toolbox_tpu.ops.preprocess import preprocess_eval
 
@@ -357,6 +366,11 @@ def _standardized_batches(source, *, image_size: int, crop_from: int = 0,
         windows = windows[:limit_batches]
 
     if loader == "dct_domain":
+        if norm != "per_image":
+            raise ValueError(
+                "loader='dct_domain' standardizes in the frequency "
+                "domain (per-image only); fixed-norm imported models "
+                "use a pixel loader")
         if crop_from != image_size:
             raise ValueError(
                 f"loader='dct_domain' needs crop_from == image_size "
@@ -400,7 +414,8 @@ def _standardized_batches(source, *, image_size: int, crop_from: int = 0,
                 else:
                     u8 = jnp.asarray(
                         reader.decode_batch(ids, crop_from, crop_from))
-                yield preprocess_eval(u8, image_size, image_size)
+                yield preprocess_eval(u8, image_size, image_size,
+                                      norm)
         finally:
             reader.close()
         return
@@ -417,7 +432,7 @@ def _standardized_batches(source, *, image_size: int, crop_from: int = 0,
                            for i in ids]
             images = np.stack([r[0] for r in records])
             yield preprocess_eval(jnp.asarray(images), image_size,
-                                  image_size)
+                                  image_size, norm)
     finally:
         if pool is not None:
             pool.close()
@@ -427,6 +442,7 @@ def calibrate_on_shard(network: str, variables, source, *,
                        image_size: int, crop_from: int = 0,
                        batch: int = 128, num_batches: int = 4,
                        embedding_dim: int = 512, loader: str = "auto",
+                       norm: str = "per_image",
                        dtype=jnp.float32, **net_kwargs):
     """Static-int8 calibration over the first ``num_batches`` batches of
     an eval shard (the serving distribution). Returns ``variables`` with
@@ -435,7 +451,7 @@ def calibrate_on_shard(network: str, variables, source, *,
 
     batches = _standardized_batches(
         source, image_size=image_size, crop_from=crop_from, batch=batch,
-        limit_batches=num_batches, loader=loader)
+        limit_batches=num_batches, loader=loader, norm=norm)
     return calibrate_quant_stats(network, variables, batches,
                                  embedding_dim=embedding_dim,
                                  dtype=dtype, **net_kwargs)

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from tf_face_toolbox_tpu.models.densenet import DenseNet
+from tf_face_toolbox_tpu.models.iresnet import IResNet
 from tf_face_toolbox_tpu.models.resnet import ResNet
 
 # name → (module class, fixed kwargs)
@@ -54,6 +55,20 @@ _REGISTRY: dict[str, tuple[type, dict[str, Any]]] = {
     "dct_resnet_50": (ResNet, dict(stage_sizes=(3, 6, 3),
                                    stage_widths=(128, 256, 512),
                                    stem="dct")),
+    # iResNet family (beyond the reference: the InsightFace/ArcFace-era
+    # BasicBlock+PReLU architecture most published face checkpoints use;
+    # import trained torch state_dicts via cli.import_torch and serve
+    # with --input_norm=fixed). stem/head pinned: structural.
+    "iresnet_18": (IResNet, dict(stage_sizes=(2, 2, 2, 2),
+                                 stem="face", head_variant="flatten")),
+    "iresnet_50": (IResNet, dict(stage_sizes=(3, 4, 14, 3),
+                                 stem="face", head_variant="flatten")),
+    "iresnet_100": (IResNet, dict(stage_sizes=(3, 13, 30, 3),
+                                  stem="face", head_variant="flatten")),
+    # Tiny iresnet for smoke tests / the import-CLI test.
+    "iresnet_tiny": (IResNet, dict(stage_sizes=(1, 1),
+                                   stage_widths=(8, 16),
+                                   stem="face", head_variant="flatten")),
     # DenseNet family (ref: upstream nets/densenet.py [UPSTREAM-K])
     "densenet_121": (DenseNet, dict(stage_sizes=(6, 12, 24, 16))),
     "densenet_169": (DenseNet, dict(stage_sizes=(6, 12, 32, 32))),
@@ -80,15 +95,19 @@ def create_network(name: str, *, embedding_dim: int = 512,
         raise ValueError(
             f"unknown network '{name}'; available: {list_networks()}")
     cls, kwargs = _REGISTRY[name]
-    # A stem pinned in the registry is structural (dct_resnet_50 only
-    # works in the frequency domain); CLIs pass their --stem default
+    # A stem/head pinned in the registry is structural (dct_resnet_50
+    # only works in the frequency domain; iresnet IS a face-stem
+    # flatten-head net); CLIs pass their --stem/--head defaults
     # unconditionally, so the pin wins over a conflicting override.
-    if "stem" in kwargs and overrides.get("stem", kwargs["stem"]) \
-            != kwargs["stem"]:
-        from absl import logging
-        logging.warning("network %s pins stem=%s; ignoring stem=%s",
-                        name, kwargs["stem"], overrides["stem"])
-        overrides = {k: v for k, v in overrides.items() if k != "stem"}
+    for pinned in ("stem", "head_variant"):
+        if pinned in kwargs and overrides.get(
+                pinned, kwargs[pinned]) != kwargs[pinned]:
+            from absl import logging
+            logging.warning("network %s pins %s=%s; ignoring %s=%s",
+                            name, pinned, kwargs[pinned], pinned,
+                            overrides[pinned])
+            overrides = {k: v for k, v in overrides.items()
+                         if k != pinned}
     merged = {**kwargs, **overrides,
               "embedding_dim": embedding_dim, "dtype": dtype}
     return cls(**merged)

@@ -60,6 +60,28 @@ def per_image_standardization(images: jax.Array) -> jax.Array:
     return (x - mean) / adjusted
 
 
+def fixed_standardization(images: jax.Array) -> jax.Array:
+    """InsightFace/arcface_torch input normalization:
+    ``(x/255 - 0.5) / 0.5 = (x - 127.5) / 127.5``.
+
+    Checkpoints imported from the torch face ecosystem
+    (cli.import_torch / models.iresnet) were trained with this fixed
+    affine, NOT the reference's per-image standardization — serving
+    them through the wrong one silently destroys their accuracy.
+    Select with ``norm="fixed"`` (extraction) / ``--input_norm=fixed``.
+    """
+    return (images.astype(jnp.float32) - 127.5) / 127.5
+
+
+def standardize(images: jax.Array, norm: str = "per_image") -> jax.Array:
+    """Dispatch on the standardization convention (see each fn)."""
+    if norm == "per_image":
+        return per_image_standardization(images)
+    if norm == "fixed":
+        return fixed_standardization(images)
+    raise ValueError(f"unknown norm {norm!r}; want per_image|fixed")
+
+
 def flip_left_right(images: jax.Array) -> jax.Array:
     """Deterministic horizontal flip (width axis of NHWC)."""
     return images[:, :, ::-1, :]
@@ -173,14 +195,18 @@ def preprocess_train(key: jax.Array, images_u8: jax.Array,
     return per_image_standardization(x)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def preprocess_eval(images_u8: jax.Array,
-                    crop_h: int, crop_w: int) -> jax.Array:
-    """Eval chain: center crop → standardize (no flip) [TF1-IDIOM]."""
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def preprocess_eval(images_u8: jax.Array, crop_h: int, crop_w: int,
+                    norm: str = "per_image") -> jax.Array:
+    """Eval chain: center crop → standardize (no flip) [TF1-IDIOM].
+
+    ``norm``: "per_image" (the reference's tf.image chain) or "fixed"
+    ((x-127.5)/127.5 — imported InsightFace-ecosystem checkpoints).
+    """
     n, h, w, _ = images_u8.shape
     offs = center_offsets(n, h, w, crop_h, crop_w)
     x = crop_at(images_u8, offs, crop_h, crop_w)
-    return per_image_standardization(x.astype(jnp.float32))
+    return standardize(x.astype(jnp.float32), norm)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
