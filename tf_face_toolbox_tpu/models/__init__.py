@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from tf_face_toolbox_tpu.models.densenet import DenseNet
 from tf_face_toolbox_tpu.models.iresnet import IResNet
+from tf_face_toolbox_tpu.models.mobilefacenet import MobileFaceNet
 from tf_face_toolbox_tpu.models.resnet import ResNet
 
 # name → (module class, fixed kwargs)
@@ -69,6 +70,20 @@ _REGISTRY: dict[str, tuple[type, dict[str, Any]]] = {
     "iresnet_tiny": (IResNet, dict(stage_sizes=(1, 1),
                                    stage_widths=(8, 16),
                                    stem="face", head_variant="flatten")),
+    # MobileFaceNet (beyond the reference: the standard lightweight
+    # face net — Chen et al. 2018; see models/mobilefacenet.py). The
+    # ×2-width variant is the common accuracy-recovering deployment.
+    # stem/head pinned: structural (paper stem + GDConv head).
+    "mobilefacenet": (MobileFaceNet, dict(stem="mobile",
+                                          head_variant="gdconv")),
+    "mobilefacenet_x2": (MobileFaceNet, dict(width_mult=2.0,
+                                             stem="mobile",
+                                             head_variant="gdconv")),
+    # Tiny variant for smoke tests (two stages, 32² inputs OK).
+    "mobilefacenet_tiny": (MobileFaceNet,
+                           dict(stages=((2, 16, 1, 2), (2, 16, 1, 2)),
+                                stem_width=8, head_width=32,
+                                stem="mobile", head_variant="gdconv")),
     # DenseNet family (ref: upstream nets/densenet.py [UPSTREAM-K])
     "densenet_121": (DenseNet, dict(stage_sizes=(6, 12, 24, 16))),
     "densenet_169": (DenseNet, dict(stage_sizes=(6, 12, 32, 32))),

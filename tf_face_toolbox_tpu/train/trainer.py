@@ -160,7 +160,8 @@ def create_train_state(cfg: TrainConfig, rng: jax.Array,
         kwargs = {}
         if cfg.network.startswith(("resnet", "se_resnet", "resnext",
                                    "se_resnext", "densenet",
-                                   "dct_resnet", "iresnet")):
+                                   "dct_resnet", "iresnet",
+                                   "mobilefacenet")):
             kwargs = dict(stem=cfg.stem, head_variant=cfg.head_variant,
                           dropout_rate=cfg.dropout_rate)
         if cfg.quantized:
