@@ -94,6 +94,25 @@ flags.DEFINE_bool("finetune_use_ema", False,
                   "warm-start from the source checkpoint's EMA weights")
 flags.DEFINE_float("ema_decay", 0.0,
                    "weight EMA decay (0 = off; reference-era 0.999/0.9999)")
+flags.DEFINE_string("distill_from", "",
+                    "embedding-space distillation teacher: a trained "
+                    "run's train_dir or an interop variables .npz. The "
+                    "student minimizes 1-cos against the frozen "
+                    "teacher's embeddings (same space ⇒ enrolled "
+                    "galleries keep working), mixed with the margin "
+                    "loss by --distill_alpha")
+flags.DEFINE_string("distill_network", "resnet_v1_50",
+                    "teacher backbone name")
+flags.DEFINE_enum("distill_stem", "face",
+                  ["face", "imagenet", "space2depth"], "teacher stem")
+flags.DEFINE_enum("distill_head", "gap", ["gap", "flatten"],
+                  "teacher embedding head")
+flags.DEFINE_float("distill_alpha", 1.0,
+                   "distillation weight: 1.0 = pure embedding "
+                   "distillation (labels unused), <1 mixes in "
+                   "(1-alpha) x margin softmax")
+flags.DEFINE_bool("distill_use_ema", False,
+                  "distill from the teacher checkpoint's EMA weights")
 flags.DEFINE_bool("pallas_input", False,
                   "fused Pallas augmentation kernel (TPU)")
 flags.DEFINE_bool("qat", False,
@@ -154,7 +173,32 @@ def build_config(num_classes: int) -> "TrainConfig":
         pfc_sample_rate=FLAGS.pfc_sample_rate,
         pallas_input=FLAGS.pallas_input,
         quantized="qat" if FLAGS.qat else False,
+        distill_alpha=FLAGS.distill_alpha,
     )
+
+
+def build_teacher(cfg):
+    """Load the frozen distillation teacher (net, variables) or None."""
+    if not FLAGS.distill_from:
+        return None
+    from tf_face_toolbox_tpu.models import create_network
+    from tf_face_toolbox_tpu.train.finetune import (
+        load_pretrained_variables)
+
+    net = create_network(FLAGS.distill_network,
+                         embedding_dim=cfg.embedding_dim,
+                         dtype=cfg.dtype, stem=FLAGS.distill_stem,
+                         head_variant=FLAGS.distill_head)
+    variables = load_pretrained_variables(
+        FLAGS.distill_from, use_ema=FLAGS.distill_use_ema)
+    missing = [k for k in ("params", "batch_stats") if k not in variables]
+    if missing:
+        raise SystemExit(f"--distill_from source lacks {missing}")
+    logging.info("distillation teacher: %s from %s (alpha=%.2f)",
+                 FLAGS.distill_network, FLAGS.distill_from,
+                 FLAGS.distill_alpha)
+    return net, {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
 
 
 def build_eval_fn(cfg):
@@ -350,6 +394,7 @@ def main(argv):
         input_format="dct" if FLAGS.loader == "native_dct" else "u8",
         should_stop=stop.is_set,
         warm_start=warm_start,
+        teacher=build_teacher(cfg),
     )
     if result.last_metrics.get("preempted"):
         step = int(jax.device_get(result.state.step))

@@ -45,7 +45,8 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
                eval_every: int = 0,
                input_format: str = "u8",
                should_stop=None,
-               warm_start=None) -> LoopResult:
+               warm_start=None,
+               teacher=None) -> LoopResult:
     """Run (or resume) training for ``num_steps`` total steps.
 
     Resume semantics match the reference's Saver/latest_checkpoint
@@ -58,6 +59,9 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
     (train.finetune), applied ONLY when the run starts fresh — a
     checkpoint in ``train_dir`` always wins, so a preempted fine-tune
     run resumes its own progress instead of re-grafting the source.
+
+    ``teacher``: optional ``(teacher_net, teacher_variables)`` for
+    embedding-space distillation (see make_train_step).
     """
     state, net = create_train_state(cfg, jax.random.key(rng_seed), mesh,
                                     net=net)
@@ -85,7 +89,8 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
     if warm_start is not None and not resumed:
         state = warm_start(state)
     step_fn = make_train_step(net, cfg, mesh, state,
-                              input_format=input_format)
+                              input_format=input_format,
+                              teacher=teacher)
     logger = logger or MetricLogger(train_dir,
                                     batch_size=cfg.global_batch)
 

@@ -34,6 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from tf_face_toolbox_tpu.models import create_network, init_variables
+from tf_face_toolbox_tpu.models.layers import l2_normalize as _l2n
 from tf_face_toolbox_tpu.ops import preprocess as pp
 from tf_face_toolbox_tpu.ops.losses import MarginConfig
 from tf_face_toolbox_tpu.parallel import collectives
@@ -95,6 +96,14 @@ class TrainConfig:
     # convs + the inter-block stream onto the int8 grid (STE backward)
     # so static-int8 serving matches fp embeddings (models/layers.py).
     quantized: Any = False
+    # Embedding-space distillation (deploy-a-small-net workflow): with
+    # a teacher passed to make_train_step, the loss becomes
+    #   alpha · mean(1 − cos(student, stop_grad(teacher)))
+    #     + (1 − alpha) · margin_softmax
+    # Cosine distillation keeps the student IN the teacher's embedding
+    # space, so already-enrolled galleries need no re-extraction.
+    # alpha=1 is pure distillation (no labels/classifier needed).
+    distill_alpha: float = 1.0
 
     @property
     def margin(self) -> MarginConfig:
@@ -218,7 +227,8 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
                     state: TrainState, *,
-                    input_format: str = "u8") -> Callable:
+                    input_format: str = "u8",
+                    teacher: tuple[Any, Any] | None = None) -> Callable:
     """Build the jitted SPMD train step.
 
     Returns ``step_fn(state, images, labels) -> (state, metrics)`` where
@@ -230,11 +240,28 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
     tuple from ``native_dct_batch_iterator``; the step completes the
     JPEG decode on-device (ops/jpeg_tpu.decode_dct) before the augment
     chain, so the host only entropy-decodes (docs/design.md).
+
+    ``teacher``: ``(teacher_net, teacher_variables)`` switches the loss
+    to embedding-space distillation (weighted by ``cfg.distill_alpha``):
+    the frozen teacher forwards the SAME augmented views in eval mode
+    and the student minimizes 1 − cosine against it. The teacher tree
+    rides along as a replicated (non-donated) argument — it is
+    never updated.
     """
     if input_format == "dct" and not cfg.augment:
         raise ValueError(
             "input_format='dct' decodes to uint8 crop_from² frames — "
             "it requires the augment preprocessing chain (cfg.augment)")
+    distilling = teacher is not None
+    if distilling:
+        teacher_net, teacher_vars = teacher
+        alpha = float(cfg.distill_alpha)
+        if not 0.0 < alpha <= 1.0:
+            raise ValueError(
+                f"distill_alpha must be in (0, 1] with a teacher; "
+                f"got {alpha}")
+    else:
+        alpha = 0.0
     tx, sched = make_optimizer(cfg)
     margin = cfg.margin
     num_classes = cfg.num_classes
@@ -242,7 +269,7 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
     # Pallas compiles on TPU; CPU (tests) runs the interpreter.
     pallas_interpret = jax.default_backend() == "cpu"
 
-    def device_step(state: TrainState, images, labels):
+    def device_step(state: TrainState, images, labels, tvars):
         # Per-device, per-step RNG: fold step and device position into
         # the state key → reproducible augmentation independent of mesh.
         di = jax.lax.axis_index(DATA_AXIS)
@@ -289,40 +316,61 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
             updates = dict(updates)
             updates.setdefault("batch_stats", {})
             emb = emb.astype(jnp.float32)
-            # Partial-FC: gather the data-row's embeddings across the
-            # model axis so each class shard scores every sample.
-            emb_g = jax.lax.all_gather(emb, MODEL_AXIS, tiled=True)
-            lab_g = jax.lax.all_gather(labels, MODEL_AXIS, tiled=True)
-            if cfg.pfc_sample_rate < 1.0:
-                import math
-                c_local = classifier.shape[0]
-                budget = min(
-                    max(math.ceil(cfg.pfc_sample_rate * c_local),
-                        lab_g.shape[0]),
-                    c_local)
-                # one sampling key per STEP, shared across the model
-                # axis (fold step, not device — every shard of a data
-                # row must draw one coherent sample set)
-                pfc_key = jax.random.fold_in(step_rng, 0x9FC)
-                loss = sampled_sharded_margin_softmax_loss(
-                    emb_g, classifier, lab_g, margin, pfc_key, budget,
-                    axis_name=MODEL_AXIS, total_classes=num_classes)
-            else:
-                loss = sharded_margin_softmax_loss(
-                    emb_g, classifier, lab_g, margin,
-                    axis_name=MODEL_AXIS, total_classes=num_classes)
-            # ÷ model-axis size: every device in a data row computes the
-            # SAME row loss, and the collective transposes (all_gather →
-            # psum_scatter, psum → broadcast) accumulate all replicas'
-            # cotangents — so raw grads come out ∂(Σ_j L_row)/∂·
-            # = model_size × ∂L_row/∂·. Normalizing the loss here makes
-            # psum-over-model of the param grads exact and the classifier
-            # grad exact with no further scaling (verified against the
-            # single-device oracle in tests/test_parallel.py).
-            loss = loss / mesh.shape[MODEL_AXIS]
-            return loss, updates["batch_stats"]
+            total = jnp.float32(0.0)
+            parts = {}
+            if distilling:
+                # Frozen teacher on the SAME augmented views, eval mode.
+                # Local-shard mean; the ÷ model-size below makes the
+                # psum-over-model gradient exchange reconstruct the
+                # row mean exactly (same algebra as the margin path).
+                t_emb = jax.lax.stop_gradient(
+                    teacher_net.apply(tvars, x,
+                                      train=False).astype(jnp.float32))
+                cos = jnp.sum(_l2n(emb) * _l2n(t_emb), axis=-1)
+                parts["distill"] = jnp.mean(1.0 - cos)
+                total = total + alpha * parts["distill"] \
+                    / mesh.shape[MODEL_AXIS]
+            if not distilling or alpha < 1.0:
+                # Partial-FC: gather the data-row's embeddings across
+                # the model axis so each class shard scores every
+                # sample.
+                emb_g = jax.lax.all_gather(emb, MODEL_AXIS, tiled=True)
+                lab_g = jax.lax.all_gather(labels, MODEL_AXIS,
+                                           tiled=True)
+                if cfg.pfc_sample_rate < 1.0:
+                    import math
+                    c_local = classifier.shape[0]
+                    budget = min(
+                        max(math.ceil(cfg.pfc_sample_rate * c_local),
+                            lab_g.shape[0]),
+                        c_local)
+                    # one sampling key per STEP, shared across the model
+                    # axis (fold step, not device — every shard of a
+                    # data row must draw one coherent sample set)
+                    pfc_key = jax.random.fold_in(step_rng, 0x9FC)
+                    m_loss = sampled_sharded_margin_softmax_loss(
+                        emb_g, classifier, lab_g, margin, pfc_key,
+                        budget, axis_name=MODEL_AXIS,
+                        total_classes=num_classes)
+                else:
+                    m_loss = sharded_margin_softmax_loss(
+                        emb_g, classifier, lab_g, margin,
+                        axis_name=MODEL_AXIS, total_classes=num_classes)
+                parts["margin"] = m_loss
+                # ÷ model-axis size: every device in a data row computes
+                # the SAME row loss, and the collective transposes
+                # (all_gather → psum_scatter, psum → broadcast)
+                # accumulate all replicas' cotangents — so raw grads
+                # come out ∂(Σ_j L_row)/∂· = model_size × ∂L_row/∂·.
+                # Normalizing the loss here makes psum-over-model of the
+                # param grads exact and the classifier grad exact with
+                # no further scaling (verified against the single-device
+                # oracle in tests/test_parallel.py).
+                total = total + (1.0 - alpha) * m_loss \
+                    / mesh.shape[MODEL_AXIS]
+            return total, (updates["batch_stats"], parts)
 
-        (loss, new_bs), (g_params, g_cls) = jax.value_and_grad(
+        (loss, (new_bs, parts)), (g_params, g_cls) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(
                 state.params, state.classifier)
 
@@ -332,7 +380,15 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
         # one model column each: no model collective for g_cls).
         g_params = collectives.sync_gradients(g_params)
         g_cls = collectives.sync_classifier_gradients(g_cls)
-        loss = collectives.replicate_mean(loss) * mesh.shape[MODEL_AXIS]
+        # Metric means over the WHOLE mesh: the distill part is a local-
+        # shard mean (differs across model columns), the margin part is
+        # row-replicated — pmean over both axes is exact for both.
+        parts = jax.lax.pmean(parts, (DATA_AXIS, MODEL_AXIS))
+        if distilling:
+            loss = alpha * parts["distill"] + (
+                (1.0 - alpha) * parts["margin"] if alpha < 1.0 else 0.0)
+        else:
+            loss = parts["margin"]
         new_bs = collectives.sync_batch_stats(new_bs)
 
         grads = {"params": g_params, "classifier": g_cls}
@@ -367,19 +423,30 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
             "learning_rate": sched(state.step),
             "grad_norm": jnp.sqrt(sq),
         }
+        if distilling:
+            metrics["distill_loss"] = parts["distill"]
+            if alpha < 1.0:
+                metrics["margin_loss"] = parts["margin"]
         return new_state, metrics
 
     specs = state_pspecs(state)
     img_spec = P(batch_axes, None, None, None)
     step_fn = shard_map(
         device_step, mesh=mesh,
-        in_specs=(specs, img_spec, P(batch_axes)),
+        in_specs=(specs, img_spec, P(batch_axes), P()),
         out_specs=(specs, P()),
         # Replication of the loss/params across `model` happens through
         # collectives the static VMA checker can't see through.
         check_vma=False,
     )
-    u8_step = jax.jit(step_fn, donate_argnums=(0,))
+    jitted = jax.jit(step_fn, donate_argnums=(0,))
+    # Bind the (frozen, replicated) teacher tree so callers keep the
+    # uniform step_fn(state, images, labels) signature.
+    bound_tvars = teacher_vars if distilling else {}
+
+    def u8_step(state, images, labels):
+        return jitted(state, images, labels, bound_tvars)
+
     if input_format != "dct":
         return u8_step
 
