@@ -128,3 +128,19 @@ def test_fixed_standardization_affine():
     np.testing.assert_allclose(np.asarray(fixed), (crop - 127.5) / 127.5,
                                rtol=1e-6)
     assert not np.allclose(np.asarray(fixed), np.asarray(per_img))
+
+
+def test_train_chain_fixed_norm():
+    """Fine-tune-an-import chain: constant-pixel images make crop/flip
+    invariant, so per_image collapses to 0 (std floor) while fixed is
+    the exact affine — a deterministic discriminator of the two."""
+    vals = np.zeros((3, 16, 16, 3), np.uint8)
+    vals[0], vals[1], vals[2] = 0, 128, 255
+    imgs = jnp.asarray(vals)
+    fixed = np.asarray(pp.preprocess_train(
+        jax.random.key(0), imgs, 12, 12, "fixed"))
+    np.testing.assert_allclose(
+        fixed[:, 0, 0, 0], (np.float32([0, 128, 255]) - 127.5) / 127.5)
+    per_img = np.asarray(pp.preprocess_train(
+        jax.random.key(0), imgs, 12, 12))
+    np.testing.assert_allclose(per_img, np.zeros_like(per_img))

@@ -1070,3 +1070,26 @@ def test_cli_serve_watch_hot_reload(tmp_path):
         if proc.poll() is None:
             proc.kill()
             proc.wait(timeout=10)
+
+
+def test_fixed_norm_service_matches_offline_chain(service):
+    """norm='fixed' serves the imported-checkpoint convention and must
+    equal the offline extract chain (preprocess_eval fixed + flip avg)."""
+    from tf_face_toolbox_tpu.extract import flip_averaged_embeddings
+    from tf_face_toolbox_tpu.ops.preprocess import preprocess_eval
+
+    net = create_network("resnet_tiny", embedding_dim=DIM,
+                         dtype=jnp.float32)
+    variables = init_variables(net, jax.random.key(0),
+                               (1, SIZE, SIZE, 3))
+    svc = EmbeddingService(net, variables, image_size=SIZE,
+                           crop_from=SIZE, batch=BATCH,
+                           dtype=jnp.float32, norm="fixed")
+    imgs = _images(BATCH, seed=3)
+    got = svc.embed_batch(imgs)
+    x = preprocess_eval(jnp.asarray(imgs), SIZE, SIZE, "fixed")
+    want = flip_averaged_embeddings(
+        lambda v, xx: net.apply(v, xx, train=False), variables, x)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+    # and it is NOT the per-image serving (same weights, same pixels)
+    assert not np.allclose(got, service.embed_batch(imgs), atol=1e-3)

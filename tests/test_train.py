@@ -459,3 +459,35 @@ def test_unknown_optimizer_raises():
     from tf_face_toolbox_tpu.train.trainer import make_optimizer
     with pytest.raises(ValueError, match="unknown optimizer"):
         make_optimizer(dataclasses.replace(CFG, optimizer="rmsprop"))
+
+
+def test_fixed_norm_training_runs_and_differs():
+    """input_norm='fixed' (fine-tuning imported checkpoints) trains,
+    and produces different params than per_image on the same data."""
+    import dataclasses as _dc
+
+    mesh = create_mesh()
+    cfg_fx = _dc.replace(CFG, augment=True, crop_from=CFG.image_size + 4,
+                         input_norm="fixed")
+    cfg_pi = _dc.replace(cfg_fx, input_norm="per_image")
+
+    def run(cfg):
+        state, net = create_train_state(cfg, jax.random.key(0), mesh,
+                                        net=_tiny_net())
+        step_fn = make_train_step(net, cfg, mesh, state)
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.integers(
+            0, 256, (cfg.global_batch, cfg.crop_from, cfg.crop_from, 3),
+            dtype=np.uint8))
+        labels = jnp.asarray(rng.integers(
+            0, cfg.num_classes, cfg.global_batch).astype(np.int32))
+        state, m = step_fn(state, imgs, labels)
+        return state, float(m["loss"])
+
+    s_fx, l_fx = run(cfg_fx)
+    s_pi, l_pi = run(cfg_pi)
+    assert np.isfinite(l_fx) and np.isfinite(l_pi)
+    diffs = [not np.allclose(np.asarray(a), np.asarray(b))
+             for a, b in zip(jax.tree.leaves(s_fx.params),
+                             jax.tree.leaves(s_pi.params))]
+    assert any(diffs)

@@ -27,6 +27,11 @@ flags.DEFINE_string("network", "resnet_v1_50", "backbone name")
 flags.DEFINE_enum("stem", "face", ["face", "imagenet", "space2depth"],
                   "backbone stem")
 flags.DEFINE_enum("head", "gap", ["gap", "flatten"], "embedding head")
+flags.DEFINE_enum("input_norm", "per_image", ["per_image", "fixed"],
+                  "input standardization: per_image = the reference's "
+                  "tf.image chain; fixed = (x-127.5)/127.5, what "
+                  "imported InsightFace-ecosystem checkpoints "
+                  "(cli.import_torch, iresnet_*) serve with")
 flags.DEFINE_integer("embedding_dim", 512, "embedding size")
 flags.DEFINE_integer("image_size", 112, "served input size")
 flags.DEFINE_integer("crop_from", 0,
@@ -109,6 +114,7 @@ def main(argv):
                 batch=min(FLAGS.max_batch, 128),
                 num_batches=FLAGS.calibrate_batches,
                 embedding_dim=FLAGS.embedding_dim, dtype=dtype,
+                norm=FLAGS.input_norm,
                 stem=FLAGS.stem, head_variant=FLAGS.head)
         apply_fn = None
         if FLAGS.engine != "flax" and not quant:
@@ -161,7 +167,7 @@ def main(argv):
                                crop_from=FLAGS.crop_from,
                                batch=FLAGS.max_batch,
                                apply_fn=apply_fn, dtype=dtype,
-                               step=boot_step)
+                               norm=FLAGS.input_norm, step=boot_step)
     logging.info("warming the b%d compiled extractor...", FLAGS.max_batch)
     service.warmup()
     batcher = DynamicBatcher(service, max_wait_ms=FLAGS.max_wait_ms)

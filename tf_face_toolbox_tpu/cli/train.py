@@ -115,6 +115,12 @@ flags.DEFINE_bool("distill_use_ema", False,
                   "distill from the teacher checkpoint's EMA weights")
 flags.DEFINE_bool("pallas_input", False,
                   "fused Pallas augmentation kernel (TPU)")
+flags.DEFINE_enum("input_norm", "per_image", ["per_image", "fixed"],
+                  "input standardization: per_image = the reference's "
+                  "tf.image chain; fixed = (x-127.5)/127.5 — REQUIRED "
+                  "when fine-tuning an imported InsightFace-ecosystem "
+                  "checkpoint (cli.import_torch), which must train "
+                  "with the norm it serves with")
 flags.DEFINE_bool("qat", False,
                   "quantization-aware training: fake-quantize convs + "
                   "the inter-block stream onto the int8 grid (STE "
@@ -172,6 +178,7 @@ def build_config(num_classes: int) -> "TrainConfig":
         ema_decay=FLAGS.ema_decay,
         pfc_sample_rate=FLAGS.pfc_sample_rate,
         pallas_input=FLAGS.pallas_input,
+        input_norm=FLAGS.input_norm,
         quantized="qat" if FLAGS.qat else False,
         distill_alpha=FLAGS.distill_alpha,
     )
@@ -245,6 +252,7 @@ def build_eval_fn(cfg):
                             image_size=cfg.image_size,
                             crop_from=cfg.crop_from,
                             batch=FLAGS.eval_batch,
+                            norm=cfg.input_norm,
                             extract_fn=extract_fn)
         report = verify_pairs(emb[i1], emb[i2], labels)
         return {"lfw_accuracy": report["accuracy_mean"],

@@ -177,14 +177,19 @@ def random_offsets(key: jax.Array, batch: int, in_h: int, in_w: int,
 # full chains (train / eval), jit-compiled
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def preprocess_train(key: jax.Array, images_u8: jax.Array,
-                     crop_h: int, crop_w: int) -> jax.Array:
+                     crop_h: int, crop_w: int,
+                     norm: str = "per_image") -> jax.Array:
     """Training chain: random crop → random flip → standardize.
 
     images_u8: (N, H, W, C) uint8 decoded aligned face images.
     Matches the reference's train-time tf.image chain [TF1-IDIOM]
     with resize folded away when the crop already has target size.
+
+    ``norm``: "per_image" (reference) or "fixed" — fine-tuning an
+    imported fixed-norm checkpoint (cli.import_torch) must train with
+    the SAME normalization it serves with.
     """
     n, h, w, _ = images_u8.shape
     kc, kf = jax.random.split(key)
@@ -192,7 +197,7 @@ def preprocess_train(key: jax.Array, images_u8: jax.Array,
     x = crop_at(images_u8, offs, crop_h, crop_w)
     x = x.astype(jnp.float32)
     x = random_flip_left_right(kf, x)
-    return per_image_standardization(x)
+    return standardize(x, norm)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))

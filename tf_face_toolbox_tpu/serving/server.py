@@ -65,9 +65,13 @@ class EmbeddingService:
     def __init__(self, net, variables, *, image_size: int = 112,
                  crop_from: int = 0, batch: int = 32,
                  apply_fn: Callable | None = None, dtype=jnp.bfloat16,
-                 step: int | None = None):
+                 norm: str = "per_image", step: int | None = None):
         self._net = net
         self._dtype = dtype
+        # "per_image" | "fixed" — imported InsightFace-ecosystem
+        # checkpoints serve with the fixed norm they trained with
+        # (ops/preprocess.py); wrong norm silently destroys accuracy.
+        self.norm = norm
         self.batch = int(batch)
         self.image_size = int(image_size)
         self.crop_from = int(crop_from) or image_size + 8
@@ -93,13 +97,14 @@ class EmbeddingService:
         from tf_face_toolbox_tpu.ops.preprocess import preprocess_eval
 
         net, dtype, image_size = self._net, self._dtype, self.image_size
+        norm = self.norm
         if apply_fn is None:
             def apply_fn(v, x):
                 return net.apply(v, x, train=False)
 
         @jax.jit
         def forward(variables, images_u8):
-            x = preprocess_eval(images_u8, image_size, image_size)
+            x = preprocess_eval(images_u8, image_size, image_size, norm)
             x = x.astype(dtype)
             return flip_averaged_embeddings(apply_fn, variables, x)
 

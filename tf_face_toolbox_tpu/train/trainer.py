@@ -87,6 +87,11 @@ class TrainConfig:
     dtype: Any = jnp.float32          # jnp.bfloat16 on TPU
     augment: bool = True              # on-device crop/flip when input is u8
     crop_from: int = 120              # source size when augmenting
+    # input standardization: "per_image" (the reference's tf.image
+    # chain) or "fixed" ((x-127.5)/127.5) — fine-tuning an imported
+    # InsightFace-ecosystem checkpoint must train with the norm it
+    # serves with (ops/preprocess.py fixed_standardization).
+    input_norm: str = "per_image"
     # weight EMA (reference: tf.train.ExponentialMovingAverage; 0 = off)
     ema_decay: float = 0.0
     # Route augmentation through the fused Pallas input kernel (TPU;
@@ -268,6 +273,15 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
     batch_axes = (DATA_AXIS, MODEL_AXIS)
     # Pallas compiles on TPU; CPU (tests) runs the interpreter.
     pallas_interpret = jax.default_backend() == "cpu"
+    # The fused Pallas kernel bakes per-image standardization (its win
+    # is fusing that reduction); fixed norm is a pure affine XLA fuses
+    # by itself — fall back to the XLA chain, semantics unchanged.
+    use_pallas = cfg.input_norm == "per_image"
+    if cfg.pallas_input and not use_pallas:
+        from absl import logging
+        logging.warning("pallas_input: fused kernel covers per_image "
+                        "standardization only; input_norm=%s uses the "
+                        "XLA augment chain", cfg.input_norm)
 
     def device_step(state: TrainState, images, labels, tvars):
         # Per-device, per-step RNG: fold step and device position into
@@ -279,7 +293,7 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
             jax.random.wrap_key_data(state.rng), state.step)
         dev_rng = jax.random.fold_in(step_rng, dev)
 
-        if cfg.augment and cfg.pallas_input:
+        if cfg.augment and cfg.pallas_input and use_pallas:
             # random crop (XLA dynamic_slice) → fused Pallas
             # flip+standardize (identity resize ⇒ the width matmul IS
             # the flip). One HBM pass for the whole augment tail.
@@ -299,7 +313,8 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
                                  interpret=pallas_interpret)
         elif cfg.augment:
             x = pp.preprocess_train(dev_rng, images,
-                                    cfg.image_size, cfg.image_size)
+                                    cfg.image_size, cfg.image_size,
+                                    cfg.input_norm)
         else:
             x = images
         x = x.astype(cfg.dtype)
