@@ -491,3 +491,25 @@ def test_fixed_norm_training_runs_and_differs():
              for a, b in zip(jax.tree.leaves(s_fx.params),
                              jax.tree.leaves(s_pi.params))]
     assert any(diffs)
+
+
+def test_cosine_schedule_shape_and_training():
+    from tf_face_toolbox_tpu.train.schedule import cosine
+
+    sched = cosine(0.1, 100, warmup_steps=10)
+    np.testing.assert_allclose(float(sched(9)), 0.1 * np.cos(
+        np.pi * 9 / 100 / 2) ** 2 * 1.0, rtol=1e-5)  # end of warmup ramp
+    assert float(sched(0)) == pytest.approx(0.1 * 0.1 * 0.5 * (
+        1 + np.cos(0)), rel=1e-5)          # ramp (1/10) x cos(0)=1
+    assert float(sched(50)) == pytest.approx(0.05, rel=1e-4)
+    assert float(sched(100)) == pytest.approx(0.0, abs=1e-8)
+    assert float(sched(250)) == pytest.approx(0.0, abs=1e-8)  # holds
+    with pytest.raises(ValueError, match="total_steps"):
+        cosine(0.1, 0)
+
+    # trains through the step: lr metric follows the cosine
+    import dataclasses as _dc
+    mesh = create_mesh()
+    cfg = _dc.replace(CFG, lr_schedule="cosine", lr_total_steps=4)
+    state, losses = _run_steps(mesh, 2, cfg=cfg)
+    assert all(np.isfinite(l) for l in losses)

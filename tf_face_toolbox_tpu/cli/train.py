@@ -44,6 +44,10 @@ flags.DEFINE_integer("crop_from", 0,
                      "source image size (0 = image_size + 8)")
 flags.DEFINE_integer("global_batch", 256, "global batch size")
 flags.DEFINE_integer("num_steps", 200_000, "total train steps")
+flags.DEFINE_enum("lr_schedule", "staircase", ["staircase", "cosine"],
+                  "LR decay shape: staircase (the reference "
+                  "convention, --lr_boundaries/--lr_decay) or cosine "
+                  "(half-cosine to 0 over --num_steps)")
 flags.DEFINE_enum("optimizer", "sgd", ["sgd", "adam", "adamw", "lars"],
                   "sgd = momentum SGD (reference convention); lars = "
                   "layerwise trust ratios for very large global batches")
@@ -165,8 +169,10 @@ def build_config(num_classes: int) -> "TrainConfig":
         global_batch=FLAGS.global_batch,
         optimizer=FLAGS.optimizer,
         base_lr=FLAGS.base_lr,
+        lr_schedule=FLAGS.lr_schedule,
         lr_boundaries=tuple(int(b) for b in FLAGS.lr_boundaries),
         lr_decay=FLAGS.lr_decay,
+        lr_total_steps=FLAGS.num_steps,
         warmup_steps=FLAGS.warmup_steps,
         momentum=FLAGS.momentum,
         weight_decay=FLAGS.weight_decay,

@@ -33,3 +33,30 @@ def staircase(base_lr: float, boundaries: Sequence[int],
         return lr
 
     return sched
+
+
+def cosine(base_lr: float, total_steps: int, warmup_steps: int = 0,
+           final_scale: float = 0.0) -> optax.Schedule:
+    """Half-cosine decay base_lr → final_scale·base_lr over
+    ``total_steps``, with the same absolute-step linear warmup as
+    :func:`staircase` (the modern large-batch recipe; the reference era
+    used staircase only [TF1-IDIOM]). Steps past ``total_steps`` hold
+    the final value.
+    """
+    import jax.numpy as jnp
+
+    if total_steps <= 0:
+        raise ValueError("cosine schedule needs total_steps > 0 "
+                         f"(got {total_steps})")
+
+    def sched(step):
+        step = jnp.asarray(step)
+        frac = jnp.clip(step / total_steps, 0.0, 1.0)
+        cos = 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+        lr = base_lr * (final_scale + (1.0 - final_scale) * cos)
+        if warmup_steps > 0:
+            ramp = jnp.minimum(1.0, (step + 1) / warmup_steps)
+            lr = lr * ramp
+        return lr
+
+    return sched

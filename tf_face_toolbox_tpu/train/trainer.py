@@ -66,8 +66,12 @@ class TrainConfig:
     # "adam"/"adamw"/"lars" available — lars for CONFIG_5-class batches)
     optimizer: str = "sgd"
     base_lr: float = 0.1
+    # "staircase" (reference convention) or "cosine" (modern recipe;
+    # needs lr_total_steps — the CLI defaults it to --num_steps)
+    lr_schedule: str = "staircase"
     lr_boundaries: tuple[int, ...] = (100_000, 160_000, 220_000)
     lr_decay: float = 0.1
+    lr_total_steps: int = 0
     warmup_steps: int = 0
     momentum: float = 0.9
     weight_decay: float = 5e-4
@@ -134,8 +138,16 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             return "classifier" in names or names[-1] == "kernel"
         return jax.tree_util.tree_map_with_path(mask_path, tree)
 
-    sched = staircase(cfg.base_lr, cfg.lr_boundaries, cfg.lr_decay,
-                      cfg.warmup_steps)
+    if cfg.lr_schedule == "cosine":
+        from tf_face_toolbox_tpu.train.schedule import cosine
+        sched = cosine(cfg.base_lr, cfg.lr_total_steps,
+                       cfg.warmup_steps)
+    elif cfg.lr_schedule == "staircase":
+        sched = staircase(cfg.base_lr, cfg.lr_boundaries, cfg.lr_decay,
+                          cfg.warmup_steps)
+    else:
+        raise ValueError(f"unknown lr_schedule '{cfg.lr_schedule}'; "
+                         "have staircase|cosine")
     name = cfg.optimizer
     if name == "sgd":
         tx = optax.chain(
