@@ -23,6 +23,7 @@ from tf_face_toolbox_tpu.models.densenet import DenseNet
 from tf_face_toolbox_tpu.models.iresnet import IResNet
 from tf_face_toolbox_tpu.models.mobilefacenet import MobileFaceNet
 from tf_face_toolbox_tpu.models.resnet import ResNet
+from tf_face_toolbox_tpu.models.vit import FaceViT
 
 # name → (module class, fixed kwargs)
 _REGISTRY: dict[str, tuple[type, dict[str, Any]]] = {
@@ -84,6 +85,18 @@ _REGISTRY: dict[str, tuple[type, dict[str, Any]]] = {
                            dict(stages=((2, 16, 1, 2), (2, 16, 1, 2)),
                                 stem_width=8, head_width=32,
                                 stem="mobile", head_variant="gdconv")),
+    # JPEG-block-token ViT family (beyond the reference; PAPERS.md
+    # "RGB no more" — tokens ARE the 8×8 DCT blocks, so the zero-decode
+    # serving path of the dct stem applies unchanged). stem/head pinned:
+    # structural. Small = the ViT-S class (W384/D12/H6, ~22M params);
+    # tiny = the throughput tier (W192/D12/H3, ~5.7M).
+    "dct_vit_small": (FaceViT, dict(depth=12, width=384, num_heads=6,
+                                    stem="dct", head_variant="gap")),
+    "dct_vit_tiny": (FaceViT, dict(depth=12, width=192, num_heads=3,
+                                   stem="dct", head_variant="gap")),
+    # Two-block smoke-test variant (16² inputs OK) — not a real model.
+    "dct_vit_test": (FaceViT, dict(depth=2, width=32, num_heads=2,
+                                   stem="dct", head_variant="gap")),
     # DenseNet family (ref: upstream nets/densenet.py [UPSTREAM-K])
     "densenet_121": (DenseNet, dict(stage_sizes=(6, 12, 24, 16))),
     "densenet_169": (DenseNet, dict(stage_sizes=(6, 12, 32, 32))),

@@ -1,0 +1,197 @@
+"""FaceViT — a JPEG-block-token Vision Transformer for face embeddings.
+
+Beyond the reference's zoo (ref: SURVEY.md §2a lists ResNet / SE /
+ResNeXt / DenseNet only): a ViT whose tokens ARE the JPEG 8×8 blocks,
+following the JPEG-domain line the DCT ResNet already rides (PAPERS.md:
+"RGB no more: Minimally-decoded JPEG Vision Transformers", Park &
+Johnson 2022; Gueguen et al. 2018). A 112² crop is 14×14 = 196 blocks
+of 192 DCT coefficients — which is exactly a patch-8 ViT token grid,
+except the linear patch embedding composes with a fixed orthonormal
+rotation (the DCT) that the JPEG codec has already paid for. The net
+therefore accepts either standardized pixels (training/augment path —
+the in-net ``block_dct`` is an exact linear re-layout) or prepared
+coefficients from ``ops/dct.prepare_coefficients`` (the ZERO-decode
+serving path: entropy decode on host, nothing else), one param tree for
+both, same contract as ``ResNet(stem="dct")``.
+
+TPU-first notes (this is the most MXU-shaped architecture in the zoo):
+
+- Every FLOP is a dense matmul with contraction ≥192: token projection
+  (192→W), QKV/out projections (W→3W / W→W) and the MLP (W→4W→W) all
+  sit on full 128-lane MXU tiles; there is no small-channel 56²-stage
+  problem to engineer around at all.
+- Attention over 196 tokens is tiny (the T×T score matrix is 0.04% of
+  the linear-layer FLOPs at W=384) — no flash/blocked attention needed;
+  XLA fuses scale+softmax between the two einsums. Softmax runs in f32
+  (bf16 exp over 196 logits loses real precision; the cast is free
+  inside the fusion).
+- LayerNorm statistics are computed in f32 and the result cast back to
+  the compute dtype — the standard bf16-transformer recipe; the
+  residual stream itself stays bf16 to halve HBM traffic.
+- No data-dependent control flow; ``train`` only toggles the frequency
+  BatchNorm and the head, so the eval graph is one static program.
+
+Serving: fp via ``net.apply`` (flip-averaged extraction works in the
+frequency domain through the shared stem="dct" dispatch in
+``extract.py``). int8 is refused loudly — the static-int8 residual
+carry covers the ConvBN block library only, and a W8A8 transformer is
+its own accuracy project.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tf_face_toolbox_tpu.models.layers import EmbeddingHead, dense_kernel_init
+
+
+def _layer_norm_f32(x: jax.Array, scale: jax.Array,
+                    bias: jax.Array) -> jax.Array:
+    """LayerNorm with f32 statistics, output in x's original dtype."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + 1e-6)
+    return (y * scale + bias).astype(dtype)
+
+
+class LayerNormF32(nn.Module):
+    """f32-statistics LayerNorm with f32 params (bf16-safe)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,),
+                          jnp.float32)
+        return _layer_norm_f32(x, scale, bias)
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard dot-product MHA as two einsums around an f32 softmax."""
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n, t, w = x.shape
+        assert w % self.num_heads == 0, (w, self.num_heads)
+        dh = w // self.num_heads
+        qkv = nn.Dense(3 * w, dtype=self.dtype, param_dtype=jnp.float32,
+                       kernel_init=dense_kernel_init, name="qkv")(x)
+        qkv = qkv.reshape(n, t, 3, self.num_heads, dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scores = jnp.einsum("nqhd,nkhd->nhqk", q, k) / jnp.sqrt(
+            jnp.asarray(dh, jnp.float32)).astype(self.dtype)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("nhqk,nkhd->nqhd", probs.astype(self.dtype), v)
+        out = out.reshape(n, t, w)
+        return nn.Dense(w, dtype=self.dtype, param_dtype=jnp.float32,
+                        kernel_init=dense_kernel_init, name="out")(out)
+
+
+class EncoderBlock(nn.Module):
+    """Pre-LN transformer block: LN→MHA→add, LN→MLP(GELU)→add."""
+
+    num_heads: int
+    mlp_ratio: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = x.shape[-1]
+        y = LayerNormF32(name="ln1")(x)
+        x = x + MultiHeadAttention(self.num_heads, dtype=self.dtype,
+                                   name="attn")(y)
+        y = LayerNormF32(name="ln2")(x)
+        y = nn.Dense(self.mlp_ratio * w, dtype=self.dtype,
+                     param_dtype=jnp.float32,
+                     kernel_init=dense_kernel_init, name="mlp1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(w, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=dense_kernel_init, name="mlp2")(y)
+        return x + y
+
+
+class FaceViT(nn.Module):
+    """JPEG-block-token ViT; factory contract like the rest of the zoo:
+    ``apply(variables, images, train) → (N, embedding_dim) f32``
+    (un-normalized — extraction L2-normalizes).
+
+    Input H and W must be divisible by 8 (one token per JPEG block);
+    the learned positional embedding pins the token grid at init time,
+    so a model initialized at 112² serves 112² (same contract as
+    MobileFaceNet's GDConv spatial weights).
+    """
+
+    depth: int = 12
+    width: int = 384
+    num_heads: int = 6
+    mlp_ratio: int = 4
+    embedding_dim: int = 512
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    # Uniform-surface knobs: stem="dct" is structural (the token IS the
+    # 8×8 DCT block — this is what makes the zero-decode serving path
+    # apply); head pinned to the zoo's gap→FC→BN embedding head.
+    stem: str = "dct"
+    head_variant: str = "gap"
+    quantized: bool | str = False
+
+    @nn.compact
+    def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
+        if self.stem != "dct":
+            raise ValueError("FaceViT's tokens are structurally the 8×8 "
+                             f"DCT blocks; got stem={self.stem!r}")
+        if self.head_variant != "gap":
+            raise ValueError("FaceViT's head is structurally gap→FC→BN; "
+                             f"got head_variant={self.head_variant!r}")
+        if self.quantized:
+            raise ValueError(
+                "int8 serving is not supported for the ViT family (the "
+                "static-int8 residual carry covers the ConvBN block "
+                "library only); serve fp — every layer is already a "
+                "full-tile MXU matmul")
+        from tf_face_toolbox_tpu.ops import dct as dct_ops
+
+        x = images
+        if x.shape[-1] == 3:
+            x = dct_ops.block_dct(x.astype(self.dtype))
+        elif x.shape[-1] != 192:
+            raise ValueError(
+                f"dct tokens want (N,H,W,3) pixels or (N,h,w,192) "
+                f"coefficients, got trailing dim {x.shape[-1]}")
+        x = x.astype(self.dtype)
+        # Frequency norm (same role as the dct ResNet stem's BN):
+        # coefficient magnitudes span orders of magnitude across the
+        # band; BN equalizes them before the shared token projection.
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="freq_bn")(x)
+        n, h, w, c = x.shape
+        t = h * w
+        x = x.reshape(n, t, c)
+        x = nn.Dense(self.width, dtype=self.dtype,
+                     param_dtype=jnp.float32,
+                     kernel_init=dense_kernel_init, name="token_proj")(x)
+        pos = self.param("pos_embedding",
+                         nn.initializers.normal(stddev=0.02),
+                         (1, t, self.width), jnp.float32)
+        x = x + pos.astype(self.dtype)
+        for i in range(self.depth):
+            x = EncoderBlock(self.num_heads, mlp_ratio=self.mlp_ratio,
+                             dtype=self.dtype, name=f"Block_{i}")(x)
+        x = LayerNormF32(name="ln_final")(x)
+        # The zoo's shared gap→FC→BN head; tokens stand in for the
+        # spatial map (mean over axes (1,2) == mean over tokens).
+        return EmbeddingHead(
+            embedding_dim=self.embedding_dim,
+            variant="gap",
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
+        )(x.reshape(n, 1, t, self.width), train)
