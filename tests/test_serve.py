@@ -157,6 +157,59 @@ def test_http_server_e2e(service):
 
 
 @pytest.mark.slow
+def test_cli_serve_from_bundle(tmp_path):
+    """cli.serve --bundle boots with zero config flags: network/geometry/
+    norm come from the artifact's meta record (serving/bundle.py)."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    from tf_face_toolbox_tpu.serving.bundle import write_bundle
+
+    net = create_network("resnet_tiny", embedding_dim=DIM,
+                         dtype=jnp.float32)
+    variables = init_variables(net, jax.random.key(0), (1, SIZE, SIZE, 3))
+    bundle = str(tmp_path / "m.bundle.npz")
+    write_bundle(bundle, variables, dict(
+        network="resnet_tiny", embedding_dim=DIM, image_size=SIZE,
+        crop_from=SIZE, input_norm="per_image", quant_mode="none",
+        stem="face", head_variant="gap", step=3))
+
+    env = dict(os.environ, TFFT_PLATFORM="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "tf_face_toolbox_tpu.cli.serve",
+         f"--bundle={bundle}", "--nobf16", "--engine=flax", "--port=0",
+         "--max_batch=2", "--max_wait_ms=1"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env)
+    try:
+        line = _wait_serving(proc, 120)
+        m = re.search(r"http://[\d.]+:(\d+)", line)
+        assert m, f"no serving line: {line!r}"
+        port = int(m.group(1))
+        buf = io.BytesIO()
+        np.save(buf, _images(1, seed=3)[0])
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/embed", data=buf.getvalue(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            emb = np.asarray(json.loads(r.read())["embedding"])
+        assert emb.shape == (DIM,)
+        # /healthz reports the bundle's exported step
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health.get("serving_step") == 3
+        proc.terminate()
+        assert proc.wait(timeout=30) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=10)
+
+
+@pytest.mark.slow
 def test_cli_serve_from_npz(tmp_path):
     """cli.serve boots from an imported .npz and answers HTTP."""
     import os

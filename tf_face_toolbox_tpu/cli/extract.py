@@ -24,6 +24,11 @@ flags.DEFINE_string("variables_npz", "",
                     "serve from a ported .npz variables file "
                     "(cli.import_keras output) instead of a train "
                     "checkpoint")
+flags.DEFINE_string("bundle", "",
+                    "extract with a one-file deployment bundle "
+                    "(cli.export); its config record supplies network/"
+                    "stem/head/embedding_dim/image_size/crop_from/"
+                    "input_norm/quant mode — those flags are ignored")
 flags.DEFINE_string("data", None, "FaceShard of eval faces")
 flags.DEFINE_string("output", None,
                     "output path; format by extension: .npy (default), "
@@ -108,7 +113,7 @@ flags.mark_flag_as_required("output")
 from tf_face_toolbox_tpu.pretrained import load_variables  # noqa: E402
 
 
-def _weights_fingerprint(variables, quant) -> str:
+def _weights_fingerprint(variables, quant, config_tag=None) -> str:
     """Digest of the restored weights + serving config for the resume
     sidecar: resuming a chunked extraction with a DIFFERENT checkpoint
     (or quant mode / network shape) must recompute, not silently mix
@@ -127,9 +132,11 @@ def _weights_fingerprint(variables, quant) -> str:
         leaves.append(f"{path}:{arr.shape}:{arr.dtype}:"
                       f"{float(arr.astype(np.float64).sum()):.6e}")
     digest = hashlib.sha1("|".join(leaves).encode()).hexdigest()[:16]
-    return (f"{FLAGS.network}/{FLAGS.stem}/{FLAGS.head}/"
-            f"dim={FLAGS.embedding_dim}/q={quant}/bf16={FLAGS.bf16}/"
-            f"norm={FLAGS.input_norm}/w={digest}")
+    if config_tag is None:
+        config_tag = (f"{FLAGS.network}/{FLAGS.stem}/{FLAGS.head}/"
+                      f"dim={FLAGS.embedding_dim}/"
+                      f"norm={FLAGS.input_norm}")
+    return f"{config_tag}/q={quant}/bf16={FLAGS.bf16}/w={digest}"
 
 
 def main(argv):
@@ -148,7 +155,32 @@ def main(argv):
             "--stem=space2depth is a resnet-family option; densenet "
             "supports stem=face|imagenet")
     dtype = jnp.bfloat16 if FLAGS.bf16 else jnp.float32
-    if FLAGS.variables_npz:
+    image_size, crop_from, norm = (FLAGS.image_size, FLAGS.crop_from,
+                                   FLAGS.input_norm)
+    bundle_meta = None
+    if FLAGS.bundle:
+        if FLAGS.checkpoint_dir or FLAGS.variables_npz:
+            raise SystemExit("--bundle is self-contained; drop "
+                             "--checkpoint_dir/--variables_npz")
+        if quant:
+            raise SystemExit("--bundle bakes the quant mode and scales "
+                             "in at export time; drop --quant_mode/"
+                             "--quantized")
+        from tf_face_toolbox_tpu.serving.bundle import (
+            network_from_meta, read_bundle)
+
+        variables, bundle_meta = read_bundle(FLAGS.bundle)
+        variables = jax.tree.map(jnp.asarray, variables)
+        quant = (False if bundle_meta["quant_mode"] == "none"
+                 else bundle_meta["quant_mode"])
+        net = network_from_meta(bundle_meta, dtype=dtype)
+        image_size = int(bundle_meta["image_size"])
+        crop_from = int(bundle_meta.get("crop_from", 0))
+        norm = bundle_meta["input_norm"]
+        logging.info("bundle: %s step=%s quant=%s norm=%s",
+                     bundle_meta["network"], bundle_meta.get("step"),
+                     bundle_meta["quant_mode"], norm)
+    elif FLAGS.variables_npz:
         if FLAGS.checkpoint_dir:
             raise SystemExit(
                 "--variables_npz and --checkpoint_dir are exclusive")
@@ -170,17 +202,17 @@ def main(argv):
             FLAGS.image_size, dtype, use_ema=FLAGS.use_ema,
             stem=FLAGS.stem, head=FLAGS.head, quantized=quant)
     source = FaceShardSource(FLAGS.data)
-    if quant == "static":
+    if quant == "static" and not FLAGS.bundle:
         from tf_face_toolbox_tpu.extract import calibrate_on_shard
         logging.info("calibrating static int8 scales on %d batches",
                      FLAGS.calibrate_batches)
         variables = calibrate_on_shard(
             FLAGS.network, variables, source,
-            image_size=FLAGS.image_size, crop_from=FLAGS.crop_from,
+            image_size=image_size, crop_from=crop_from,
             batch=min(FLAGS.batch, 128),
             num_batches=FLAGS.calibrate_batches,
             embedding_dim=FLAGS.embedding_dim, dtype=dtype,
-            loader=FLAGS.loader, norm=FLAGS.input_norm,
+            loader=FLAGS.loader, norm=norm,
             stem=FLAGS.stem, head_variant=FLAGS.head)
     extract_fn = None
     engine = FLAGS.engine
@@ -235,13 +267,18 @@ def main(argv):
                 f"format); --output={FLAGS.output!r} is not .npy — "
                 "drop --chunk_rows for .npz/.mat/.bin one-shot dumps")
         from tf_face_toolbox_tpu.extract import extract_shard_to_npy
+        tag = None
+        if bundle_meta is not None:
+            tag = (f"{bundle_meta['network']}/{bundle_meta.get('stem')}/"
+                   f"{bundle_meta.get('head_variant')}/"
+                   f"dim={bundle_meta['embedding_dim']}/norm={norm}")
         emb = extract_shard_to_npy(
             net, variables, source, FLAGS.output,
-            image_size=FLAGS.image_size, crop_from=FLAGS.crop_from,
+            image_size=image_size, crop_from=crop_from,
             batch=FLAGS.batch, chunk_rows=FLAGS.chunk_rows,
             extract_fn=extract_fn, loader=FLAGS.loader,
-            norm=FLAGS.input_norm, progress=progress, rows=rows,
-            fingerprint=_weights_fingerprint(variables, quant))
+            norm=norm, progress=progress, rows=rows,
+            fingerprint=_weights_fingerprint(variables, quant, tag))
         lo, hi = rows if rows else (0, emb.shape[0])
         # emb is the FULL-length memmap; say what this job computed.
         print(f"wrote rows [{lo}:{hi}) of the {emb.shape} output "
@@ -249,9 +286,9 @@ def main(argv):
     else:
         emb = extract_shard(
             net, variables, source,
-            image_size=FLAGS.image_size, crop_from=FLAGS.crop_from,
+            image_size=image_size, crop_from=crop_from,
             batch=FLAGS.batch, extract_fn=extract_fn,
-            loader=FLAGS.loader, norm=FLAGS.input_norm,
+            loader=FLAGS.loader, norm=norm,
             progress=progress, rows=rows)
         save_embeddings(FLAGS.output, emb)
         print(f"wrote {emb.shape} embeddings to {FLAGS.output}")

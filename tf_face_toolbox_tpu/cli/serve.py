@@ -23,6 +23,13 @@ flags.DEFINE_string("checkpoint_dir", "", "orbax train dir")
 flags.DEFINE_string("variables_npz", "",
                     "serve imported variables (cli.import_tf1/keras) "
                     "instead of a checkpoint")
+flags.DEFINE_string("bundle", "",
+                    "boot from a one-file deployment bundle "
+                    "(cli.export) — the bundle's own config record "
+                    "supplies network/stem/head/embedding_dim/"
+                    "image_size/crop_from/input_norm/quant mode, so "
+                    "those flags are ignored and int8 scales need no "
+                    "calibration shard here")
 flags.DEFINE_string("network", "resnet_v1_50", "backbone name")
 flags.DEFINE_enum("stem", "face", ["face", "imagenet", "space2depth"],
                   "backbone stem")
@@ -81,16 +88,47 @@ def main(argv):
 
     dtype = jnp.bfloat16 if FLAGS.bf16 else jnp.float32
     quant = False if FLAGS.quant_mode == "none" else FLAGS.quant_mode
-    if quant == "static" and not FLAGS.calibrate_data:
-        raise SystemExit("--quant_mode=static needs --calibrate_data "
-                         "(a shard sampled for activation scales)")
-    if bool(FLAGS.checkpoint_dir) == bool(FLAGS.variables_npz):
-        raise SystemExit(
-            "pass exactly one of --checkpoint_dir / --variables_npz")
+    if FLAGS.bundle:
+        if FLAGS.checkpoint_dir or FLAGS.variables_npz:
+            raise SystemExit("--bundle is self-contained; drop "
+                             "--checkpoint_dir/--variables_npz")
+        if quant or FLAGS.calibrate_data:
+            raise SystemExit("--bundle bakes the quant mode and scales "
+                             "in at export time; drop --quant_mode/"
+                             "--calibrate_data")
+        if FLAGS.watch_interval > 0:
+            raise SystemExit("--watch_interval polls a train dir; "
+                             "bundles are immutable artifacts")
+    else:
+        if quant == "static" and not FLAGS.calibrate_data:
+            raise SystemExit("--quant_mode=static needs --calibrate_data "
+                             "(a shard sampled for activation scales)")
+        if bool(FLAGS.checkpoint_dir) == bool(FLAGS.variables_npz):
+            raise SystemExit("pass exactly one of --checkpoint_dir / "
+                             "--variables_npz / --bundle")
+        if FLAGS.watch_interval > 0 and not FLAGS.checkpoint_dir:
+            raise SystemExit("--watch_interval polls a --checkpoint_dir")
     if FLAGS.engine == "folded" and quant:
         raise SystemExit("--engine folded serves fp; int8 uses flax")
-    if FLAGS.watch_interval > 0 and not FLAGS.checkpoint_dir:
-        raise SystemExit("--watch_interval polls a --checkpoint_dir")
+
+    image_size, crop_from, norm = (FLAGS.image_size, FLAGS.crop_from,
+                                   FLAGS.input_norm)
+    if FLAGS.bundle:
+        from tf_face_toolbox_tpu.serving.bundle import (
+            network_from_meta, read_bundle)
+
+        bundle_vars, meta = read_bundle(FLAGS.bundle)
+        quant = (False if meta["quant_mode"] == "none"
+                 else meta["quant_mode"])
+        if FLAGS.engine == "folded" and quant:
+            raise SystemExit(f"--engine folded serves fp; this bundle "
+                             f"bakes in int8 ({meta['quant_mode']})")
+        image_size = int(meta["image_size"])
+        crop_from = int(meta.get("crop_from", 0))
+        norm = meta["input_norm"]
+        logging.info("bundle: %s step=%s quant=%s norm=%s",
+                     meta["network"], meta.get("step"),
+                     meta["quant_mode"], norm)
 
     def prepare(net, variables, *, boot=False):
         """Post-restore serving prep (static-int8 calibration + BN
@@ -100,7 +138,7 @@ def main(argv):
         the watcher thread a failure must stay an ordinary exception
         (logged, retried next poll), never a SystemExit — which
         BaseException-ness would silently kill the watcher."""
-        if quant == "static":
+        if quant == "static" and not FLAGS.bundle:
             from tf_face_toolbox_tpu.data.pipeline import FaceShardSource
             from tf_face_toolbox_tpu.extract import calibrate_on_shard
 
@@ -131,7 +169,13 @@ def main(argv):
         return variables, apply_fn
 
     boot_step = None
-    if FLAGS.variables_npz:
+    if FLAGS.bundle:
+        import jax
+
+        net = network_from_meta(meta, dtype=dtype)
+        variables = jax.tree.map(jnp.asarray, bundle_vars)
+        boot_step = meta.get("step")
+    elif FLAGS.variables_npz:
         import jax
 
         from tf_face_toolbox_tpu.interop.port import load_variables_npz
@@ -163,11 +207,11 @@ def main(argv):
     variables, apply_fn = prepare(net, variables, boot=True)
 
     service = EmbeddingService(net, variables,
-                               image_size=FLAGS.image_size,
-                               crop_from=FLAGS.crop_from,
+                               image_size=image_size,
+                               crop_from=crop_from,
                                batch=FLAGS.max_batch,
                                apply_fn=apply_fn, dtype=dtype,
-                               norm=FLAGS.input_norm, step=boot_step)
+                               norm=norm, step=boot_step)
     logging.info("warming the b%d compiled extractor...", FLAGS.max_batch)
     service.warmup()
     batcher = DynamicBatcher(service, max_wait_ms=FLAGS.max_wait_ms)
