@@ -3,6 +3,7 @@
 import io
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -154,6 +155,114 @@ def test_http_server_e2e(service):
     finally:
         server.shutdown()
         batcher.close()
+
+
+def test_http_multi_model_routing(service):
+    """serve({name: batcher}) routes by ?model=, defaults to the first
+    entry, reports all models on bare /healthz//stats, and 404s unknown
+    names with the model list (the TF-Serving multi-model surface)."""
+    net_b = create_network("resnet_tiny", embedding_dim=DIM + 2,
+                           dtype=jnp.float32)
+    vars_b = init_variables(net_b, jax.random.key(7),
+                            (1, SIZE, SIZE, 3))
+    svc_b = EmbeddingService(net_b, vars_b, image_size=SIZE,
+                             crop_from=SIZE, batch=BATCH,
+                             dtype=jnp.float32, step=11)
+    svc_b.warmup()
+    ba = DynamicBatcher(service, max_wait_ms=1.0)
+    bb = DynamicBatcher(svc_b, max_wait_ms=1.0)
+    server = serve({"big": ba, "small": bb}, port=0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        buf = io.BytesIO()
+        np.save(buf, _images(1, seed=5)[0])
+        body = buf.getvalue()
+
+        def post(path):
+            req = urllib.request.Request(base + path, data=body,
+                                         method="POST")
+            return json.loads(urllib.request.urlopen(req,
+                                                     timeout=30).read())
+
+        # explicit routing hits the right model (dims differ)
+        assert len(post("/embed?model=big")["embedding"]) == DIM
+        assert len(post("/embed?model=small")["embedding"]) == DIM + 2
+        # no ?model= → the FIRST entry (single-model clients just work)
+        assert len(post("/embed")["embedding"]) == DIM
+        # unknown model → 404 with the model list
+        req = urllib.request.Request(base + "/embed?model=nope",
+                                     data=body, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 404
+        assert json.loads(exc.value.read())["models"] == ["big", "small"]
+        # bare healthz/stats report every model; ?model= scopes to one
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert set(health["models"]) == {"big", "small"}
+        assert health["models"]["small"]["serving_step"] == 11
+        with urllib.request.urlopen(base + "/stats?model=big",
+                                    timeout=30) as r:
+            stats = json.loads(r.read())
+        assert "requests" in stats and "models" not in stats
+    finally:
+        server.shutdown()
+        server.server_close()
+        ba.close()
+        bb.close()
+
+
+@pytest.mark.slow
+def test_cli_serve_multi_model_bundles(tmp_path):
+    """cli.serve --bundle=a=...,b=... serves two models from one
+    daemon, each with its own geometry/config."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    from tf_face_toolbox_tpu.serving.bundle import write_bundle
+
+    paths = {}
+    for name, dim in (("big", DIM), ("small", DIM + 2)):
+        net = create_network("resnet_tiny", embedding_dim=dim,
+                             dtype=jnp.float32)
+        variables = init_variables(net, jax.random.key(dim),
+                                   (1, SIZE, SIZE, 3))
+        paths[name] = str(tmp_path / f"{name}.bundle.npz")
+        write_bundle(paths[name], variables, dict(
+            network="resnet_tiny", embedding_dim=dim, image_size=SIZE,
+            crop_from=SIZE, input_norm="per_image", quant_mode="none",
+            stem="face", head_variant="gap", step=dim))
+
+    env = dict(os.environ, TFFT_PLATFORM="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "tf_face_toolbox_tpu.cli.serve",
+         f"--bundle=big={paths['big']},small={paths['small']}",
+         "--nobf16", "--engine=flax", "--port=0", "--max_batch=2",
+         "--max_wait_ms=1"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env)
+    try:
+        line = _wait_serving(proc, 120)
+        assert "models=big,small" in line, line
+        m = re.search(r"http://[\d.]+:(\d+)", line)
+        port = int(m.group(1))
+        buf = io.BytesIO()
+        np.save(buf, _images(1, seed=3)[0])
+        for name, dim in (("big", DIM), ("small", DIM + 2)):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/embed?model={name}",
+                data=buf.getvalue(), method="POST")
+            with urllib.request.urlopen(req, timeout=30) as r:
+                emb = np.asarray(json.loads(r.read())["embedding"])
+            assert emb.shape == (dim,)
+        proc.terminate()
+        assert proc.wait(timeout=30) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=10)
 
 
 @pytest.mark.slow

@@ -24,12 +24,16 @@ flags.DEFINE_string("variables_npz", "",
                     "serve imported variables (cli.import_tf1/keras) "
                     "instead of a checkpoint")
 flags.DEFINE_string("bundle", "",
-                    "boot from a one-file deployment bundle "
-                    "(cli.export) — the bundle's own config record "
+                    "boot from one-file deployment bundles "
+                    "(cli.export) — each bundle's own config record "
                     "supplies network/stem/head/embedding_dim/"
                     "image_size/crop_from/input_norm/quant mode, so "
                     "those flags are ignored and int8 scales need no "
-                    "calibration shard here")
+                    "calibration shard here. A comma-separated "
+                    "[name=]path list serves SEVERAL models from one "
+                    "daemon (route with ?model=<name>; first entry is "
+                    "the default; name defaults to the bundle's "
+                    "network)")
 flags.DEFINE_string("network", "resnet_v1_50", "backbone name")
 flags.DEFINE_enum("stem", "face", ["face", "imagenet", "space2depth"],
                   "backbone stem")
@@ -111,24 +115,56 @@ def main(argv):
     if FLAGS.engine == "folded" and quant:
         raise SystemExit("--engine folded serves fp; int8 uses flax")
 
-    image_size, crop_from, norm = (FLAGS.image_size, FLAGS.crop_from,
-                                   FLAGS.input_norm)
+    # --bundle takes a comma-separated list of [name=]path entries —
+    # more than one boots the TF-Serving-style multi-model server
+    # (serving/server.py serve() docstring): each bundle gets its own
+    # service/batcher, requests route with ?model=<name> (name defaults
+    # to the bundle's network), first entry is the default model.
+    bundle_specs = []
     if FLAGS.bundle:
+        for entry in FLAGS.bundle.split(","):
+            name, sep, path = entry.partition("=")
+            bundle_specs.append((name.strip() if sep else None,
+                                 (path if sep else entry).strip()))
+        if len(bundle_specs) > 1 and FLAGS.transport == "grpc":
+            raise SystemExit(
+                "multi-model serving is HTTP-only (the raw-bytes gRPC "
+                "contract carries no model field); use --transport=http")
+
+    def boot_bundle(path):
+        """One bundle → (EmbeddingService ready to warm, meta)."""
+        import jax
+
         from tf_face_toolbox_tpu.serving.bundle import (
             network_from_meta, read_bundle)
 
-        bundle_vars, meta = read_bundle(FLAGS.bundle)
-        quant = (False if meta["quant_mode"] == "none"
-                 else meta["quant_mode"])
-        if FLAGS.engine == "folded" and quant:
-            raise SystemExit(f"--engine folded serves fp; this bundle "
+        bundle_vars, meta = read_bundle(path)
+        q = (False if meta["quant_mode"] == "none"
+             else meta["quant_mode"])
+        if FLAGS.engine == "folded" and q:
+            raise SystemExit(f"--engine folded serves fp; bundle {path} "
                              f"bakes in int8 ({meta['quant_mode']})")
-        image_size = int(meta["image_size"])
-        crop_from = int(meta.get("crop_from", 0))
-        norm = meta["input_norm"]
-        logging.info("bundle: %s step=%s quant=%s norm=%s",
+        net = network_from_meta(meta, dtype=dtype)
+        variables = jax.tree.map(jnp.asarray, bundle_vars)
+        apply_fn = None
+        if FLAGS.engine != "flax" and not q:
+            from tf_face_toolbox_tpu.serving import make_serving_apply
+            try:
+                apply_fn = make_serving_apply(net, variables)
+            except ValueError as e:
+                if FLAGS.engine == "folded":
+                    raise SystemExit(f"--engine folded: {e}") from e
+                logging.info("serving engine not applicable (%s); "
+                             "using net.apply", e)
+        logging.info("bundle %s: %s step=%s quant=%s norm=%s", path,
                      meta["network"], meta.get("step"),
-                     meta["quant_mode"], norm)
+                     meta["quant_mode"], meta["input_norm"])
+        service = EmbeddingService(
+            net, variables, image_size=int(meta["image_size"]),
+            crop_from=int(meta.get("crop_from", 0)),
+            batch=FLAGS.max_batch, apply_fn=apply_fn, dtype=dtype,
+            norm=meta["input_norm"], step=meta.get("step"))
+        return service, meta
 
     def prepare(net, variables, *, boot=False):
         """Post-restore serving prep (static-int8 calibration + BN
@@ -138,7 +174,7 @@ def main(argv):
         the watcher thread a failure must stay an ordinary exception
         (logged, retried next poll), never a SystemExit — which
         BaseException-ness would silently kill the watcher."""
-        if quant == "static" and not FLAGS.bundle:
+        if quant == "static":
             from tf_face_toolbox_tpu.data.pipeline import FaceShardSource
             from tf_face_toolbox_tpu.extract import calibrate_on_shard
 
@@ -168,14 +204,31 @@ def main(argv):
                              "using net.apply", e)
         return variables, apply_fn
 
-    boot_step = None
-    if FLAGS.bundle:
-        import jax
+    if bundle_specs:
+        batcher_map = {}
+        for name, path in bundle_specs:
+            svc, meta = boot_bundle(path)
+            key = name or meta["network"]
+            if key in batcher_map:
+                raise SystemExit(f"duplicate model name {key!r}; "
+                                 "disambiguate with --bundle name=path")
+            logging.info("warming %s (b%d)...", key, FLAGS.max_batch)
+            svc.warmup()
+            batcher_map[key] = DynamicBatcher(
+                svc, max_wait_ms=FLAGS.max_wait_ms)
+        # one UNNAMED model → the plain single-model server (same
+        # payload shapes as checkpoint/npz boots); several, or an
+        # explicit name= (the user will route by it) → the model router
+        single_unnamed = (len(bundle_specs) == 1
+                          and bundle_specs[0][0] is None)
+        batcher = (next(iter(batcher_map.values()))
+                   if single_unnamed else batcher_map)
+        all_batchers = list(batcher_map.values())
+        watcher = None
+        return _serve_front_end(batcher, all_batchers, watcher)
 
-        net = network_from_meta(meta, dtype=dtype)
-        variables = jax.tree.map(jnp.asarray, bundle_vars)
-        boot_step = meta.get("step")
-    elif FLAGS.variables_npz:
+    boot_step = None
+    if FLAGS.variables_npz:
         import jax
 
         from tf_face_toolbox_tpu.interop.port import load_variables_npz
@@ -207,11 +260,11 @@ def main(argv):
     variables, apply_fn = prepare(net, variables, boot=True)
 
     service = EmbeddingService(net, variables,
-                               image_size=image_size,
-                               crop_from=crop_from,
+                               image_size=FLAGS.image_size,
+                               crop_from=FLAGS.crop_from,
                                batch=FLAGS.max_batch,
                                apply_fn=apply_fn, dtype=dtype,
-                               norm=norm, step=boot_step)
+                               norm=FLAGS.input_norm, step=boot_step)
     logging.info("warming the b%d compiled extractor...", FLAGS.max_batch)
     service.warmup()
     batcher = DynamicBatcher(service, max_wait_ms=FLAGS.max_wait_ms)
@@ -239,6 +292,17 @@ def main(argv):
                                     interval=FLAGS.watch_interval).start()
         logging.info("watching %s every %.1fs for new checkpoints",
                      FLAGS.checkpoint_dir, FLAGS.watch_interval)
+    return _serve_front_end(batcher, [batcher], watcher)
+
+
+def _serve_front_end(batcher, all_batchers, watcher):
+    """Bind the transport, block until SIGTERM/SIGINT, drain, exit.
+
+    ``batcher`` is what the front-end serves (one DynamicBatcher or the
+    multi-model ``{name: batcher}`` map); ``all_batchers`` is the flat
+    list to close at drain time."""
+    from tf_face_toolbox_tpu.serving.server import serve
+
     if FLAGS.transport == "grpc":
         from tf_face_toolbox_tpu.serving.grpc_server import serve_grpc
 
@@ -251,8 +315,11 @@ def main(argv):
                        unix_socket=FLAGS.unix_socket or None)
         where = (f"unix:{FLAGS.unix_socket}" if FLAGS.unix_socket else
                  f"http://{FLAGS.host}:{server.server_address[1]}")
+    models = (" models=" + ",".join(batcher)
+              if isinstance(batcher, dict) else "")
     print(f"serving on {where} "
-          f"(batch={FLAGS.max_batch}, wait={FLAGS.max_wait_ms}ms)",
+          f"(batch={FLAGS.max_batch}, wait={FLAGS.max_wait_ms}ms)"
+          f"{models}",
           flush=True)
     import signal
     import threading
@@ -278,7 +345,8 @@ def main(argv):
         if not server.wait_idle(timeout=30):
             logging.warning("drain timeout: abandoning stuck handlers")
         server.server_close()
-    batcher.close()
+    for b in all_batchers:
+        b.close()
     print("drained; bye", flush=True)
 
 

@@ -466,7 +466,8 @@ class DynamicBatcher:
                 p.event.set()
 
 
-def serve(batcher: DynamicBatcher, *, host: str = "127.0.0.1",
+def serve(batcher: "DynamicBatcher | dict[str, DynamicBatcher]", *,
+          host: str = "127.0.0.1",
           port: int = 0, unix_socket: str | None = None,
           max_body_mb: int = 64):
     """Start the HTTP front-end; returns the (running) HTTPServer.
@@ -478,6 +479,17 @@ def serve(batcher: DynamicBatcher, *, host: str = "127.0.0.1",
     ``Accept: application/x-npy`` for a binary .npy response instead
     of JSON), GET /healthz, GET /stats.
 
+    **Multi-model**: pass ``{name: DynamicBatcher}`` instead of one
+    batcher (TF-Serving's multi-model server, rebuilt for resident
+    compiled programs — e.g. a high-QPS mobilefacenet next to an
+    accuracy-grade ResNet, each with its own geometry/norm/quant).
+    Requests pick a model with ``?model=<name>`` on any endpoint; the
+    FIRST entry is the default, so single-model clients keep working.
+    /healthz and /stats without ``?model=`` report all models keyed by
+    name. Unknown names get 404 with the model list. The batchers
+    share the one device — concurrent dispatches serialize there, the
+    same property the in-flight pipeline already rides.
+
     ``unix_socket``: serve HTTP over an AF_UNIX socket at this path
     instead of TCP — the rolling-restart/reverse-proxy transport
     (docs/ROADMAP r2 #5): no TCP handshake/TIME_WAIT per request, and
@@ -485,11 +497,25 @@ def serve(batcher: DynamicBatcher, *, host: str = "127.0.0.1",
     name + rename) so a proxy never sees connection-refused between
     generations. A stale path from a dead process is replaced."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlsplit
 
-    service = batcher.service
+    if isinstance(batcher, DynamicBatcher):
+        batchers = {None: batcher}
+    else:
+        if not batcher:
+            raise ValueError("serve() got an empty model map")
+        batchers = dict(batcher)
+    default_name = next(iter(batchers))
+    multi = default_name is not None
     max_body = max_body_mb * (1 << 20)
     inflight = {"n": 0}
     inflight_cv = threading.Condition()
+
+    def route(raw_path: str):
+        """→ (path, batcher | None, model_name). None = unknown model."""
+        parts = urlsplit(raw_path)
+        name = parse_qs(parts.query).get("model", [default_name])[0]
+        return parts.path, batchers.get(name, None), name
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet; stats endpoint instead
@@ -531,12 +557,28 @@ def serve(batcher: DynamicBatcher, *, host: str = "127.0.0.1",
                 pass  # client went away; nothing to tell it
 
         def do_GET(self):
-            if self.path == "/healthz":
-                self._reply(200, health_payload(service))
-            elif self.path == "/stats":
-                self._reply(200, stats_payload(batcher))
-            else:
+            path, b, name = route(self.path)
+            if path not in ("/healthz", "/stats"):
                 self._reply(404, {"error": "unknown path"})
+                return
+            if b is None:
+                self._reply(404, {
+                    "error": f"unknown model {name!r}",
+                    "models": sorted(k for k in batchers if k)})
+                return
+            if path == "/healthz":
+                payload = health_payload(b.service)
+                if multi and "model=" not in self.path:
+                    payload = {"status": "ok", "models": {
+                        k: health_payload(v.service)
+                        for k, v in batchers.items()}}
+                self._reply(200, payload)
+            else:
+                payload = stats_payload(b)
+                if multi and "model=" not in self.path:
+                    payload = {"models": {k: stats_payload(v)
+                                          for k, v in batchers.items()}}
+                self._reply(200, payload)
 
         def do_POST(self):
             with inflight_cv:
@@ -549,9 +591,16 @@ def serve(batcher: DynamicBatcher, *, host: str = "127.0.0.1",
                     inflight_cv.notify_all()
 
         def _do_post(self):
-            if self.path not in ("/embed", "/embed_batch"):
+            path, b, name = route(self.path)
+            if path not in ("/embed", "/embed_batch"):
                 self._reply(404, {"error": "unknown path"})
                 return
+            if b is None:
+                self._reply(404, {
+                    "error": f"unknown model {name!r}",
+                    "models": sorted(k for k in batchers if k)})
+                return
+            svc = b.service
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 if n > max_body:
@@ -568,7 +617,7 @@ def serve(batcher: DynamicBatcher, *, host: str = "127.0.0.1",
                                                f"{max_body_mb} MiB cap"})
                     return
                 body = self.rfile.read(n)
-                if self.path == "/embed_batch":
+                if path == "/embed_batch":
                     # bulk: .npy (N, H, W, 3) uint8 — the client
                     # already batched, so no coalescing needed
                     arr = np.load(io.BytesIO(body), allow_pickle=False)
@@ -577,21 +626,21 @@ def serve(batcher: DynamicBatcher, *, host: str = "127.0.0.1",
                             f"npy payload must be (N, H, W, 3), "
                             f"got {arr.shape}")
                     images = np.stack([
-                        service.decode_array(a) for a in arr])
+                        svc.decode_array(a) for a in arr])
                 else:
-                    images = service.decode_request(body)[None]
+                    images = svc.decode_request(body)[None]
             except Exception as e:  # malformed payload → client error
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
                 return
             try:
-                if self.path == "/embed_batch":
-                    embs = bulk_embed(batcher, images)
+                if path == "/embed_batch":
+                    embs = bulk_embed(b, images)
                     if self._wants_npy():
                         self._reply_npy(embs.astype(np.float32))
                     else:
                         self._reply(200, {"embeddings": embs.tolist()})
                 else:
-                    emb = batcher.submit(images[0])
+                    emb = b.submit(images[0])
                     if self._wants_npy():
                         self._reply_npy(np.asarray(emb, np.float32))
                     else:
