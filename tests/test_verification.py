@@ -151,3 +151,61 @@ def test_verify_pairs_report_includes_tar(tmp_path):
     report = verify_pairs(e1, e2, labels, n_folds=5)
     assert "tar@far=0.1" in report and "accuracy_mean" in report
     assert report["tar@far=0.1"] > 0.5  # well-separated prototypes
+
+
+def test_roc_curve_endpoints_and_consistency_with_tar_at_far():
+    """The ROC passes exactly through tar_at_far's operating points
+    (same strictly-above convention), ascends 0→1 on both axes, and
+    every (far, tar) point is reproducible by a direct threshold sweep."""
+    from tf_face_toolbox_tpu.ops.verification import roc_curve, tar_at_far
+
+    rng = np.random.default_rng(2)
+    pos = rng.normal(0.5, 0.25, 300)
+    neg = rng.normal(0.0, 0.25, 1500)
+    sims = np.concatenate([pos, neg])
+    labels = np.concatenate([np.ones(300, int), np.zeros(1500, int)])
+    thr, far, tar = roc_curve(sims, labels)
+    assert far[0] == tar[0] == 0.0 and far[-1] == tar[-1] == 1.0
+    assert (np.diff(far) >= 0).all() and (np.diff(tar) >= 0).all()
+    assert thr[-1] == -np.inf and (np.diff(thr[:-1]) < 0).all()
+    for i in rng.integers(0, len(thr), 25):
+        np.testing.assert_allclose(far[i], (neg > thr[i]).mean())
+        np.testing.assert_allclose(tar[i], (pos > thr[i]).mean())
+    r = tar_at_far(sims, labels, fars=(1e-1, 1e-2))
+    for target in (1e-1, 1e-2):
+        j = np.searchsorted(-thr, -r[f"thr@far={target:g}"])
+        np.testing.assert_allclose(tar[j], r[f"tar@far={target:g}"])
+
+
+def test_auc_eer_separable_and_random():
+    from tf_face_toolbox_tpu.ops.verification import auc_eer, roc_curve
+
+    # perfectly separable: AUC 1, EER 0
+    sims = np.concatenate([np.linspace(0.6, 0.9, 50),
+                           np.linspace(0.0, 0.4, 50)])
+    labels = np.concatenate([np.ones(50, int), np.zeros(50, int)])
+    _, far, tar = roc_curve(sims, labels)
+    auc, eer = auc_eer(far, tar)
+    assert auc == 1.0 and eer == 0.0
+    # coin-flip scores: AUC ≈ 0.5, EER ≈ 0.5
+    rng = np.random.default_rng(3)
+    sims = rng.normal(size=4000)
+    labels = (rng.random(4000) < 0.5).astype(int)
+    _, far, tar = roc_curve(sims, labels)
+    auc, eer = auc_eer(far, tar)
+    assert 0.45 < auc < 0.55 and 0.45 < eer < 0.55
+
+
+def test_roc_curve_refuses_single_class_but_report_degrades():
+    import warnings
+
+    from tf_face_toolbox_tpu.ops.verification import roc_curve, verify_pairs
+
+    with np.testing.assert_raises(ValueError):
+        roc_curve(np.r_[0.1, 0.2], np.r_[1, 1])
+    e = np.random.default_rng(4).normal(size=(4, 8)).astype(np.float32)
+    with warnings.catch_warnings():
+        # all-positive pairs: the degenerate-fold warning is the point
+        warnings.simplefilter("ignore", UserWarning)
+        report = verify_pairs(e, e, np.ones(4, int), n_folds=2)
+    assert np.isnan(report["auc"]) and np.isnan(report["eer"])

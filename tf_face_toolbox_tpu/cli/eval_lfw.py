@@ -36,6 +36,11 @@ flags.DEFINE_string("names", "",
                     "pack list file mapping embedding rows to image "
                     "paths (needed for official-LFW pairs format)")
 flags.DEFINE_integer("folds", 10, "cross-validation folds")
+flags.DEFINE_string("roc_out", "",
+                    "write the full ROC curve (thresholds/far/tar "
+                    "arrays at every distinct score, plot-ready) to "
+                    "this .npz; the JSON report always includes "
+                    "auc/eer")
 flags.mark_flag_as_required("embeddings")
 flags.mark_flag_as_required("pairs")
 
@@ -151,6 +156,17 @@ def main(argv):
     else:
         i1, i2, labels = load_pairs(FLAGS.pairs)
     report = verify_pairs(emb[i1], emb[i2], labels, n_folds=FLAGS.folds)
+    if FLAGS.roc_out:
+        import jax.numpy as jnp
+
+        from tf_face_toolbox_tpu.ops.verification import (
+            cosine_similarity, roc_curve)
+
+        sims = np.asarray(cosine_similarity(jnp.asarray(emb[i1]),
+                                            jnp.asarray(emb[i2])))
+        thresholds, far, tar = roc_curve(sims, labels)
+        np.savez(FLAGS.roc_out, thresholds=thresholds, far=far, tar=tar)
+        report["roc_out"] = FLAGS.roc_out
     print(json.dumps(json_sanitize(report), indent=2,
                  allow_nan=False))
 

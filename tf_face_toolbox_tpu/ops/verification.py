@@ -128,13 +128,70 @@ def tar_at_far(sims: np.ndarray, labels: np.ndarray,
     return out
 
 
+def roc_curve(sims: np.ndarray, labels: np.ndarray
+              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full ROC at every distinct score: ``(thresholds, far, tar)``.
+
+    Acceptance is STRICTLY above the threshold — the same convention as
+    :func:`tar_at_far`, so the curve passes exactly through every
+    reported operating point. ``thresholds`` is the descending distinct
+    scores plus a final ``-inf`` (accept-everything) entry; ``far`` and
+    ``tar`` ascend from 0 to 1. Plot-ready and the basis for AUC/EER.
+    """
+    sims = np.asarray(sims, np.float64)
+    labels = np.asarray(labels).astype(bool)
+    n_pos = int(labels.sum())
+    n_neg = int((~labels).sum())
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(f"roc_curve needs both classes; got "
+                         f"{n_pos} positives / {n_neg} negatives")
+    order = np.argsort(-sims, kind="stable")
+    s, pos = sims[order], labels[order]
+    cum_tp = np.cumsum(pos)
+    cum_fp = np.cumsum(~pos)
+    # last index of each tie group: thresholds are the distinct scores
+    ends = np.nonzero(np.r_[np.diff(s) != 0, True])[0]
+    # accepting > s[ends[i]] admits exactly the groups before i
+    tp = np.r_[0, cum_tp[ends[:-1]], cum_tp[-1]].astype(np.float64)
+    fp = np.r_[0, cum_fp[ends[:-1]], cum_fp[-1]].astype(np.float64)
+    thresholds = np.r_[s[ends], -np.inf]
+    return thresholds, fp / n_neg, tp / n_pos
+
+
+def auc_eer(far: np.ndarray, tar: np.ndarray) -> tuple[float, float]:
+    """Area under the ROC (trapezoid) and the equal-error rate (the
+    point where FAR == 1 − TAR == FRR, linearly interpolated between
+    the two bracketing curve points)."""
+    far = np.asarray(far, np.float64)
+    tar = np.asarray(tar, np.float64)
+    auc = float(np.trapezoid(tar, far))
+    # frr − far is monotonically non-increasing along the curve; find
+    # the sign change and interpolate
+    diff = (1.0 - tar) - far
+    idx = int(np.searchsorted(-diff, 0.0, side="left"))
+    if idx == 0:
+        eer = float(far[0])
+    elif idx >= len(far):
+        eer = float(1.0 - tar[-1])
+    else:
+        d0, d1 = diff[idx - 1], diff[idx]
+        w = 0.0 if d0 == d1 else d0 / (d0 - d1)
+        eer = float((1 - w) * far[idx - 1] + w * far[idx])
+    return auc, eer
+
+
 def verify_pairs(emb1: np.ndarray, emb2: np.ndarray, labels: np.ndarray,
                  *, n_folds: int = 10) -> dict:
     """End-to-end: embeddings for each pair side → LFW-protocol report
-    (fold accuracy + TAR@FAR operating points)."""
+    (fold accuracy + TAR@FAR operating points + ROC AUC / EER)."""
     sims = np.asarray(cosine_similarity(jnp.asarray(emb1), jnp.asarray(emb2)))
     report = verify_folds(sims, labels, n_folds=n_folds)
     report.update(tar_at_far(sims, labels))
+    try:
+        _, far, tar = roc_curve(sims, labels)
+        report["auc"], report["eer"] = auc_eer(far, tar)
+    except ValueError:  # single-class pair set: no ROC, like tar@far's NaNs
+        report["auc"] = report["eer"] = float("nan")
     return report
 
 
