@@ -155,3 +155,56 @@ def test_cli_export_extract_serve_chain(tmp_path):
          f"--data={shard}", f"--output={tmp_path/'x.npy'}"],
         capture_output=True, text=True, env=env)
     assert r.returncode != 0 and "self-contained" in r.stderr
+
+
+@pytest.mark.slow
+def test_cli_export_step_and_average_last(tmp_path):
+    """--step pins an older checkpoint; --average_last=2 writes exactly
+    the leaf-wise mean of the two retained checkpoints' params."""
+    from PIL import Image
+
+    from tests.test_cli import _run
+
+    rng = np.random.default_rng(1)
+    lines = []
+    for i in range(8):
+        arr = rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(str(tmp_path / f"i{i}.jpg"), "JPEG",
+                                  quality=95)
+        lines.append(f"i{i}.jpg {i % 2}")
+    (tmp_path / "list.txt").write_text("\n".join(lines) + "\n")
+    shard = str(tmp_path / "d.faceshard")
+    _run(["tf_face_toolbox_tpu.cli.pack",
+          f"--list={tmp_path/'list.txt'}", f"--root={tmp_path}",
+          f"--output={shard}"])
+    train_dir = str(tmp_path / "run")
+    _run(["tf_face_toolbox_tpu.cli.train", f"--data={shard}",
+          f"--train_dir={train_dir}", "--network=resnet_tiny",
+          "--embedding_dim=16", "--image_size=12", "--crop_from=16",
+          "--global_batch=8", "--num_steps=2", "--save_every=1",
+          "--nobf16", "--base_lr=0.05"])
+
+    def export(args, name):
+        out = str(tmp_path / name)
+        _run(["tf_face_toolbox_tpu.cli.export",
+              f"--checkpoint_dir={train_dir}", "--network=resnet_tiny",
+              "--embedding_dim=16", "--image_size=12",
+              f"--output={out}"] + args)
+        return read_bundle(out)
+
+    v1, m1 = export(["--step=1"], "s1.npz")
+    v2, m2 = export([], "s2.npz")            # latest = step 2
+    va, ma = export(["--average_last=2"], "avg.npz")
+    assert m1["step"] == 1 and m2["step"] == 2
+    assert ma["averaged_steps"] == [1, 2]
+    flat = jax.tree_util.tree_leaves
+    one, two, avg = flat(v1["params"]), flat(v2["params"]), flat(
+        va["params"])
+    assert any(not np.allclose(a, b) for a, b in zip(one, two))
+    for a, b, c in zip(one, two, avg):
+        np.testing.assert_allclose(
+            c, (np.asarray(a, np.float64) + np.asarray(b, np.float64))
+            / 2, atol=1e-7)
+    # BN running stats come from the newest checkpoint, not averaged
+    np.testing.assert_array_equal(
+        flat(va["batch_stats"])[0], flat(v2["batch_stats"])[0])

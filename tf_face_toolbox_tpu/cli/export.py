@@ -42,6 +42,14 @@ flags.DEFINE_integer("crop_from", 0,
 flags.DEFINE_enum("input_norm", "per_image", ["per_image", "fixed"],
                   "input standardization the model serves with")
 flags.DEFINE_bool("use_ema", False, "export the EMA weights")
+flags.DEFINE_integer("step", 0,
+                     "export a specific retained checkpoint step "
+                     "(0 = latest)")
+flags.DEFINE_integer("average_last", 0,
+                     "average the params of the last N retained "
+                     "checkpoints (SWA-style weight averaging — the "
+                     "flat-minimum trick; BN stats come from the "
+                     "newest). 0/1 = no averaging")
 flags.DEFINE_enum("quant_mode", "none", ["none", "dynamic", "static"],
                   "int8 serving mode baked into the bundle; static "
                   "runs calibration here (needs --calibrate_data)")
@@ -71,6 +79,11 @@ def main(argv):
     # and frozen f32 scales; compute dtype is a serving-side choice.
     dtype = jnp.float32
     step = None
+    averaged_steps = None
+    if FLAGS.variables_npz and (FLAGS.step or FLAGS.average_last > 1):
+        raise SystemExit("--step/--average_last select train-dir "
+                         "checkpoints; they don't apply to "
+                         "--variables_npz")
     if FLAGS.variables_npz:
         from tf_face_toolbox_tpu.interop.port import load_variables_npz
         from tf_face_toolbox_tpu.models import create_network
@@ -84,11 +97,45 @@ def main(argv):
         from tf_face_toolbox_tpu.pretrained import load_variables
         from tf_face_toolbox_tpu.train.checkpoint import CheckpointManager
 
-        step = CheckpointManager(FLAGS.checkpoint_dir).latest_step()
+        mgr = CheckpointManager(FLAGS.checkpoint_dir)
+        step = FLAGS.step or mgr.latest_step()
         net, variables = load_variables(
             FLAGS.checkpoint_dir, FLAGS.network, FLAGS.embedding_dim,
             FLAGS.image_size, dtype, use_ema=FLAGS.use_ema,
-            stem=FLAGS.stem, head=FLAGS.head)
+            stem=FLAGS.stem, head=FLAGS.head, step=step)
+        if FLAGS.average_last > 1:
+            # SWA-style weight averaging over the retained tail: mean
+            # of the params leaves; BN running stats stay the NEWEST
+            # checkpoint's (averaging normalization statistics across
+            # training points is not meaningful the way averaging
+            # weights in one loss basin is — for exactness, re-running
+            # calibration/eval recomputes what matters downstream).
+            import numpy as np
+
+            tail = [s for s in mgr.all_steps() if s <= step]
+            averaged_steps = tail[-FLAGS.average_last:]
+            if len(averaged_steps) < FLAGS.average_last:
+                logging.warning(
+                    "--average_last=%d but only %d retained "
+                    "checkpoint(s) at/below step %s; averaging those",
+                    FLAGS.average_last, len(averaged_steps), step)
+            trees = [variables["params"]]
+            for s in averaged_steps:
+                if s == step:
+                    continue
+                _, v = load_variables(
+                    FLAGS.checkpoint_dir, FLAGS.network,
+                    FLAGS.embedding_dim, FLAGS.image_size, dtype,
+                    use_ema=FLAGS.use_ema, stem=FLAGS.stem,
+                    head=FLAGS.head, step=s)
+                trees.append(v["params"])
+            variables = dict(variables)
+            variables["params"] = jax.tree.map(
+                lambda *xs: np.mean(np.stack(
+                    [np.asarray(x, np.float64) for x in xs]), axis=0
+                ).astype(np.asarray(xs[0]).dtype), *trees)
+            logging.info("averaged params over steps %s",
+                         averaged_steps)
 
     if FLAGS.quant_mode == "static":
         from tf_face_toolbox_tpu.data.pipeline import FaceShardSource
@@ -120,6 +167,7 @@ def main(argv):
         "quant_mode": FLAGS.quant_mode,
         "use_ema": FLAGS.use_ema,
         "step": None if step is None else int(step),
+        "averaged_steps": averaged_steps,
         "created": datetime.datetime.now(
             datetime.timezone.utc).isoformat(timespec="seconds"),
     }

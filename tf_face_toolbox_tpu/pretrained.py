@@ -17,7 +17,8 @@ from absl import logging
 def load_variables(checkpoint_dir: str, network: str, embedding_dim: int,
                    image_size: int, dtype, use_ema: bool = False,
                    stem: str = "face", head: str = "gap",
-                   quantized: bool | str = False):
+                   quantized: bool | str = False,
+                   step: int | None = None):
     """Backbone variables from a train checkpoint (or fresh init).
 
     Returns ``(net, {"params": ..., "batch_stats": ...})``. The
@@ -25,6 +26,7 @@ def load_variables(checkpoint_dir: str, network: str, embedding_dim: int,
     metadata so the restore template matches exactly; ``use_ema``
     selects the EMA weight set (reference
     ``tf.train.ExponentialMovingAverage`` eval convention [TF1-IDIOM]).
+    ``step`` pins a specific retained checkpoint (None = latest).
     """
     from tf_face_toolbox_tpu.models import create_network, init_variables
 
@@ -51,7 +53,7 @@ def load_variables(checkpoint_dir: str, network: str, embedding_dim: int,
         mesh = create_mesh(data=1, devices=jax.devices()[:1])
         # num_classes (and whether EMA was on) are read back from the
         # checkpoint metadata so the template tree matches exactly.
-        meta = mgr.tree_metadata()
+        meta = mgr.tree_metadata(step)
         if meta is None:
             raise FileNotFoundError("no checkpoint found")
         template, _ = create_train_state(
@@ -61,7 +63,7 @@ def load_variables(checkpoint_dir: str, network: str, embedding_dim: int,
                         num_classes=_classifier_rows_from(meta),
                         ema_decay=0.999 if mgr.has_ema(meta) else 0.0),
             jax.random.key(0), mesh, net=init_net)
-        state = mgr.restore(template)
+        state = mgr.restore(template, step)
         params = state.params
         if use_ema:
             if state.ema_params is None:

@@ -50,6 +50,11 @@ class CheckpointManager:
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 
+    def all_steps(self) -> list[int]:
+        """Every retained checkpoint step, ascending (the export CLI's
+        --average_last averages the tail of this list)."""
+        return sorted(self._mgr.all_steps())
+
     def refresh(self) -> None:
         """Drop the cached step list. Orbax caches the directory's
         steps at manager construction; a watcher polling a train dir
