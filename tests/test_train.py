@@ -513,3 +513,50 @@ def test_cosine_schedule_shape_and_training():
     cfg = _dc.replace(CFG, lr_schedule="cosine", lr_total_steps=4)
     state, losses = _run_steps(mesh, 2, cfg=cfg)
     assert all(np.isfinite(l) for l in losses)
+
+
+def test_grad_clip_bounds_update_and_is_exact():
+    """grad_clip_norm caps the global update: with wd=0, momentum=0
+    SGD, the first step's param+classifier delta norm is exactly
+    lr·min(clip, grad_norm); a huge clip is a no-op vs no clip. The
+    norm combines the model-sharded classifier's shards (psum), so
+    this runs on the full (data×model) mesh."""
+    import dataclasses
+
+    def snapshot(state):
+        return [np.asarray(x, np.float64) for x in
+                jax.tree.leaves((state.params, state.classifier))]
+
+    def delta_norm(before, state1):
+        after = snapshot(state1)
+        return np.sqrt(sum(float(np.sum((b - a) ** 2))
+                           for a, b in zip(before, after)))
+
+    def one_step(clip):
+        cfg = dataclasses.replace(
+            CFG, momentum=0.0, weight_decay=0.0, base_lr=0.05,
+            grad_clip_norm=clip)
+        mesh = create_mesh(data=4, model=2)
+        state, net = create_train_state(cfg, jax.random.key(0), mesh,
+                                        net=_tiny_net())
+        step_fn = make_train_step(net, cfg, mesh, state)
+        images, labels = _synthetic_batch(jax.random.key(100),
+                                          cfg.global_batch,
+                                          cfg.image_size,
+                                          cfg.num_classes)
+        before = snapshot(state)  # the step donates its input state
+        new_state, metrics = step_fn(state, images, labels)
+        return before, new_state, float(metrics["grad_norm"])
+
+    b0, s1, gnorm = one_step(0.0)          # no clipping: baseline
+    np.testing.assert_allclose(delta_norm(b0, s1), 0.05 * gnorm,
+                               rtol=1e-5)
+    clip = gnorm / 3
+    bc, s1c, gnorm_c = one_step(clip)      # active clipping
+    assert np.isclose(gnorm_c, gnorm, rtol=1e-5)  # metric is pre-clip
+    np.testing.assert_allclose(delta_norm(bc, s1c), 0.05 * clip,
+                               rtol=1e-5)
+    _, s1h, _ = one_step(gnorm * 100)      # inactive clip == no clip
+    for a, b in zip(jax.tree.leaves(s1.params),
+                    jax.tree.leaves(s1h.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -58,6 +58,11 @@ flags.DEFINE_float("lr_decay", 0.1, "decay factor per boundary")
 flags.DEFINE_integer("warmup_steps", 0, "linear LR warmup steps")
 flags.DEFINE_float("momentum", 0.9, "SGD momentum")
 flags.DEFINE_float("weight_decay", 5e-4, "L2 on kernels+classifier")
+flags.DEFINE_float("grad_clip_norm", 0.0,
+                   "clip gradients to this global L2 norm before the "
+                   "optimizer (0 = off; the classifier's shard norms "
+                   "are psum-combined first, so clipping is "
+                   "mesh-invariant). Standard ViT/adamw stabilizer")
 flags.DEFINE_enum("margin", "cosface",
                   ["softmax", "arcface", "cosface", "sphereface"],
                   "margin-softmax variant")
@@ -176,6 +181,7 @@ def build_config(num_classes: int) -> "TrainConfig":
         warmup_steps=FLAGS.warmup_steps,
         momentum=FLAGS.momentum,
         weight_decay=FLAGS.weight_decay,
+        grad_clip_norm=FLAGS.grad_clip_norm,
         margin_scale=FLAGS.margin_scale,
         margin_m1=m1, margin_m2=m2, margin_m3=m3,
         dtype=jnp.bfloat16 if FLAGS.bf16 else jnp.float32,

@@ -75,6 +75,12 @@ class TrainConfig:
     warmup_steps: int = 0
     momentum: float = 0.9
     weight_decay: float = 5e-4
+    # clip gradients to this global L2 norm before the optimizer
+    # (0 = off). The norm is the TRUE global one — the model-sharded
+    # classifier's shard norms are psum-combined first, so clipping is
+    # mesh-invariant (an optax clip inside tx would see only the local
+    # shard). Standard stabilizer for ViT/adamw recipes.
+    grad_clip_norm: float = 0.0
     # margin softmax
     margin_scale: float = 64.0
     margin_m1: float = 1.0
@@ -418,7 +424,17 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
             loss = parts["margin"]
         new_bs = collectives.sync_batch_stats(new_bs)
 
+        # Global grad norm: classifier lives in shards across `model`,
+        # so combine squared norms before the sqrt.
+        sq = (optax.global_norm(g_params) ** 2 +
+              jax.lax.psum(jnp.sum(jnp.square(g_cls)), MODEL_AXIS))
+        grad_norm = jnp.sqrt(sq)
+
         grads = {"params": g_params, "classifier": g_cls}
+        if cfg.grad_clip_norm > 0:
+            scale = jnp.minimum(
+                1.0, cfg.grad_clip_norm / jnp.maximum(grad_norm, 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
         updates, new_opt = tx.update(
             grads, state.opt_state,
             {"params": state.params, "classifier": state.classifier})
@@ -441,14 +457,10 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
             opt_state=new_opt,
             ema_params=new_ema,
         )
-        # Global grad norm: classifier lives in shards across `model`,
-        # so combine squared norms before the sqrt.
-        sq = (optax.global_norm(g_params) ** 2 +
-              jax.lax.psum(jnp.sum(jnp.square(g_cls)), MODEL_AXIS))
         metrics = {
             "loss": loss,
             "learning_rate": sched(state.step),
-            "grad_norm": jnp.sqrt(sq),
+            "grad_norm": grad_norm,   # pre-clip, the diagnostic one
         }
         if distilling:
             metrics["distill_loss"] = parts["distill"]
