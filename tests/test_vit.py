@@ -159,3 +159,51 @@ def test_extraction_flip_average_on_coefficients():
     e_coef = flip_averaged_embeddings(apply_fn, v, dct_ops.block_dct(x))
     np.testing.assert_allclose(np.asarray(e_pix), np.asarray(e_coef),
                                atol=1e-5)
+
+
+def test_drop_path_train_stochastic_eval_deterministic():
+    """Stochastic depth: train mode varies with the dropout rng and
+    differs from the rate-0 forward; eval mode is deterministic and
+    EXACTLY the rate-0 network (no rescale residue)."""
+    net = create_network("dct_vit_test", embedding_dim=DIM,
+                         drop_path_rate=0.5)
+    net0 = create_network("dct_vit_test", embedding_dim=DIM)
+    x = _pixels(8)
+    v = init_variables(net0, jax.random.key(0), (1, SIZE, SIZE, 3))
+
+    def fwd_train(n, key):
+        out, _ = n.apply(v, x, train=True, mutable=["batch_stats"],
+                         rngs={"dropout": key})
+        return np.asarray(out)
+
+    a = fwd_train(net, jax.random.key(1))
+    b = fwd_train(net, jax.random.key(2))
+    assert not np.allclose(a, b)                      # rng-dependent
+    assert not np.allclose(a, fwd_train(net0, jax.random.key(1)))
+    np.testing.assert_array_equal(                    # eval == rate 0
+        np.asarray(net.apply(v, x, train=False)),
+        np.asarray(net0.apply(v, x, train=False)))
+
+
+def test_drop_path_trains_through_the_trainer_and_refuses_non_vit():
+    from tests.test_train import CFG, _synthetic_batch
+    from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+    from tf_face_toolbox_tpu.train.trainer import (
+        create_train_state, make_train_step)
+
+    cfg = dataclasses.replace(CFG, network="dct_vit_test",
+                              embedding_dim=DIM, drop_path_rate=0.3)
+    mesh = create_mesh()
+    # net=None: the trainer itself must thread drop_path_rate through
+    state, net = create_train_state(cfg, jax.random.key(0), mesh)
+    assert net.drop_path_rate == 0.3
+    step_fn = make_train_step(net, cfg, mesh, state)
+    images, labels = _synthetic_batch(jax.random.key(5),
+                                      cfg.global_batch, cfg.image_size,
+                                      cfg.num_classes)
+    state, metrics = step_fn(state, images, labels)
+    assert np.isfinite(float(metrics["loss"]))
+    bad = dataclasses.replace(CFG, network="resnet_tiny",
+                              drop_path_rate=0.3)
+    with pytest.raises(ValueError, match="ViT-family"):
+        create_train_state(bad, jax.random.key(0), mesh)

@@ -36,6 +36,10 @@ flags.DEFINE_enum("head", "gap", ["gap", "flatten"],
                   "embedding head variant")
 flags.DEFINE_float("dropout", 0.0,
                    "flatten-head dropout rate (train-mode only)")
+flags.DEFINE_float("drop_path", 0.0,
+                   "stochastic depth for the ViT family: per-block "
+                   "branch-drop rate ramping to this value at the "
+                   "last block (train-mode only)")
 flags.DEFINE_integer("embedding_dim", 512, "embedding size")
 flags.DEFINE_integer("num_classes", 0,
                      "identity count (0 = infer from data)")
@@ -168,6 +172,7 @@ def build_config(num_classes: int) -> "TrainConfig":
         stem=FLAGS.stem,
         head_variant=FLAGS.head,
         dropout_rate=FLAGS.dropout,
+        drop_path_rate=FLAGS.drop_path,
         embedding_dim=FLAGS.embedding_dim,
         num_classes=num_classes,
         image_size=FLAGS.image_size,

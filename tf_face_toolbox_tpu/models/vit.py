@@ -96,18 +96,37 @@ class MultiHeadAttention(nn.Module):
 
 
 class EncoderBlock(nn.Module):
-    """Pre-LN transformer block: LN→MHA→add, LN→MLP(GELU)→add."""
+    """Pre-LN transformer block: LN→MHA→add, LN→MLP(GELU)→add.
+
+    ``drop_path``: stochastic depth (Huang et al. 2016, the standard
+    ViT training regularizer) — in train mode each residual BRANCH is
+    dropped per sample with this probability and the kept samples are
+    rescaled by 1/keep, so eval needs no correction. Uses the trainer's
+    existing 'dropout' PRNG stream; eval mode is deterministic and
+    identical to drop_path=0.
+    """
 
     num_heads: int
     mlp_ratio: int = 4
+    drop_path: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
+    def _drop_path(self, y: jax.Array, train: bool) -> jax.Array:
+        if self.drop_path <= 0.0 or not train:
+            return y
+        keep = 1.0 - self.drop_path
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep,
+                                    (y.shape[0], 1, 1))
+        return jnp.where(mask, y / jnp.asarray(keep, y.dtype),
+                         jnp.zeros((), y.dtype))
+
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         w = x.shape[-1]
         y = LayerNormF32(name="ln1")(x)
-        x = x + MultiHeadAttention(self.num_heads, dtype=self.dtype,
-                                   name="attn")(y)
+        y = MultiHeadAttention(self.num_heads, dtype=self.dtype,
+                               name="attn")(y)
+        x = x + self._drop_path(y, train)
         y = LayerNormF32(name="ln2")(x)
         y = nn.Dense(self.mlp_ratio * w, dtype=self.dtype,
                      param_dtype=jnp.float32,
@@ -115,7 +134,7 @@ class EncoderBlock(nn.Module):
         y = nn.gelu(y)
         y = nn.Dense(w, dtype=self.dtype, param_dtype=jnp.float32,
                      kernel_init=dense_kernel_init, name="mlp2")(y)
-        return x + y
+        return x + self._drop_path(y, train)
 
 
 class FaceViT(nn.Module):
@@ -135,6 +154,9 @@ class FaceViT(nn.Module):
     mlp_ratio: int = 4
     embedding_dim: int = 512
     dropout_rate: float = 0.0
+    # stochastic depth: per-block rate ramps linearly from 0 to this
+    # value at the last block (the DeiT/ViT convention)
+    drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     # Uniform-surface knobs: stem="dct" is structural (the token IS the
     # 8×8 DCT block — this is what makes the zero-decode serving path
@@ -184,8 +206,10 @@ class FaceViT(nn.Module):
                          (1, t, self.width), jnp.float32)
         x = x + pos.astype(self.dtype)
         for i in range(self.depth):
+            rate = (self.drop_path_rate * i / max(self.depth - 1, 1))
             x = EncoderBlock(self.num_heads, mlp_ratio=self.mlp_ratio,
-                             dtype=self.dtype, name=f"Block_{i}")(x)
+                             drop_path=rate, dtype=self.dtype,
+                             name=f"Block_{i}")(x, train)
         x = LayerNormF32(name="ln_final")(x)
         # The zoo's shared gap→FC→BN head; tokens stand in for the
         # spatial map (mean over axes (1,2) == mean over tokens).

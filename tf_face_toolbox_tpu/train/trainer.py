@@ -58,6 +58,10 @@ class TrainConfig:
     # needs a 'dropout' PRNG stream: the trainer folds one from the same
     # per-device step RNG that drives augmentation.
     dropout_rate: float = 0.0
+    # stochastic depth for the ViT family (models/vit.py; per-block
+    # rate ramps to this value at the last block). ViT-only knob —
+    # loudly refused for other networks.
+    drop_path_rate: float = 0.0
     embedding_dim: int = 512
     num_classes: int = 10572          # CASIA-WebFace identity count
     image_size: int = 112
@@ -193,9 +197,16 @@ def create_train_state(cfg: TrainConfig, rng: jax.Array,
         if cfg.network.startswith(("resnet", "se_resnet", "resnext",
                                    "se_resnext", "densenet",
                                    "dct_resnet", "iresnet",
-                                   "mobilefacenet")):
+                                   "mobilefacenet", "dct_vit")):
             kwargs = dict(stem=cfg.stem, head_variant=cfg.head_variant,
                           dropout_rate=cfg.dropout_rate)
+        if cfg.drop_path_rate > 0:
+            if not cfg.network.startswith("dct_vit"):
+                raise ValueError(
+                    "drop_path_rate is a ViT-family knob "
+                    "(stochastic depth over transformer blocks); "
+                    f"network={cfg.network!r} has no block drop path")
+            kwargs["drop_path_rate"] = cfg.drop_path_rate
         if cfg.quantized:
             kwargs["quantized"] = cfg.quantized
         net = create_network(cfg.network, embedding_dim=cfg.embedding_dim,
