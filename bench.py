@@ -370,8 +370,13 @@ def main() -> None:
             best_floor = stats["min"]
             best = stats["median"]
 
+    # The driver's plain run (resnet_v1_50) keeps the historical metric
+    # key; ad-hoc network runs name themselves honestly.
+    metric = ("resnet50_extraction_faces_per_sec_per_chip"
+              if args.network == "resnet_v1_50"
+              else f"{args.network}_extraction_faces_per_sec_per_chip")
     result = {
-        "metric": "resnet50_extraction_faces_per_sec_per_chip",
+        "metric": metric,
         "value": round(best, 1),
         "unit": "faces/sec/chip",
         "vs_baseline": round(best / BASELINE_FACES_PER_SEC, 4),
