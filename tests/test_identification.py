@@ -6,6 +6,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 _CPU_ENV = dict(os.environ, TFFT_PLATFORM="cpu")  # keep CLI subprocesses
 # off the TPU tunnel (slow remote compiles; same recipe as test_cli)
@@ -123,3 +124,60 @@ def test_load_labels_paths_with_spaces(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="trailing integer"):
         load_labels(str(bad))
+
+
+def test_top_k_matches_oracle():
+    """Device top-k equals a numpy cosine argsort, scores descending."""
+    from tf_face_toolbox_tpu.ops.verification import top_k_matches
+
+    rng = np.random.default_rng(0)
+    g = rng.normal(size=(50, 16)).astype(np.float32)
+    p = rng.normal(size=(11, 16)).astype(np.float32)
+    idx, sc = top_k_matches(g, p, k=4, batch=4)  # multiple chunks
+    gn = g / np.linalg.norm(g, axis=1, keepdims=True)
+    pn = p / np.linalg.norm(p, axis=1, keepdims=True)
+    sims = pn @ gn.T
+    want_idx = np.argsort(-sims, axis=1)[:, :4]
+    np.testing.assert_array_equal(idx, want_idx)
+    np.testing.assert_allclose(
+        sc, np.take_along_axis(sims, want_idx, axis=1), atol=1e-5)
+    assert (np.diff(sc, axis=1) <= 1e-7).all()
+    with pytest.raises(ValueError, match="exceeds gallery"):
+        top_k_matches(g, p, k=51)
+
+
+def test_cli_search_end_to_end(tmp_path):
+    """Search CLI: top-1 label recovers the gallery identity for
+    near-duplicate probes; below-threshold probes come back unknown."""
+    import json
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(1)
+    proto = rng.normal(size=(6, 16)).astype(np.float32)
+    gallery = proto + 0.01 * rng.normal(size=(6, 16)).astype(np.float32)
+    probes = np.concatenate([
+        proto[:4] + 0.01 * rng.normal(size=(4, 16)).astype(np.float32),
+        rng.normal(size=(2, 16)).astype(np.float32)])  # impostors
+    np.save(tmp_path / "gal.npy", gallery)
+    np.save(tmp_path / "probe.npy", probes)
+    (tmp_path / "gal_list.txt").write_text(
+        "\n".join(f"img{i}.jpg {100 + i}" for i in range(6)) + "\n")
+
+    env = dict(os.environ, TFFT_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "tf_face_toolbox_tpu.cli.search",
+         f"--gallery={tmp_path/'gal.npy'}",
+         f"--probe={tmp_path/'probe.npy'}",
+         f"--gallery_list={tmp_path/'gal_list.txt'}",
+         "--k=3", "--threshold=0.8",
+         f"--output={tmp_path/'m.npz'}"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["probes"] == 6 and summary["k"] == 3
+    out = np.load(tmp_path / "m.npz")
+    assert out["indices"].shape == (6, 3)
+    np.testing.assert_array_equal(out["labels"][:4, 0],
+                                  [100, 101, 102, 103])
+    assert (out["labels"][4:, 0] == -1).all()  # impostors -> unknown

@@ -38,25 +38,9 @@ flags.mark_flag_as_required("gallery_list")
 flags.mark_flag_as_required("probe_list")
 
 
-def load_labels(path: str) -> np.ndarray:
-    """Labels from a pack list file (``image_path label`` per line).
-
-    Same parse as cli.pack (rsplit on the LAST space), so paths
-    containing spaces resolve identically in both tools."""
-    labels = []
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            _, _, lab = line.rpartition(" ")
-            try:
-                labels.append(int(lab))
-            except ValueError:
-                raise ValueError(
-                    f"{path}: line {len(labels) + 1} has no trailing "
-                    f"integer label: {line!r}") from None
-    return np.asarray(labels)
+# Canonical implementation lives flag-free in data/format.py (shared
+# with cli.search); re-exported here for existing importers.
+from tf_face_toolbox_tpu.data.format import load_labels  # noqa: E402,F401
 
 
 def main(argv):

@@ -207,6 +207,30 @@ class ShardReader:
         return int(self.index.labels[i])
 
 
+def load_labels(path: str) -> np.ndarray:
+    """Labels from a pack list file (``image_path label`` per line).
+
+    Same parse as cli.pack (rsplit on the LAST space), so paths
+    containing spaces resolve identically in both tools. Shared,
+    flag-free home for every consumer (cli.eval_identification,
+    cli.search — one binary per entry point, so CLI modules must not
+    import each other's flag namespaces)."""
+    labels = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            _, _, lab = line.rpartition(" ")
+            try:
+                labels.append(int(lab))
+            except ValueError:
+                raise ValueError(
+                    f"{path}: line {len(labels) + 1} has no trailing "
+                    f"integer label: {line!r}") from None
+    return np.asarray(labels)
+
+
 def pack_image_list(list_path: str, out_path: str, *, root: str = "",
                     recode_size: int = 0,
                     recode_quality: int = 95) -> int:

@@ -128,6 +128,41 @@ def tar_at_far(sims: np.ndarray, labels: np.ndarray,
     return out
 
 
+def top_k_matches(gallery: np.ndarray, probe: np.ndarray, *,
+                  k: int = 5, batch: int = 4096
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Open-set 1:N search: the top-``k`` gallery rows per probe by
+    cosine. Returns ``(indices (P, k) int32, scores (P, k) f32)``,
+    scores descending per row.
+
+    The gallery stays device-resident across probe batches (passed as
+    an argument, never a jit closure constant — one compiled executable
+    serves every batch) and ranking is ``lax.top_k`` on device, so
+    million-entry galleries stream through without a host argsort.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    gallery = np.asarray(gallery)
+    if k > gallery.shape[0]:
+        raise ValueError(f"k={k} exceeds gallery size {gallery.shape[0]}")
+    g = jax.device_put(jnp.asarray(gallery, jnp.float32))
+
+    @jax.jit
+    def chunk(g, p):
+        sims = similarity_matrix(g, p).T        # (B, G)
+        return jax.lax.top_k(sims, k)
+
+    scores, indices = [], []
+    probe = np.asarray(probe)
+    for i in range(0, probe.shape[0], batch):
+        s, ix = chunk(g, jnp.asarray(probe[i:i + batch], jnp.float32))
+        scores.append(np.asarray(s))
+        indices.append(np.asarray(ix, np.int32))
+    if not scores:
+        raise ValueError("empty probe set")
+    return np.concatenate(indices), np.concatenate(scores)
+
+
 def roc_curve(sims: np.ndarray, labels: np.ndarray
               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full ROC at every distinct score: ``(thresholds, far, tar)``.
