@@ -202,3 +202,21 @@ def test_embedding_npz_without_names_roundtrip(tmp_path):
     out, names = load_embeddings(str(p))
     np.testing.assert_array_equal(out, emb)
     assert names is None
+
+
+def test_float16_storage_cosine_budget(tmp_path):
+    """f16 gallery dumps: round-trip keeps unit-vector cosine within
+    ~1e-3 of the f32 embeddings (the --output_dtype=float16 contract)."""
+    from tf_face_toolbox_tpu.train.checkpoint import (
+        load_embeddings, save_embeddings)
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(32, 512)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    path = str(tmp_path / "g16.npy")
+    save_embeddings(path, emb.astype(np.float16))
+    got, _ = load_embeddings(path)
+    assert got.dtype == np.float16
+    g = got.astype(np.float32)
+    cos = np.sum(g * emb, axis=1) / np.linalg.norm(g, axis=1)
+    assert cos.min() > 0.99999, cos.min()  # unit vectors: ~f16 eps

@@ -102,6 +102,13 @@ flags.DEFINE_bool("data_parallel", False,
                   "Serves through net.apply (exclusive with "
                   "--engine folded/fused)")
 flags.DEFINE_bool("bf16", True, "bfloat16 compute")
+flags.DEFINE_enum("output_dtype", "float32", ["float32", "float16"],
+                  "storage dtype of the dumped embeddings: float16 "
+                  "halves gallery files (~1e-3 cosine quantization on "
+                  "unit vectors — fine for search/identification "
+                  "galleries; keep float32 for verification research). "
+                  "Not available for .bin (fixed f32 format) or "
+                  "--chunk_rows memmaps")
 flags.DEFINE_bool("use_ema", False,
                   "extract with the EMA weights (if trained with EMA)")
 flags.mark_flag_as_required("data")
@@ -251,6 +258,15 @@ def main(argv):
         if apply_fn is not None:
             extract_fn = jax.jit(
                 lambda v, x: flip_averaged_embeddings(apply_fn, v, x))
+    if FLAGS.output_dtype == "float16":
+        if FLAGS.output.endswith(".bin"):
+            raise SystemExit("--output_dtype=float16 is not available "
+                             "for .bin (TFFB is a fixed-f32 format); "
+                             "use .npy/.npz/.mat")
+        if FLAGS.chunk_rows:
+            raise SystemExit("--output_dtype=float16 is not available "
+                             "with --chunk_rows (the resumable memmap "
+                             "is f32); cast the finished file instead")
     rows = None
     if FLAGS.rows:
         lo, _, hi = FLAGS.rows.partition(":")
@@ -290,8 +306,11 @@ def main(argv):
             batch=FLAGS.batch, extract_fn=extract_fn,
             loader=FLAGS.loader, norm=norm,
             progress=progress, rows=rows)
+        if FLAGS.output_dtype == "float16":
+            emb = emb.astype(np.float16)
         save_embeddings(FLAGS.output, emb)
-        print(f"wrote {emb.shape} embeddings to {FLAGS.output}")
+        print(f"wrote {emb.shape} {emb.dtype} embeddings to "
+              f"{FLAGS.output}")
 
 
 if __name__ == "__main__":
