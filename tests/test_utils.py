@@ -46,3 +46,23 @@ def test_metric_logger_writes_files(tmp_path):
     # clu default writer emits TensorBoard event files
     assert any(p.name.startswith("events") or p.is_dir()
                for p in tmp_path.iterdir())
+
+
+def test_zoo_report_tool_smoke():
+    """tools/zoo_report.py emits params + compiled-cost rows."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, TFFT_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "zoo_report.py"),
+         "--networks", "resnet_tiny", "--batch", "2",
+         "--image_size", "16"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:]
+    row = json.loads(r.stdout.strip().splitlines()[-1])
+    assert row["network"] == "resnet_tiny" and row["params_m"] > 0
+    assert "mbytes_per_face" in row

@@ -207,3 +207,25 @@ def test_drop_path_trains_through_the_trainer_and_refuses_non_vit():
                               drop_path_rate=0.3)
     with pytest.raises(ValueError, match="ViT-family"):
         create_train_state(bad, jax.random.key(0), mesh)
+
+
+def test_resize_pos_embedding_serves_other_sizes():
+    """A 16²-inited ViT re-targeted to 24² runs and keeps identity:
+    resizing to the SAME grid is exact, and the resized model's output
+    shape contract holds at the new size."""
+    from tf_face_toolbox_tpu.models.vit import resize_pos_embedding
+
+    net = _tiny()
+    v16 = init_variables(net, jax.random.key(0), (1, SIZE, SIZE, 3))
+    same = resize_pos_embedding(v16, (2, 2))
+    np.testing.assert_allclose(
+        np.asarray(same["params"]["pos_embedding"]),
+        np.asarray(v16["params"]["pos_embedding"]), atol=1e-6)
+    v24 = resize_pos_embedding(v16, (3, 3))
+    assert v24["params"]["pos_embedding"].shape == (1, 9, 32)
+    out = net.apply(v24, jnp.ones((2, 24, 24, 3)), train=False)
+    assert out.shape == (2, DIM) and np.isfinite(np.asarray(out)).all()
+    # the original tree is untouched
+    assert v16["params"]["pos_embedding"].shape == (1, 4, 32)
+    with pytest.raises(ValueError, match="token count"):
+        resize_pos_embedding(v16, (3, 3), old_hw=(1, 3))

@@ -58,6 +58,42 @@ def _layer_norm_f32(x: jax.Array, scale: jax.Array,
     return (y * scale + bias).astype(dtype)
 
 
+def resize_pos_embedding(variables: dict, new_hw: tuple[int, int],
+                         old_hw: tuple[int, int] | None = None) -> dict:
+    """Adapt a FaceViT param tree to a new token grid (input size).
+
+    The learned positional embedding pins the grid a model was
+    initialized at; serving or fine-tuning at another 8-multiple crop
+    size needs it re-laid-out. Standard ViT recipe: reshape the (1, T,
+    W) table to its 2-D grid, bilinearly resize to the new grid
+    (jax.image half-pixel semantics, matching the rest of this stack's
+    resize convention), flatten back. Every other parameter is
+    resolution-independent. Returns a NEW variables dict (input
+    untouched).
+
+    ``old_hw`` defaults to the square grid implied by the stored token
+    count; pass it explicitly for non-square models.
+    """
+    pos = variables["params"]["pos_embedding"]
+    t, w = pos.shape[1], pos.shape[2]
+    if old_hw is None:
+        side = int(round(t ** 0.5))
+        if side * side != t:
+            raise ValueError(
+                f"stored pos_embedding has {t} tokens, not a square "
+                "grid; pass old_hw explicitly")
+        old_hw = (side, side)
+    if old_hw[0] * old_hw[1] != t:
+        raise ValueError(f"old_hw {old_hw} != stored token count {t}")
+    grid = jnp.asarray(pos, jnp.float32).reshape(1, *old_hw, w)
+    resized = jax.image.resize(grid, (1, *new_hw, w), method="bilinear")
+    new_pos = resized.reshape(1, new_hw[0] * new_hw[1], w)
+    out = dict(variables)
+    out["params"] = dict(variables["params"])
+    out["params"]["pos_embedding"] = new_pos
+    return out
+
+
 class LayerNormF32(nn.Module):
     """f32-statistics LayerNorm with f32 params (bf16-safe)."""
 
