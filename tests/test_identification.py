@@ -181,3 +181,26 @@ def test_cli_search_end_to_end(tmp_path):
     np.testing.assert_array_equal(out["labels"][:4, 0],
                                   [100, 101, 102, 103])
     assert (out["labels"][4:, 0] == -1).all()  # impostors -> unknown
+
+
+def test_sharded_top_k_matches_equals_single_device():
+    """Gallery sharded over the 8-device mesh: scores exactly equal the
+    single-device ranking, indices equal wherever scores are untied —
+    including a ragged gallery (padding must never place) and
+    k > shard size."""
+    from tf_face_toolbox_tpu.ops.verification import (
+        sharded_top_k_matches, top_k_matches)
+    from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(2)
+    g = rng.normal(size=(43, 16)).astype(np.float32)   # ragged over 8
+    p = rng.normal(size=(9, 16)).astype(np.float32)
+    mesh = create_mesh()
+    for k in (3, 7):  # 7 > ceil(43/8) = 6: the cross-shard merge path
+        idx1, sc1 = top_k_matches(g, p, k=k)
+        idx8, sc8 = sharded_top_k_matches(g, p, k=k, mesh=mesh,
+                                          batch=4)
+        np.testing.assert_allclose(sc8, sc1, atol=1e-5)
+        np.testing.assert_array_equal(idx8, idx1)  # continuous scores:
+        # ties have measure zero with random gaussians
+        assert (idx8 < 43).all()                   # padding never wins

@@ -37,6 +37,11 @@ flags.DEFINE_float("threshold", 0.0,
                    "open-set floor: matches scoring below this become "
                    "identity -1 (only meaningful with --gallery_list)")
 flags.DEFINE_integer("probe_batch", 4096, "probes per device matmul")
+flags.DEFINE_bool("data_parallel", False,
+                  "shard the GALLERY over all visible devices (per-"
+                  "shard top-k + one ICI all-gather of k candidates "
+                  "per device — the pattern for galleries beyond one "
+                  "chip's HBM); results equal single-device ranking")
 flags.DEFINE_string("output", None, "output .npz path")
 flags.mark_flag_as_required("gallery")
 flags.mark_flag_as_required("probe")
@@ -53,8 +58,17 @@ def main(argv):
 
     gallery, _ = load_embeddings(FLAGS.gallery)
     probe, _ = load_embeddings(FLAGS.probe)
-    indices, scores = top_k_matches(gallery, probe, k=FLAGS.k,
-                                    batch=FLAGS.probe_batch)
+    if FLAGS.data_parallel:
+        from tf_face_toolbox_tpu.ops.verification import (
+            sharded_top_k_matches)
+        from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+
+        indices, scores = sharded_top_k_matches(
+            gallery, probe, k=FLAGS.k, mesh=create_mesh(),
+            batch=FLAGS.probe_batch)
+    else:
+        indices, scores = top_k_matches(gallery, probe, k=FLAGS.k,
+                                        batch=FLAGS.probe_batch)
     out = {"indices": indices, "scores": scores.astype(np.float32)}
     summary = {
         "probes": int(probe.shape[0]),

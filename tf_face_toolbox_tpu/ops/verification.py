@@ -163,6 +163,79 @@ def top_k_matches(gallery: np.ndarray, probe: np.ndarray, *,
     return np.concatenate(indices), np.concatenate(scores)
 
 
+def sharded_top_k_matches(gallery: np.ndarray, probe: np.ndarray, *,
+                          k: int, mesh, batch: int = 4096
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Gallery-sharded 1:N search over a device mesh.
+
+    The distributed-serving counterpart of :func:`top_k_matches` for
+    galleries too large for one chip's HBM: rows shard over the mesh's
+    ``data`` axis, each device ranks its shard with ``lax.top_k``
+    (probes replicate — they are k·10³ of bytes against the gallery's
+    10⁹), the per-shard candidates ride ICI once via an all-gather of
+    (n_dev · k) rows, and a final on-device top-k merges them. Exactly
+    equal to the single-device ranking (modulo tie order at equal
+    scores; scores themselves are exact).
+
+    Returns ``(indices (P, k) int32, scores (P, k) f32)`` in GLOBAL
+    gallery row numbering.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from tf_face_toolbox_tpu.parallel.mesh import DATA_AXIS
+
+    gallery = np.asarray(gallery, np.float32)
+    probe = np.asarray(probe, np.float32)
+    n_dev = mesh.shape[DATA_AXIS]
+    g_rows = gallery.shape[0]
+    if k < 1 or k > g_rows:
+        raise ValueError(f"k={k} outside [1, gallery={g_rows}]")
+    pad = -g_rows % n_dev
+    if pad:
+        # padded rows get similarity −2 (below any cosine): they can
+        # never displace a real candidate even when k > shard size
+        gallery = np.concatenate(
+            [gallery, np.zeros((pad, gallery.shape[1]), np.float32)])
+    shard_rows = gallery.shape[0] // n_dev
+    k_local = min(k, shard_rows)
+    g_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    g_dev = jax.device_put(jnp.asarray(gallery), g_sharding)
+
+    @jax.jit
+    def chunk(g, p):
+        def local(g_shard, p_rep):
+            idx0 = jax.lax.axis_index(DATA_AXIS) * shard_rows
+            gs = l2_normalize(g_shard)
+            ps = l2_normalize(p_rep)
+            sims = jnp.dot(ps, gs.T,
+                           preferred_element_type=jnp.float32)
+            row = idx0 + jnp.arange(shard_rows)
+            sims = jnp.where(row[None, :] < g_rows, sims, -2.0)
+            s, ix = jax.lax.top_k(sims, k_local)      # (B, k_local)
+            return s, (ix + idx0).astype(jnp.int32)
+
+        s, ix = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(DATA_AXIS, None), P()),
+            out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        )(g, p)
+        # merged candidate set (B, n_dev·k_local) is replicated; the
+        # final top-k is tiny
+        sm, pos = jax.lax.top_k(s, k)
+        return sm, jnp.take_along_axis(ix, pos, axis=1)
+
+    scores, indices = [], []
+    for i in range(0, probe.shape[0], batch):
+        s, ix = chunk(g_dev, jnp.asarray(probe[i:i + batch]))
+        scores.append(np.asarray(s))
+        indices.append(np.asarray(ix))
+    if not scores:
+        raise ValueError("empty probe set")
+    return np.concatenate(indices), np.concatenate(scores)
+
+
 def roc_curve(sims: np.ndarray, labels: np.ndarray
               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full ROC at every distinct score: ``(thresholds, far, tar)``.
