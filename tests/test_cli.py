@@ -306,3 +306,55 @@ def test_cli_train_sampled_pfc(tmp_path):
                 "--nobf16", "--num_classes=64",
                 "--pfc_sample_rate=0.5"])
     assert "done: step=2" in out
+
+
+def test_cli_train_adaptive_losses_balanced(tmp_path):
+    """--margin=adaface + center/triplet aux losses + the P×K balanced
+    sampler through the real train CLI (r3 adaptive-loss family)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(4)
+    lines = []
+    for i in range(16):
+        arr = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(str(tmp_path / f"a{i}.jpg"),
+                                  "JPEG", quality=95)
+        lines.append(f"a{i}.jpg {i % 8}")   # 8 ids × 2 images
+    (tmp_path / "list.txt").write_text("\n".join(lines) + "\n")
+    shard = str(tmp_path / "a.faceshard")
+    _run(["tf_face_toolbox_tpu.cli.pack",
+          f"--list={tmp_path/'list.txt'}", f"--root={tmp_path}",
+          f"--output={shard}"])
+    out = _run(["tf_face_toolbox_tpu.cli.train",
+                f"--data={shard}", f"--train_dir={tmp_path/'run'}",
+                "--network=resnet_tiny", "--embedding_dim=16",
+                "--image_size=12", "--crop_from=16", "--global_batch=8",
+                "--num_steps=2", "--save_every=2", "--log_every=1",
+                "--nobf16", "--num_classes=8",
+                "--margin=adaface", "--center_loss=0.01",
+                "--triplet_loss=0.3", "--balanced_pk=4,2"])
+    assert "done: step=2" in out
+
+
+def test_cli_train_magface(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    lines = []
+    for i in range(8):
+        arr = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(str(tmp_path / f"m{i}.jpg"),
+                                  "JPEG", quality=95)
+        lines.append(f"m{i}.jpg {i % 4}")
+    (tmp_path / "list.txt").write_text("\n".join(lines) + "\n")
+    shard = str(tmp_path / "m.faceshard")
+    _run(["tf_face_toolbox_tpu.cli.pack",
+          f"--list={tmp_path/'list.txt'}", f"--root={tmp_path}",
+          f"--output={shard}"])
+    out = _run(["tf_face_toolbox_tpu.cli.train",
+                f"--data={shard}", f"--train_dir={tmp_path/'run'}",
+                "--network=resnet_tiny", "--embedding_dim=16",
+                "--image_size=12", "--crop_from=16", "--global_batch=8",
+                "--num_steps=2", "--save_every=2", "--log_every=1",
+                "--nobf16", "--num_classes=4", "--margin=magface"])
+    assert "done: step=2" in out

@@ -68,11 +68,39 @@ flags.DEFINE_float("grad_clip_norm", 0.0,
                    "are psum-combined first, so clipping is "
                    "mesh-invariant). Standard ViT/adamw stabilizer")
 flags.DEFINE_enum("margin", "cosface",
-                  ["softmax", "arcface", "cosface", "sphereface"],
-                  "margin-softmax variant")
+                  ["softmax", "arcface", "cosface", "sphereface",
+                   "magface", "adaface"],
+                  "margin-softmax variant. magface/adaface are the "
+                  "norm-adaptive per-sample families (Meng 2021 / "
+                  "Kim 2022) layered on zero base margins")
 flags.DEFINE_float("margin_scale", 64.0, "logit scale s")
 flags.DEFINE_float("margin_value", -1.0,
                    "margin (-1 = variant default)")
+flags.DEFINE_float("magface_la", 10.0, "MagFace magnitude lower bound")
+flags.DEFINE_float("magface_ua", 110.0, "MagFace magnitude upper bound")
+flags.DEFINE_float("magface_lm", 0.45, "MagFace margin at l_a")
+flags.DEFINE_float("magface_um", 0.8, "MagFace margin at u_a")
+flags.DEFINE_float("magface_lambda_g", 35.0,
+                   "MagFace magnitude-regularizer weight")
+flags.DEFINE_float("adaface_m", 0.4, "AdaFace margin magnitude")
+flags.DEFINE_float("adaface_h", 0.333, "AdaFace norm concentration")
+flags.DEFINE_float("center_loss", 0.0,
+                   "center-loss weight λ (Wen et al. 2016 joint "
+                   "supervision; 0 = off). Centers shard over the "
+                   "model axis like the classifier")
+flags.DEFINE_float("center_alpha", 0.5, "center delta-rule step size")
+flags.DEFINE_float("triplet_loss", 0.0,
+                   "batch-hard triplet weight (Hermans 2017; 0 = off). "
+                   "Mined within each data row's batch — pair with "
+                   "--balanced_pk for guaranteed positives")
+flags.DEFINE_float("triplet_margin", 0.3, "triplet margin")
+flags.DEFINE_string("balanced_pk", "",
+                    "identity-balanced P×K batching: 'P,K' with "
+                    "P·K = the per-host batch. The metric-learning "
+                    "sampler (data/pipeline.balanced_batch_iterator): "
+                    "every batch holds K images of each of P ids, so "
+                    "triplet/center losses always see positives. "
+                    "Python loader only")
 flags.DEFINE_float("pfc_sample_rate", 1.0,
                    "sampled Partial-FC: fraction of each classifier "
                    "shard scored per step (1.0 = exact; 0.1 = the "
@@ -159,14 +187,21 @@ _MARGINS = {  # (m1, m2, m3) defaults per variant
 def build_config(num_classes: int) -> "TrainConfig":
     from tf_face_toolbox_tpu.train.trainer import TrainConfig
 
-    m1, m2, m3 = _MARGINS[FLAGS.margin]
-    if FLAGS.margin_value >= 0:
-        if FLAGS.margin == "arcface":
-            m2 = FLAGS.margin_value
-        elif FLAGS.margin == "cosface":
-            m3 = FLAGS.margin_value
-        elif FLAGS.margin == "sphereface":
-            m1 = FLAGS.margin_value
+    margin_mode = "fixed"
+    if FLAGS.margin in ("magface", "adaface"):
+        # papers' exact losses: zero base margins, per-sample adaptive
+        margin_mode, (m1, m2, m3) = FLAGS.margin, (1.0, 0.0, 0.0)
+    else:
+        m1, m2, m3 = _MARGINS[FLAGS.margin]
+        if FLAGS.margin_value >= 0:
+            if FLAGS.margin == "arcface":
+                m2 = FLAGS.margin_value
+            elif FLAGS.margin == "cosface":
+                m3 = FLAGS.margin_value
+            elif FLAGS.margin == "sphereface":
+                m1 = FLAGS.margin_value
+    from tf_face_toolbox_tpu.ops.losses import (
+        AdaFaceConfig, MagFaceConfig)
     return TrainConfig(
         network=FLAGS.network,
         stem=FLAGS.stem,
@@ -189,6 +224,16 @@ def build_config(num_classes: int) -> "TrainConfig":
         grad_clip_norm=FLAGS.grad_clip_norm,
         margin_scale=FLAGS.margin_scale,
         margin_m1=m1, margin_m2=m2, margin_m3=m3,
+        margin_mode=margin_mode,
+        magface=MagFaceConfig(
+            l_a=FLAGS.magface_la, u_a=FLAGS.magface_ua,
+            l_m=FLAGS.magface_lm, u_m=FLAGS.magface_um,
+            lambda_g=FLAGS.magface_lambda_g),
+        adaface=AdaFaceConfig(m=FLAGS.adaface_m, h=FLAGS.adaface_h),
+        center_weight=FLAGS.center_loss,
+        center_alpha=FLAGS.center_alpha,
+        triplet_weight=FLAGS.triplet_loss,
+        triplet_margin=FLAGS.triplet_margin,
         dtype=jnp.bfloat16 if FLAGS.bf16 else jnp.float32,
         augment=True,
         crop_from=FLAGS.crop_from or FLAGS.image_size + 8,
@@ -355,7 +400,30 @@ def main(argv):
         if FLAGS.loader == "auto":
             from tf_face_toolbox_tpu.data.native import native_available
             use_native = native_available()
-        if FLAGS.loader == "native_dct":
+        if FLAGS.balanced_pk:
+            if FLAGS.loader not in ("auto", "python"):
+                raise SystemExit(
+                    "--balanced_pk is a Python-loader sampler "
+                    f"(got --loader={FLAGS.loader})")
+            from tf_face_toolbox_tpu.data.pipeline import (
+                balanced_batch_iterator)
+            try:
+                p, k = (int(v) for v in FLAGS.balanced_pk.split(","))
+            except ValueError:
+                raise SystemExit("--balanced_pk must be 'P,K' "
+                                 f"(got {FLAGS.balanced_pk!r})")
+            if p * k != host_batch:
+                raise SystemExit(
+                    f"--balanced_pk={p},{k}: P·K={p * k} must equal "
+                    f"the per-host batch {host_batch}")
+            # The balanced sampler is step-indexed (no epoch notion):
+            # resume by the global step alone.
+            batches = balanced_batch_iterator(
+                source, ids_per_batch=p, images_per_id=k,
+                start_step=start_epoch * (
+                    source.num_records // host_batch) + start_step,
+                resize_to=(cfg.crop_from, cfg.crop_from))
+        elif FLAGS.loader == "native_dct":
             from tf_face_toolbox_tpu.data.pipeline import (
                 native_dct_batch_iterator)
             batches = native_dct_batch_iterator(

@@ -194,13 +194,18 @@ class _DecodePool:
 def balanced_batch_iterator(source: FaceShardSource, *,
                             ids_per_batch: int, images_per_id: int,
                             start_step: int = 0,
-                            num_threads: int = 4) -> Iterator[dict]:
+                            num_threads: int = 4,
+                            resize_to: tuple[int, int] | None = None,
+                            ) -> Iterator[dict]:
     """P×K identity-balanced batches (P ids × K images each).
 
     The standard sampler for metric-learning losses: every batch
     contains several images of each sampled identity, so the margin
     objective always sees positive pairs. Deterministic from
     (source.seed, step) — resumable by ``start_step`` alone.
+
+    ``resize_to=(h, w)``: same fixed-geometry decode transform as
+    ``batch_iterator`` (REQUIRED for mixed-size datasets).
     """
     labels = source.index.labels
     by_id: dict[int, np.ndarray] = {}
@@ -218,6 +223,8 @@ def balanced_batch_iterator(source: FaceShardSource, *,
     id_arrays = {lab: np.asarray(by_id[lab]) for lab in eligible}
 
     pool = _DecodePool(source, num_threads) if num_threads > 1 else None
+    transform = ((lambda im: _resize_u8(im, *resize_to))
+                 if resize_to is not None else None)
     step = start_step
     try:
         while True:
@@ -227,9 +234,12 @@ def balanced_batch_iterator(source: FaceShardSource, *,
                 rng.choice(id_arrays[lab], images_per_id, replace=False)
                 for lab in chosen])
             if pool is not None:
-                records = pool.decode(ids)
+                records = pool.decode(ids, transform=transform)
             else:
                 records = [source.record(int(i)) for i in ids]
+                if transform is not None:
+                    records = [(transform(im), lab)
+                               for im, lab in records]
             yield {"image": np.stack([r[0] for r in records]),
                    "label": np.asarray([r[1] for r in records], np.int32),
                    "epoch": 0, "step": step}

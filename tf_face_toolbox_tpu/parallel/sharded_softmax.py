@@ -27,16 +27,27 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from tf_face_toolbox_tpu.ops.losses import MarginConfig, cosine_logits
+from tf_face_toolbox_tpu.ops.losses import (
+    MarginConfig,
+    cosine_logits,
+    margined_target,
+)
 
 
 def local_margin_logits(embeddings: jax.Array, w_shard: jax.Array,
                         labels: jax.Array, cfg: MarginConfig,
-                        axis_name: str) -> tuple[jax.Array, jax.Array]:
+                        axis_name: str,
+                        extra_m2: jax.Array | None = None,
+                        extra_m3: jax.Array | None = None,
+                        ) -> tuple[jax.Array, jax.Array]:
     """Per-shard scaled margin logits + the local one-hot ownership mask.
 
     embeddings: (N, D) — the samples this device sees (full rows of the
       logit block). w_shard: (C_local, D). labels: (N,) GLOBAL ids.
+    ``extra_m2``/``extra_m3``: optional (N,) per-sample margin additions
+    (norm-adaptive losses — ops/losses.magface_margins/adaface_margins);
+    every shard of a data row must pass the SAME arrays (they derive from
+    the gathered row embeddings, which are model-axis-replicated).
     Returns (logits (N, C_local) f32, one_hot (N, C_local) f32).
     """
     idx = jax.lax.axis_index(axis_name)
@@ -52,14 +63,10 @@ def local_margin_logits(embeddings: jax.Array, w_shard: jax.Array,
     cos_theta = cosine_logits(embeddings, w_shard)
     # apply_margin via the mask directly (labels may be off-shard).
     cos_c = jnp.clip(cos_theta, -1.0 + 1e-7, 1.0 - 1e-7)
-    if cfg.m1 != 1.0 or cfg.m2 != 0.0:
-        theta = jnp.arccos(cos_c)
-        theta_m = cfg.m1 * theta + cfg.m2
-        target = jnp.where(theta_m <= jnp.pi, jnp.cos(theta_m),
-                           -1.0 - (theta_m - jnp.pi))
-    else:
-        target = cos_c
-    target = target - cfg.m3
+    target = margined_target(
+        cos_c, cfg,
+        None if extra_m2 is None else extra_m2[:, None],
+        None if extra_m3 is None else extra_m3[:, None])
     logits = cfg.scale * jnp.where(one_hot > 0, target, cos_theta)
     return logits, one_hot
 
@@ -67,7 +74,10 @@ def local_margin_logits(embeddings: jax.Array, w_shard: jax.Array,
 def sharded_margin_softmax_loss(embeddings: jax.Array, w_shard: jax.Array,
                                 labels: jax.Array, cfg: MarginConfig,
                                 axis_name: str = "model",
-                                total_classes: int | None = None) -> jax.Array:
+                                total_classes: int | None = None,
+                                extra_m2: jax.Array | None = None,
+                                extra_m3: jax.Array | None = None,
+                                ) -> jax.Array:
     """Exact distributed cross-entropy over class shards. → scalar (local mean).
 
     Call inside shard_map with ``w_shard`` partitioned over ``axis_name``.
@@ -79,7 +89,8 @@ def sharded_margin_softmax_loss(embeddings: jax.Array, w_shard: jax.Array,
     softmax denominator so padding never changes the math.
     """
     logits, one_hot = local_margin_logits(
-        embeddings, w_shard, labels, cfg, axis_name)
+        embeddings, w_shard, labels, cfg, axis_name,
+        extra_m2=extra_m2, extra_m3=extra_m3)
     c_local = w_shard.shape[0]
     if total_classes is not None:
         idx = jax.lax.axis_index(axis_name)
@@ -112,7 +123,9 @@ def sampled_sharded_margin_softmax_loss(
         embeddings: jax.Array, w_shard: jax.Array, labels: jax.Array,
         cfg: MarginConfig, key: jax.Array, budget: int,
         axis_name: str = "model",
-        total_classes: int | None = None) -> jax.Array:
+        total_classes: int | None = None,
+        extra_m2: jax.Array | None = None,
+        extra_m3: jax.Array | None = None) -> jax.Array:
     """Sampled Partial-FC: score a per-shard class subset, not all of C.
 
     The exact head above is full Partial-FC model-parallelism but still
@@ -185,14 +198,10 @@ def sampled_sharded_margin_softmax_loss(
 
     cos_theta = cosine_logits(embeddings, w_sub)
     cos_c = jnp.clip(cos_theta, -1.0 + 1e-7, 1.0 - 1e-7)
-    if cfg.m1 != 1.0 or cfg.m2 != 0.0:
-        theta = jnp.arccos(cos_c)
-        theta_m = cfg.m1 * theta + cfg.m2
-        target = jnp.where(theta_m <= jnp.pi, jnp.cos(theta_m),
-                           -1.0 - (theta_m - jnp.pi))
-    else:
-        target = cos_c
-    target = target - cfg.m3
+    target = margined_target(
+        cos_c, cfg,
+        None if extra_m2 is None else extra_m2[:, None],
+        None if extra_m3 is None else extra_m3[:, None])
     logits = cfg.scale * jnp.where(one_hot > 0, target, cos_theta)
 
     samp_valid = col_valid[sampled]                  # (budget,) bool
@@ -218,3 +227,59 @@ def sampled_sharded_margin_softmax_loss(
     tgt = jax.lax.psum(local_target, axis_name)
     nll = jnp.log(denom) - tgt
     return jnp.mean(nll)
+
+
+# ---------------------------------------------------------------------------
+# Class-sharded center loss (Wen et al. 2016 joint supervision). The
+# (C, D) center table is the same shape class as the classifier, so it
+# shards over the model axis identically; each sample's center lives on
+# exactly one shard (the ownership mask above) and one tiny psum
+# reassembles the per-sample distances. Single-device oracles:
+# ops/losses.center_loss / center_update.
+# ---------------------------------------------------------------------------
+
+
+def _ownership(labels: jax.Array, c_local: int, axis_name: str):
+    idx = jax.lax.axis_index(axis_name)
+    local = labels - idx * c_local
+    owned = (local >= 0) & (local < c_local)
+    return jnp.where(owned, local, 0), owned
+
+
+def sharded_center_loss(embeddings: jax.Array, c_shard: jax.Array,
+                        labels: jax.Array,
+                        axis_name: str = "model") -> jax.Array:
+    """½·mean‖e_i − c_{y_i}‖² with centers sharded over ``axis_name``.
+
+    ``embeddings``: (N, D) — the model-axis-gathered row batch (every
+    shard of a data row passes identical rows). Centers are DETACHED
+    (delta-rule training — see :func:`sharded_center_update`)."""
+    c_local = c_shard.shape[0]
+    safe, owned = _ownership(labels, c_local, axis_name)
+    c = jax.lax.stop_gradient(c_shard)[safe]
+    d = embeddings.astype(jnp.float32) - c
+    per = jnp.sum(d * d, axis=-1) * owned.astype(jnp.float32)
+    per = jax.lax.psum(per, axis_name)    # exactly one owner per sample
+    return 0.5 * jnp.mean(per)
+
+
+def sharded_center_update(embeddings: jax.Array, c_shard: jax.Array,
+                          labels: jax.Array, *, data_axis: str,
+                          model_axis: str = "model",
+                          alpha: float = 0.5) -> jax.Array:
+    """Delta-rule update of the local center shard.
+
+    c_j ← c_j − α·Σ_{y_i=j}(c_j − e_i)/(1+n_j), with the segment sums
+    taken over the GLOBAL batch: embeddings/labels are the model-axis-
+    gathered row batch, and the (sum, count) statistics psum over
+    ``data_axis`` so every data row applies the identical update
+    (centers are replicated across data, sharded across model)."""
+    e = jax.lax.stop_gradient(embeddings).astype(jnp.float32)
+    c_local = c_shard.shape[0]
+    safe, owned = _ownership(labels, c_local, model_axis)
+    one_hot = jax.nn.one_hot(safe, c_local, dtype=jnp.float32)
+    one_hot = one_hot * owned[:, None].astype(jnp.float32)
+    counts = jax.lax.psum(jnp.sum(one_hot, axis=0), data_axis)   # (C_l,)
+    sum_e = jax.lax.psum(one_hot.T @ e, data_axis)               # (C_l,D)
+    delta = counts[:, None] * c_shard - sum_e
+    return c_shard - alpha * delta / (1.0 + counts)[:, None]

@@ -56,12 +56,20 @@ def load_variables(checkpoint_dir: str, network: str, embedding_dim: int,
         meta = mgr.tree_metadata(step)
         if meta is None:
             raise FileNotFoundError("no checkpoint found")
+        heads = mgr.head_state_children(meta)
         template, _ = create_train_state(
             TrainConfig(network=network, stem=stem, head_variant=head,
                         embedding_dim=embedding_dim,
                         image_size=image_size, dtype=dtype,
                         num_classes=_classifier_rows_from(meta),
-                        ema_decay=0.999 if mgr.has_ema(meta) else 0.0),
+                        ema_decay=0.999 if mgr.has_ema(meta) else 0.0,
+                        # loss-head aux state (AdaFace stats / center
+                        # table) must exist in the template iff the
+                        # checkpoint holds it; the values are unused
+                        # at serving time.
+                        margin_mode=("adaface" if "adaface" in heads
+                                     else "fixed"),
+                        center_weight=1.0 if "centers" in heads else 0.0),
             jax.random.key(0), mesh, net=init_net)
         state = mgr.restore(template, step)
         params = state.params

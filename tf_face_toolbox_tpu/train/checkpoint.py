@@ -144,6 +144,18 @@ class CheckpointManager:
             v.get("value_metadata", {}).get("value_type") != "None"
             for k, v in meta.items())
 
+    def head_state_children(self, meta: dict | None = None) -> set[str]:
+        """Names of the checkpoint's ``TrainState.head_state`` entries
+        (empty set when it was None). Restore templates must recreate
+        the same children ("adaface" EMA stats / "centers" table) or
+        orbax refuses the structure mismatch — pretrained.load_variables
+        and the resume guard in train/loop.py key off this."""
+        meta = self.tree_metadata() if meta is None else meta
+        if not meta:
+            return set()
+        return {k.split("'")[3] for k in meta
+                if k.startswith("('head_state', ")}
+
     def wait(self):
         """Block until async saves are durable (call before exit)."""
         self._mgr.wait_until_finished()

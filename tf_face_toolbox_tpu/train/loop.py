@@ -76,6 +76,15 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
                     "checkpoint EMA state does not match config: resume "
                     f"with {'--ema_decay>0' if mgr.has_ema() else '--ema_decay=0'} "
                     "(the same setting the run was started with)")
+            ck_heads = mgr.head_state_children()
+            st_heads = set(state.head_state or {})
+            if ck_heads != st_heads:
+                raise ValueError(
+                    "checkpoint loss-head state does not match config: "
+                    f"checkpoint has {sorted(ck_heads) or 'none'}, config "
+                    f"builds {sorted(st_heads) or 'none'} — resume with "
+                    "the same --margin/--center_loss settings the run "
+                    "was started with")
             from tf_face_toolbox_tpu.train.trainer import state_pspecs
 
             if jax.process_count() > 1:

@@ -27,3 +27,10 @@ class TrainState:
     # Exponential moving average of backbone params (the reference's
     # tf.train.ExponentialMovingAverage [TF1-IDIOM]); None when disabled.
     ema_params: Any = None
+    # Loss-head auxiliary state, present only when the config needs it:
+    #   "adaface": {"norm_mean", "norm_std"} — EMA feature-norm batch
+    #      stats (ops/losses.adaface_stats_init);
+    #   "centers": (C_local, D) f32 center-loss table, sharded over the
+    #      model axis exactly like `classifier`, trained by the delta
+    #      rule (not the optimizer).
+    head_state: Any = None

@@ -36,11 +36,21 @@ from jax import shard_map
 from tf_face_toolbox_tpu.models import create_network, init_variables
 from tf_face_toolbox_tpu.models.layers import l2_normalize as _l2n
 from tf_face_toolbox_tpu.ops import preprocess as pp
-from tf_face_toolbox_tpu.ops.losses import MarginConfig
+from tf_face_toolbox_tpu.ops.losses import (
+    AdaFaceConfig,
+    MagFaceConfig,
+    MarginConfig,
+    adaface_margins,
+    adaface_stats_init,
+    batch_hard_triplet_loss,
+    magface_margins,
+)
 from tf_face_toolbox_tpu.parallel import collectives
 from tf_face_toolbox_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from tf_face_toolbox_tpu.parallel.sharded_softmax import (
     sampled_sharded_margin_softmax_loss,
+    sharded_center_loss,
+    sharded_center_update,
     sharded_margin_softmax_loss,
 )
 from tf_face_toolbox_tpu.train.schedule import staircase
@@ -90,6 +100,26 @@ class TrainConfig:
     margin_m1: float = 1.0
     margin_m2: float = 0.0
     margin_m3: float = 0.35           # CosFace default
+    # Norm-adaptive per-sample margins layered on the combined-margin
+    # head: "fixed" (the m1/m2/m3 above — reference behavior),
+    # "magface" (margin linear in ‖emb‖ + magnitude regularizer,
+    # Meng et al. 2021), "adaface" (norm-as-quality-proxy margins with
+    # EMA batch stats carried in TrainState.head_state, Kim et al.
+    # 2022). Adaptive modes use m1/m2/m3 as the BASE the per-sample
+    # terms add to (set them 0 for the papers' exact losses).
+    margin_mode: str = "fixed"
+    magface: MagFaceConfig = MagFaceConfig()
+    adaface: AdaFaceConfig = AdaFaceConfig()
+    # Auxiliary metric losses, ADDED to the margin loss (joint
+    # supervision): center loss (Wen et al. 2016 — the reference era's
+    # companion loss; centers shard over `model` like the classifier
+    # and train by the delta rule) and batch-hard triplet (Hermans
+    # et al. 2017 — FaceNet-era; mined within each data-row's batch,
+    # the per-tower behavior; pair with balanced_batch_iterator).
+    center_weight: float = 0.0
+    center_alpha: float = 0.5
+    triplet_weight: float = 0.0
+    triplet_margin: float = 0.3
     # Sampled Partial-FC (An et al. 2021): fraction of each classifier
     # shard scored per step (1.0 = exact full softmax). At 10^6..10^7
     # identities the (N, C_local) logit block is the step's dominant
@@ -222,6 +252,17 @@ def create_train_state(cfg: TrainConfig, rng: jax.Array,
     tx, _ = make_optimizer(cfg)
     opt_state = tx.init({"params": variables["params"],
                          "classifier": classifier})
+    head_state = {}
+    if cfg.margin_mode == "adaface":
+        head_state["adaface"] = adaface_stats_init()
+    elif cfg.margin_mode not in ("fixed", "magface"):
+        raise ValueError(f"unknown margin_mode '{cfg.margin_mode}'; "
+                         "have fixed|magface|adaface")
+    if cfg.center_weight > 0:
+        # Zero-init center table, same padded class count / model-axis
+        # sharding as the classifier (state_pspecs keys on the name).
+        head_state["centers"] = jnp.zeros(
+            (c_pad, cfg.embedding_dim), jnp.float32)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
@@ -231,6 +272,7 @@ def create_train_state(cfg: TrainConfig, rng: jax.Array,
         rng=jax.random.key_data(k_step),
         ema_params=(jax.tree.map(jnp.copy, variables["params"])
                     if cfg.ema_decay > 0 else None),
+        head_state=head_state or None,
     )
     return state, net
 
@@ -241,7 +283,8 @@ def state_pspecs(state: TrainState) -> TrainState:
     def spec(path, leaf):
         names = [str(getattr(p, "key", getattr(p, "name", "")))
                  for p in path]
-        if "classifier" in names and getattr(leaf, "ndim", 0) == 2:
+        if (("classifier" in names or "centers" in names)
+                and getattr(leaf, "ndim", 0) == 2):
             return P(MODEL_AXIS, None)
         return P()
     return jax.tree_util.tree_map_with_path(spec, state)
@@ -294,6 +337,14 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
             raise ValueError(
                 f"distill_alpha must be in (0, 1] with a teacher; "
                 f"got {alpha}")
+        if alpha == 1.0 and (cfg.margin_mode != "fixed"
+                             or cfg.center_weight > 0
+                             or cfg.triplet_weight > 0):
+            raise ValueError(
+                "pure distillation (distill_alpha=1) skips the margin "
+                "branch entirely — margin_mode/center_weight/"
+                "triplet_weight would be silently dead; set "
+                "distill_alpha<1 to mix them")
     else:
         alpha = 0.0
     tx, sched = make_optimizer(cfg)
@@ -362,6 +413,7 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
             emb = emb.astype(jnp.float32)
             total = jnp.float32(0.0)
             parts = {}
+            aux_head = {}
             if distilling:
                 # Frozen teacher on the SAME augmented views, eval mode.
                 # Local-shard mean; the ÷ model-size below makes the
@@ -381,6 +433,51 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
                 emb_g = jax.lax.all_gather(emb, MODEL_AXIS, tiled=True)
                 lab_g = jax.lax.all_gather(labels, MODEL_AXIS,
                                            tiled=True)
+                # Norm-adaptive per-sample margins (model-axis devices
+                # compute identical values from the identical emb_g, so
+                # every shard passes the same arrays — the contract of
+                # local_margin_logits).
+                extra_m2 = extra_m3 = None
+                if cfg.margin_mode == "magface":
+                    extra_m2, g_reg = magface_margins(emb_g, cfg.magface)
+                    parts["magface_reg"] = g_reg
+                    total = total + cfg.magface.lambda_g * g_reg \
+                        / mesh.shape[MODEL_AXIS]
+                elif cfg.margin_mode == "adaface":
+                    safe = jnp.clip(jnp.linalg.norm(
+                        jax.lax.stop_gradient(emb_g), axis=-1),
+                        1e-3, 100.0)
+                    # GLOBAL-batch norm moments: psum over data (model
+                    # rows are identical), two-pass for f32 stability,
+                    # ddof=1 to match the official torch.std.
+                    n_g = jnp.float32(
+                        safe.shape[0] * mesh.shape[DATA_AXIS])
+                    mean_g = jax.lax.psum(jnp.sum(safe), DATA_AXIS) / n_g
+                    ss = jax.lax.psum(
+                        jnp.sum((safe - mean_g) ** 2), DATA_AXIS)
+                    std_g = jnp.sqrt(ss / jnp.maximum(n_g - 1.0, 1.0))
+                    extra_m2, extra_m3, aux_head["adaface"] = \
+                        adaface_margins(
+                            safe, state.head_state["adaface"],
+                            cfg.adaface,
+                            batch_mean=mean_g, batch_std=std_g)
+                if cfg.center_weight > 0:
+                    c_loss = sharded_center_loss(
+                        emb_g, state.head_state["centers"], lab_g,
+                        MODEL_AXIS)
+                    parts["center"] = c_loss
+                    total = total + cfg.center_weight * c_loss \
+                        / mesh.shape[MODEL_AXIS]
+                    aux_head["emb_g"] = jax.lax.stop_gradient(emb_g)
+                    aux_head["lab_g"] = lab_g
+                if cfg.triplet_weight > 0:
+                    # Mined within the data row's gathered batch — the
+                    # per-tower mining pool of the reference era.
+                    t_loss = batch_hard_triplet_loss(
+                        emb_g, lab_g, cfg.triplet_margin)
+                    parts["triplet"] = t_loss
+                    total = total + cfg.triplet_weight * t_loss \
+                        / mesh.shape[MODEL_AXIS]
                 if cfg.pfc_sample_rate < 1.0:
                     import math
                     c_local = classifier.shape[0]
@@ -395,11 +492,13 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
                     m_loss = sampled_sharded_margin_softmax_loss(
                         emb_g, classifier, lab_g, margin, pfc_key,
                         budget, axis_name=MODEL_AXIS,
-                        total_classes=num_classes)
+                        total_classes=num_classes,
+                        extra_m2=extra_m2, extra_m3=extra_m3)
                 else:
                     m_loss = sharded_margin_softmax_loss(
                         emb_g, classifier, lab_g, margin,
-                        axis_name=MODEL_AXIS, total_classes=num_classes)
+                        axis_name=MODEL_AXIS, total_classes=num_classes,
+                        extra_m2=extra_m2, extra_m3=extra_m3)
                 parts["margin"] = m_loss
                 # ÷ model-axis size: every device in a data row computes
                 # the SAME row loss, and the collective transposes
@@ -412,11 +511,12 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
                 # oracle in tests/test_parallel.py).
                 total = total + (1.0 - alpha) * m_loss \
                     / mesh.shape[MODEL_AXIS]
-            return total, (updates["batch_stats"], parts)
+            return total, (updates["batch_stats"], parts, aux_head)
 
-        (loss, (new_bs, parts)), (g_params, g_cls) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(
-                state.params, state.classifier)
+        (loss, (new_bs, parts, aux_head)), (g_params, g_cls) = \
+            jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(
+                    state.params, state.classifier)
 
         # --- explicit gradient exchange (the DP psum of SURVEY §2d) ---
         # Row loss is a mean over the row's samples; model-axis devices
@@ -433,7 +533,29 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
                 (1.0 - alpha) * parts["margin"] if alpha < 1.0 else 0.0)
         else:
             loss = parts["margin"]
+        # Auxiliary terms carry their own weights (independent of the
+        # distill mix) — the reported loss is the optimized objective.
+        if "magface_reg" in parts:
+            loss = loss + cfg.magface.lambda_g * parts["magface_reg"]
+        if "center" in parts:
+            loss = loss + cfg.center_weight * parts["center"]
+        if "triplet" in parts:
+            loss = loss + cfg.triplet_weight * parts["triplet"]
         new_bs = collectives.sync_batch_stats(new_bs)
+
+        # Loss-head auxiliary state: AdaFace EMA norm stats straight
+        # from the (already globally-combined) aux; center table by the
+        # delta rule — outside autodiff, like BN running stats.
+        new_head = state.head_state
+        if new_head is not None:
+            new_head = dict(new_head)
+            if "adaface" in aux_head:
+                new_head["adaface"] = aux_head["adaface"]
+            if "emb_g" in aux_head:
+                new_head["centers"] = sharded_center_update(
+                    aux_head["emb_g"], new_head["centers"],
+                    aux_head["lab_g"], data_axis=DATA_AXIS,
+                    model_axis=MODEL_AXIS, alpha=cfg.center_alpha)
 
         # Global grad norm: classifier lives in shards across `model`,
         # so combine squared norms before the sqrt.
@@ -467,6 +589,7 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
             classifier=new_vars["classifier"],
             opt_state=new_opt,
             ema_params=new_ema,
+            head_state=new_head,
         )
         metrics = {
             "loss": loss,
@@ -477,6 +600,11 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
             metrics["distill_loss"] = parts["distill"]
             if alpha < 1.0:
                 metrics["margin_loss"] = parts["margin"]
+        for k in ("center", "triplet", "magface_reg"):
+            if k in parts:
+                metrics[f"{k}_loss"] = parts[k]
+        if new_head is not None and "adaface" in new_head:
+            metrics["adaface_norm_mean"] = new_head["adaface"]["norm_mean"]
         return new_state, metrics
 
     specs = state_pspecs(state)
