@@ -82,6 +82,12 @@ flags.DEFINE_float("magface_lm", 0.45, "MagFace margin at l_a")
 flags.DEFINE_float("magface_um", 0.8, "MagFace margin at u_a")
 flags.DEFINE_float("magface_lambda_g", 35.0,
                    "MagFace magnitude-regularizer weight")
+flags.DEFINE_integer("subcenters", 1,
+                     "sub-center ArcFace K (Deng 2020): K weight "
+                     "vectors per identity, per-class cosine = max "
+                     "over K — noise-robust training on unclean "
+                     "identity lists. Exact head only "
+                     "(incompatible with --pfc_sample_rate<1)")
 flags.DEFINE_float("adaface_m", 0.4, "AdaFace margin magnitude")
 flags.DEFINE_float("adaface_h", 0.333, "AdaFace norm concentration")
 flags.DEFINE_float("center_loss", 0.0,
@@ -230,6 +236,7 @@ def build_config(num_classes: int) -> "TrainConfig":
             l_m=FLAGS.magface_lm, u_m=FLAGS.magface_um,
             lambda_g=FLAGS.magface_lambda_g),
         adaface=AdaFaceConfig(m=FLAGS.adaface_m, h=FLAGS.adaface_h),
+        subcenters=FLAGS.subcenters,
         center_weight=FLAGS.center_loss,
         center_alpha=FLAGS.center_alpha,
         triplet_weight=FLAGS.triplet_loss,

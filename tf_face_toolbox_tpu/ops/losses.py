@@ -74,6 +74,25 @@ def cosine_logits(embeddings: jax.Array, weights: jax.Array) -> jax.Array:
     return jnp.dot(e, w.T, preferred_element_type=jnp.float32)
 
 
+def subcenter_pool(cos_theta: jax.Array, subcenters: int) -> jax.Array:
+    """(N, C·K) sub-center cosines → (N, C) via max over each class's K.
+
+    Sub-center ArcFace (Deng et al., ECCV 2020): each identity owns K
+    weight vectors (rows c·K..c·K+K−1, class-major) and a sample scores
+    against the CLOSEST one — noisy/mislabeled faces collapse onto
+    minority sub-centers instead of corrupting the dominant one. The max
+    routes the gradient to the winning sub-center only. K=1 is a no-op.
+    """
+    if subcenters == 1:
+        return cos_theta
+    n, ck = cos_theta.shape
+    if ck % subcenters:
+        raise ValueError(f"classifier rows {ck} not divisible by "
+                         f"subcenters {subcenters}")
+    return jnp.max(cos_theta.reshape(n, ck // subcenters, subcenters),
+                   axis=-1)
+
+
 def margined_target(cos_c: jax.Array, cfg: MarginConfig,
                     extra_m2: jax.Array | None = None,
                     extra_m3: jax.Array | None = None) -> jax.Array:
@@ -139,10 +158,15 @@ def apply_margin(cos_theta: jax.Array, labels: jax.Array,
 def margin_softmax_loss(embeddings: jax.Array, weights: jax.Array,
                         labels: jax.Array, cfg: MarginConfig,
                         extra_m2: jax.Array | None = None,
-                        extra_m3: jax.Array | None = None) -> jax.Array:
-    """Mean cross-entropy with combined-margin logits (single device)."""
-    logits = apply_margin(cosine_logits(embeddings, weights), labels, cfg,
-                          extra_m2, extra_m3)
+                        extra_m3: jax.Array | None = None,
+                        subcenters: int = 1) -> jax.Array:
+    """Mean cross-entropy with combined-margin logits (single device).
+
+    ``subcenters=K``: ``weights`` is the class-major (C·K, D) sub-center
+    table; per-class cosine is the max over K (:func:`subcenter_pool`).
+    """
+    cos = subcenter_pool(cosine_logits(embeddings, weights), subcenters)
+    logits = apply_margin(cos, labels, cfg, extra_m2, extra_m3)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     return jnp.mean(nll)

@@ -31,6 +31,7 @@ from tf_face_toolbox_tpu.ops.losses import (
     MarginConfig,
     cosine_logits,
     margined_target,
+    subcenter_pool,
 )
 
 
@@ -39,19 +40,23 @@ def local_margin_logits(embeddings: jax.Array, w_shard: jax.Array,
                         axis_name: str,
                         extra_m2: jax.Array | None = None,
                         extra_m3: jax.Array | None = None,
+                        subcenters: int = 1,
                         ) -> tuple[jax.Array, jax.Array]:
     """Per-shard scaled margin logits + the local one-hot ownership mask.
 
     embeddings: (N, D) — the samples this device sees (full rows of the
-      logit block). w_shard: (C_local, D). labels: (N,) GLOBAL ids.
+      logit block). w_shard: (C_local·K, D). labels: (N,) GLOBAL ids.
     ``extra_m2``/``extra_m3``: optional (N,) per-sample margin additions
     (norm-adaptive losses — ops/losses.magface_margins/adaface_margins);
     every shard of a data row must pass the SAME arrays (they derive from
     the gathered row embeddings, which are model-axis-replicated).
+    ``subcenters=K``: sub-center ArcFace pooling — the shard holds whole
+    classes (K class-major rows each; the trainer pads classes to the
+    shard count first, so rows never straddle shards).
     Returns (logits (N, C_local) f32, one_hot (N, C_local) f32).
     """
     idx = jax.lax.axis_index(axis_name)
-    c_local = w_shard.shape[0]
+    c_local = w_shard.shape[0] // subcenters   # CLASSES on this shard
     offset = idx * c_local
     local_labels = labels - offset
     owned = (local_labels >= 0) & (local_labels < c_local)
@@ -60,7 +65,8 @@ def local_margin_logits(embeddings: jax.Array, w_shard: jax.Array,
     one_hot = jax.nn.one_hot(safe_labels, c_local, dtype=jnp.float32)
     one_hot = one_hot * owned[:, None].astype(jnp.float32)
 
-    cos_theta = cosine_logits(embeddings, w_shard)
+    cos_theta = subcenter_pool(cosine_logits(embeddings, w_shard),
+                               subcenters)
     # apply_margin via the mask directly (labels may be off-shard).
     cos_c = jnp.clip(cos_theta, -1.0 + 1e-7, 1.0 - 1e-7)
     target = margined_target(
@@ -77,6 +83,7 @@ def sharded_margin_softmax_loss(embeddings: jax.Array, w_shard: jax.Array,
                                 total_classes: int | None = None,
                                 extra_m2: jax.Array | None = None,
                                 extra_m3: jax.Array | None = None,
+                                subcenters: int = 1,
                                 ) -> jax.Array:
     """Exact distributed cross-entropy over class shards. → scalar (local mean).
 
@@ -87,11 +94,14 @@ def sharded_margin_softmax_loss(embeddings: jax.Array, w_shard: jax.Array,
     ``total_classes``: true identity count when C was padded up to a
     multiple of the shard count — padded columns are masked out of the
     softmax denominator so padding never changes the math.
+
+    ``subcenters=K``: sub-center ArcFace — ``w_shard`` holds K
+    class-major rows per class; per-class cosine is the max over K.
     """
     logits, one_hot = local_margin_logits(
         embeddings, w_shard, labels, cfg, axis_name,
-        extra_m2=extra_m2, extra_m3=extra_m3)
-    c_local = w_shard.shape[0]
+        extra_m2=extra_m2, extra_m3=extra_m3, subcenters=subcenters)
+    c_local = w_shard.shape[0] // subcenters
     if total_classes is not None:
         idx = jax.lax.axis_index(axis_name)
         col_ids = idx * c_local + jax.lax.broadcasted_iota(

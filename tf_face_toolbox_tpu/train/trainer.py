@@ -110,6 +110,13 @@ class TrainConfig:
     margin_mode: str = "fixed"
     magface: MagFaceConfig = MagFaceConfig()
     adaface: AdaFaceConfig = AdaFaceConfig()
+    # Sub-center ArcFace (Deng et al. 2020): K weight vectors per
+    # identity, per-class cosine = max over K — noise-robust training
+    # on unclean identity lists. The classifier becomes (C_pad·K, D),
+    # class-major, so sharding/optimizer/checkpoint machinery is
+    # untouched. Exact head only (sampled PFC refuses: uniform row
+    # sampling would break class pooling).
+    subcenters: int = 1
     # Auxiliary metric losses, ADDED to the margin loss (joint
     # supervision): center loss (Wen et al. 2016 — the reference era's
     # companion loss; centers shard over `model` like the classifier
@@ -247,8 +254,11 @@ def create_train_state(cfg: TrainConfig, rng: jax.Array,
     variables = dict(variables)
     variables.setdefault("batch_stats", {})
     c_pad = _padded_classes(cfg.num_classes, mesh.shape[MODEL_AXIS])
+    if cfg.subcenters < 1:
+        raise ValueError(f"subcenters must be >= 1 (got {cfg.subcenters})")
     classifier = jax.random.normal(
-        k_cls, (c_pad, cfg.embedding_dim), jnp.float32) * 0.01
+        k_cls, (c_pad * cfg.subcenters, cfg.embedding_dim),
+        jnp.float32) * 0.01
     tx, _ = make_optimizer(cfg)
     opt_state = tx.init({"params": variables["params"],
                          "classifier": classifier})
@@ -347,6 +357,11 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
                 "distill_alpha<1 to mix them")
     else:
         alpha = 0.0
+    if cfg.pfc_sample_rate < 1.0 and cfg.subcenters > 1:
+        raise ValueError(
+            "sampled Partial-FC (pfc_sample_rate < 1) cannot pool "
+            "sub-centers: uniform row sampling would split classes — "
+            "use the exact head (pfc_sample_rate=1) with subcenters")
     tx, sched = make_optimizer(cfg)
     margin = cfg.margin
     num_classes = cfg.num_classes
@@ -498,7 +513,8 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
                     m_loss = sharded_margin_softmax_loss(
                         emb_g, classifier, lab_g, margin,
                         axis_name=MODEL_AXIS, total_classes=num_classes,
-                        extra_m2=extra_m2, extra_m3=extra_m3)
+                        extra_m2=extra_m2, extra_m3=extra_m3,
+                        subcenters=cfg.subcenters)
                 parts["margin"] = m_loss
                 # ÷ model-axis size: every device in a data row computes
                 # the SAME row loss, and the collective transposes
