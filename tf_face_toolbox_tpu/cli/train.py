@@ -162,6 +162,11 @@ flags.DEFINE_bool("distill_use_ema", False,
                   "distill from the teacher checkpoint's EMA weights")
 flags.DEFINE_bool("pallas_input", False,
                   "fused Pallas augmentation kernel (TPU)")
+flags.DEFINE_float("random_erase", 0.0,
+                   "random-erasing probability per image (Zhong 2020; "
+                   "0 = off): a random rectangle becomes gaussian "
+                   "noise after standardization — occlusion "
+                   "robustness for masked/sunglassed faces")
 flags.DEFINE_enum("input_norm", "per_image", ["per_image", "fixed"],
                   "input standardization: per_image = the reference's "
                   "tf.image chain; fixed = (x-127.5)/127.5 — REQUIRED "
@@ -244,6 +249,7 @@ def build_config(num_classes: int) -> "TrainConfig":
         dtype=jnp.bfloat16 if FLAGS.bf16 else jnp.float32,
         augment=True,
         crop_from=FLAGS.crop_from or FLAGS.image_size + 8,
+        random_erase=FLAGS.random_erase,
         ema_decay=FLAGS.ema_decay,
         pfc_sample_rate=FLAGS.pfc_sample_rate,
         pallas_input=FLAGS.pallas_input,

@@ -200,6 +200,45 @@ def preprocess_train(key: jax.Array, images_u8: jax.Array,
     return standardize(x, norm)
 
 
+def random_erase(key: jax.Array, images: jax.Array,
+                 prob: float = 0.5,
+                 area: tuple[float, float] = (0.02, 0.33),
+                 aspect: float = 0.3) -> jax.Array:
+    """Random erasing (Zhong et al., AAAI 2020) — occlusion-robustness
+    augmentation: with probability ``prob`` per image, a rectangle with
+    area fraction ~U(area) and aspect ratio ~exp(U(log a, log 1/a)) is
+    replaced by unit-gaussian noise (the paper's RE-R variant — apply
+    AFTER standardization so the fill matches the input statistics).
+
+    TPU-native formulation: the rectangle is a broadcasted-iota
+    comparison mask, so shapes stay static and the whole op fuses into
+    the augment chain — no dynamic_update_slice, no host RNG.
+    """
+    n, h, w, c = images.shape
+    k_on, k_area, k_asp, k_top, k_left, k_fill = jax.random.split(key, 6)
+    active = jax.random.bernoulli(k_on, prob, (n,))
+    frac = jax.random.uniform(k_area, (n,), minval=area[0],
+                              maxval=area[1])
+    log_a = jax.random.uniform(k_asp, (n,),
+                               minval=jnp.log(aspect),
+                               maxval=-jnp.log(aspect))
+    a = jnp.exp(log_a)
+    target = frac * h * w
+    eh = jnp.clip(jnp.round(jnp.sqrt(target * a)), 1, h)
+    ew = jnp.clip(jnp.round(jnp.sqrt(target / a)), 1, w)
+    top = jnp.floor(jax.random.uniform(k_top, (n,)) * (h - eh + 1))
+    left = jnp.floor(jax.random.uniform(k_left, (n,)) * (w - ew + 1))
+    rows = jax.lax.broadcasted_iota(jnp.float32, (1, h, 1, 1), 1)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (1, 1, w, 1), 2)
+    rsel = (rows >= top[:, None, None, None]) & (
+        rows < (top + eh)[:, None, None, None])
+    csel = (cols >= left[:, None, None, None]) & (
+        cols < (left + ew)[:, None, None, None])
+    mask = rsel & csel & active[:, None, None, None]
+    fill = jax.random.normal(k_fill, images.shape, jnp.float32)
+    return jnp.where(mask, fill.astype(images.dtype), images)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def preprocess_eval(images_u8: jax.Array, crop_h: int, crop_w: int,
                     norm: str = "per_image") -> jax.Array:

@@ -138,6 +138,9 @@ class TrainConfig:
     dtype: Any = jnp.float32          # jnp.bfloat16 on TPU
     augment: bool = True              # on-device crop/flip when input is u8
     crop_from: int = 120              # source size when augmenting
+    # Random erasing (Zhong 2020) probability per image, applied after
+    # standardization (0 = off). Occlusion robustness — masks/sunglasses.
+    random_erase: float = 0.0
     # input standardization: "per_image" (the reference's tf.image
     # chain) or "fixed" ((x-127.5)/127.5) — fine-tuning an imported
     # InsightFace-ecosystem checkpoint must train with the norm it
@@ -412,6 +415,13 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
                                     cfg.input_norm)
         else:
             x = images
+        if cfg.augment and cfg.random_erase > 0:
+            # After standardization, shared by both augment branches
+            # (the Pallas kernel ends at standardize; the erase mask
+            # fuses into the XLA tail). Distinct tag keeps the crop/
+            # flip streams byte-identical whether or not erasing is on.
+            x = pp.random_erase(jax.random.fold_in(dev_rng, 0xE5A5E),
+                                x, cfg.random_erase)
         x = x.astype(cfg.dtype)
 
         # distinct tag keeps the augmentation streams (kc/kf above)
