@@ -69,10 +69,12 @@ flags.DEFINE_float("grad_clip_norm", 0.0,
                    "mesh-invariant). Standard ViT/adamw stabilizer")
 flags.DEFINE_enum("margin", "cosface",
                   ["softmax", "arcface", "cosface", "sphereface",
-                   "magface", "adaface"],
+                   "magface", "adaface", "curricular"],
                   "margin-softmax variant. magface/adaface are the "
                   "norm-adaptive per-sample families (Meng 2021 / "
-                  "Kim 2022) layered on zero base margins")
+                  "Kim 2022) layered on zero base margins; curricular "
+                  "(Huang 2020) modulates hard negatives with an EMA "
+                  "curriculum parameter over an ArcFace margin")
 flags.DEFINE_float("margin_scale", 64.0, "logit scale s")
 flags.DEFINE_float("margin_value", -1.0,
                    "margin (-1 = variant default)")
@@ -202,6 +204,10 @@ def build_config(num_classes: int) -> "TrainConfig":
     if FLAGS.margin in ("magface", "adaface"):
         # papers' exact losses: zero base margins, per-sample adaptive
         margin_mode, (m1, m2, m3) = FLAGS.margin, (1.0, 0.0, 0.0)
+    elif FLAGS.margin == "curricular":
+        # paper default: ArcFace margin 0.5 on the target column
+        m2 = FLAGS.margin_value if FLAGS.margin_value >= 0 else 0.5
+        margin_mode, (m1, m3) = "curricular", (1.0, 0.0)
     else:
         m1, m2, m3 = _MARGINS[FLAGS.margin]
         if FLAGS.margin_value >= 0:

@@ -272,6 +272,41 @@ def adaface_margins(
     return extra_m2, extra_m3, new_stats
 
 
+def curricular_loss(embeddings: jax.Array, weights: jax.Array,
+                    labels: jax.Array, cfg: MarginConfig,
+                    t: jax.Array,
+                    subcenters: int = 1) -> tuple[jax.Array, jax.Array]:
+    """CurricularFace (Huang et al., CVPR 2020), single device.
+
+    Target column gets the combined margin (ArcFace's m2 in the paper);
+    a NEGATIVE column j is modulated when it is harder than the
+    margined target (cos θ_j > T_i): it becomes cos θ_j·(t + cos θ_j),
+    where ``t`` is the EMA curriculum parameter — early training
+    (t≈0) down-weights hard negatives, late training (t→~0.3+)
+    emphasizes them. Update-then-use like the official code:
+    t' = 0.01·mean(target cos) + 0.99·t, the modulation uses t', and
+    ``(mean NLL, t')`` is returned for the caller to carry as state.
+    """
+    cos = subcenter_pool(cosine_logits(embeddings, weights), subcenters)
+    cos_c = jnp.clip(cos, -1.0 + 1e-7, 1.0 - 1e-7)
+    one_hot = jax.nn.one_hot(labels, cos.shape[-1], dtype=jnp.float32)
+    tgt_cos = jnp.sum(cos_c * one_hot, axis=-1)               # (N,)
+    r = jnp.mean(jax.lax.stop_gradient(tgt_cos))
+    t_new = 0.01 * r + 0.99 * t
+    target = margined_target(tgt_cos, cfg)                    # T_i
+    hard = cos_c > jax.lax.stop_gradient(target)[:, None]
+    neg = jnp.where(hard, cos_c * (t_new + cos_c), cos_c)
+    logits = cfg.scale * jnp.where(one_hot > 0, target[:, None], neg)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return jnp.mean(nll), t_new
+
+
+def curricular_t_init() -> dict:
+    """Initial curriculum state (official init: t = 0)."""
+    return {"t": jnp.float32(0.0)}
+
+
 # ---------------------------------------------------------------------------
 # Auxiliary metric losses: center loss (reference-era joint supervision,
 # Wen et al. ECCV 2016) and batch-hard triplet (FaceNet-era, mined per

@@ -180,7 +180,7 @@ def sharded_top_k_matches(gallery: np.ndarray, probe: np.ndarray, *,
     Returns ``(indices (P, k) int32, scores (P, k) f32)`` in GLOBAL
     gallery row numbering.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 

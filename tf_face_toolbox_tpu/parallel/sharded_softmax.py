@@ -293,3 +293,64 @@ def sharded_center_update(embeddings: jax.Array, c_shard: jax.Array,
     sum_e = jax.lax.psum(one_hot.T @ e, data_axis)               # (C_l,D)
     delta = counts[:, None] * c_shard - sum_e
     return c_shard - alpha * delta / (1.0 + counts)[:, None]
+
+
+def sharded_curricular_loss(embeddings: jax.Array, w_shard: jax.Array,
+                            labels: jax.Array, cfg: MarginConfig,
+                            t: jax.Array,
+                            axis_name: str = "model",
+                            total_classes: int | None = None,
+                            subcenters: int = 1,
+                            data_axis: str | None = None,
+                            ) -> tuple[jax.Array, jax.Array]:
+    """Class-sharded CurricularFace (ops/losses.curricular_loss is the
+    single-device oracle). Extra collectives beyond the exact margin
+    softmax: the target cosine lives on one shard, so a psum broadcasts
+    it to every shard for the hard-negative test
+    (cos θ_j > T_i → modulate by t' + cos θ_j).
+
+    Update-then-use like the official code: r = mean target cosine
+    (pmean'd over ``data_axis`` when given, so every device computes
+    the GLOBAL batch statistic), t' = 0.01·r + 0.99·t, and the
+    modulation uses t'. Returns ``(mean NLL over the local rows, t')``
+    — the caller stores t' as the next step's state.
+    """
+    idx = jax.lax.axis_index(axis_name)
+    c_local = w_shard.shape[0] // subcenters
+    offset = idx * c_local
+    local_labels = labels - offset
+    owned = (local_labels >= 0) & (local_labels < c_local)
+    safe_labels = jnp.where(owned, local_labels, 0)
+    one_hot = jax.nn.one_hot(safe_labels, c_local, dtype=jnp.float32)
+    one_hot = one_hot * owned[:, None].astype(jnp.float32)
+
+    cos = subcenter_pool(cosine_logits(embeddings, w_shard), subcenters)
+    cos_c = jnp.clip(cos, -1.0 + 1e-7, 1.0 - 1e-7)
+    # target cosine: exactly one owner per sample → psum assembles (N,)
+    tgt_cos = jax.lax.psum(jnp.sum(cos_c * one_hot, axis=-1), axis_name)
+    r = jnp.mean(jax.lax.stop_gradient(tgt_cos))
+    if data_axis is not None:
+        r = jax.lax.pmean(r, data_axis)
+    t_new = 0.01 * r + 0.99 * t
+    target = margined_target(tgt_cos, cfg)
+    hard = cos_c > jax.lax.stop_gradient(target)[:, None]
+    neg = jnp.where(hard, cos_c * (t_new + cos_c), cos_c)
+    logits = cfg.scale * jnp.where(one_hot > 0, target[:, None], neg)
+
+    if total_classes is not None:
+        col_ids = offset + jax.lax.broadcasted_iota(
+            jnp.int32, (1, c_local), 1)
+        valid = (col_ids < total_classes).astype(jnp.float32)
+    else:
+        valid = jnp.ones((1, c_local), jnp.float32)
+    neg_inf = jnp.float32(-1e30)
+    masked = jnp.where(valid > 0, logits, neg_inf)
+    local_max = jnp.max(masked, axis=-1)
+    global_max = jax.lax.pmax(jax.lax.stop_gradient(local_max), axis_name)
+    shifted = masked - global_max[:, None]
+    denom = jax.lax.psum(jnp.sum(jnp.exp(shifted) * valid, axis=-1),
+                         axis_name)
+    tgt_logit = jax.lax.psum(jnp.sum(shifted * one_hot, axis=-1),
+                             axis_name)
+    nll = jnp.log(denom) - tgt_logit
+    return jnp.mean(nll), t_new

@@ -68,6 +68,8 @@ def load_variables(checkpoint_dir: str, network: str, embedding_dim: int,
                         # checkpoint holds it; the values are unused
                         # at serving time.
                         margin_mode=("adaface" if "adaface" in heads
+                                     else "curricular"
+                                     if "curricular" in heads
                                      else "fixed"),
                         center_weight=1.0 if "centers" in heads else 0.0),
             jax.random.key(0), mesh, net=init_net)

@@ -51,6 +51,7 @@ from tf_face_toolbox_tpu.parallel.sharded_softmax import (
     sampled_sharded_margin_softmax_loss,
     sharded_center_loss,
     sharded_center_update,
+    sharded_curricular_loss,
     sharded_margin_softmax_loss,
 )
 from tf_face_toolbox_tpu.train.schedule import staircase
@@ -105,8 +106,11 @@ class TrainConfig:
     # "magface" (margin linear in ‖emb‖ + magnitude regularizer,
     # Meng et al. 2021), "adaface" (norm-as-quality-proxy margins with
     # EMA batch stats carried in TrainState.head_state, Kim et al.
-    # 2022). Adaptive modes use m1/m2/m3 as the BASE the per-sample
-    # terms add to (set them 0 for the papers' exact losses).
+    # 2022), "curricular" (CurricularFace, Huang et al. 2020:
+    # hard-negative modulation with an EMA curriculum scalar t in
+    # head_state; m2 is the ArcFace-style margin). magface/adaface use
+    # m1/m2/m3 as the BASE the per-sample terms add to (set them 0 for
+    # the papers' exact losses).
     margin_mode: str = "fixed"
     magface: MagFaceConfig = MagFaceConfig()
     adaface: AdaFaceConfig = AdaFaceConfig()
@@ -268,9 +272,12 @@ def create_train_state(cfg: TrainConfig, rng: jax.Array,
     head_state = {}
     if cfg.margin_mode == "adaface":
         head_state["adaface"] = adaface_stats_init()
+    elif cfg.margin_mode == "curricular":
+        from tf_face_toolbox_tpu.ops.losses import curricular_t_init
+        head_state["curricular"] = curricular_t_init()
     elif cfg.margin_mode not in ("fixed", "magface"):
         raise ValueError(f"unknown margin_mode '{cfg.margin_mode}'; "
-                         "have fixed|magface|adaface")
+                         "have fixed|magface|adaface|curricular")
     if cfg.center_weight > 0:
         # Zero-init center table, same padded class count / model-axis
         # sharding as the classifier (state_pspecs keys on the name).
@@ -365,6 +372,11 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
             "sampled Partial-FC (pfc_sample_rate < 1) cannot pool "
             "sub-centers: uniform row sampling would split classes — "
             "use the exact head (pfc_sample_rate=1) with subcenters")
+    if cfg.pfc_sample_rate < 1.0 and cfg.margin_mode == "curricular":
+        raise ValueError(
+            "sampled Partial-FC cannot combine with curricular: the "
+            "hard-negative modulation is defined over ALL negatives — "
+            "use the exact head (pfc_sample_rate=1)")
     tx, sched = make_optimizer(cfg)
     margin = cfg.margin
     num_classes = cfg.num_classes
@@ -503,7 +515,14 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
                     parts["triplet"] = t_loss
                     total = total + cfg.triplet_weight * t_loss \
                         / mesh.shape[MODEL_AXIS]
-                if cfg.pfc_sample_rate < 1.0:
+                if cfg.margin_mode == "curricular":
+                    m_loss, t_new = sharded_curricular_loss(
+                        emb_g, classifier, lab_g, margin,
+                        state.head_state["curricular"]["t"],
+                        axis_name=MODEL_AXIS, total_classes=num_classes,
+                        subcenters=cfg.subcenters, data_axis=DATA_AXIS)
+                    aux_head["curricular"] = {"t": t_new}
+                elif cfg.pfc_sample_rate < 1.0:
                     import math
                     c_local = classifier.shape[0]
                     budget = min(
@@ -577,6 +596,8 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
             new_head = dict(new_head)
             if "adaface" in aux_head:
                 new_head["adaface"] = aux_head["adaface"]
+            if "curricular" in aux_head:
+                new_head["curricular"] = aux_head["curricular"]
             if "emb_g" in aux_head:
                 new_head["centers"] = sharded_center_update(
                     aux_head["emb_g"], new_head["centers"],
@@ -631,6 +652,8 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
                 metrics[f"{k}_loss"] = parts[k]
         if new_head is not None and "adaface" in new_head:
             metrics["adaface_norm_mean"] = new_head["adaface"]["norm_mean"]
+        if new_head is not None and "curricular" in new_head:
+            metrics["curricular_t"] = new_head["curricular"]["t"]
         return new_state, metrics
 
     specs = state_pspecs(state)
