@@ -220,3 +220,34 @@ def test_float16_storage_cosine_budget(tmp_path):
     g = got.astype(np.float32)
     cos = np.sum(g * emb, axis=1) / np.linalg.norm(g, axis=1)
     assert cos.min() > 0.99999, cos.min()  # unit vectors: ~f16 eps
+
+
+def test_quality_scores_match_manual_and_preserve_embeddings():
+    """with_quality: embeddings identical to the plain path, quality ==
+    pre-normalization magnitude of the flip-averaged feature (the
+    MagFace quality signal)."""
+    net, variables = _net_and_vars()
+    x = jax.random.normal(jax.random.key(11), (5, 16, 16, 3))
+    plain = np.asarray(make_extract_fn(net, donate=False)(variables, x))
+    emb, q = make_extract_fn(net, donate=False,
+                             with_quality=True)(variables, x)
+    np.testing.assert_allclose(np.asarray(emb), plain, atol=1e-6)
+    apply_fn = functools.partial(net.apply, train=False)
+    a = np.asarray(apply_fn(variables, x))
+    b = np.asarray(apply_fn(variables, x[:, :, ::-1, :]))
+    want_q = np.linalg.norm((a + b) / 2.0, axis=1)
+    np.testing.assert_allclose(np.asarray(q), want_q, rtol=1e-5)
+
+
+def test_quality_scores_mesh_path_with_ragged_tail():
+    from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+    net, variables = _net_and_vars()
+    mesh = create_mesh()
+    x = jax.random.normal(jax.random.key(12), (5, 16, 16, 3))
+    e1, q1 = make_extract_fn(net, donate=False,
+                             with_quality=True)(variables, x)
+    e2, q2 = make_extract_fn(net, donate=False, mesh=mesh,
+                             with_quality=True)(variables, x)
+    assert q2.shape == (5,)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), rtol=1e-4)

@@ -109,6 +109,14 @@ flags.DEFINE_enum("output_dtype", "float32", ["float32", "float16"],
                   "galleries; keep float32 for verification research). "
                   "Not available for .bin (fixed f32 format) or "
                   "--chunk_rows memmaps")
+flags.DEFINE_string("output_quality", "",
+                    "also write per-face quality scores (.npy, shape "
+                    "(N,)): the PRE-normalization feature magnitude "
+                    "‖(f(x)+f(flip))/2‖ — the quality signal MagFace "
+                    "trains into the norm (Meng 2021), and a useful "
+                    "proxy on any margin-softmax model (gallery "
+                    "curation, enrollment gating). One-shot mode only "
+                    "(not --chunk_rows)")
 flags.DEFINE_bool("use_ema", False,
                   "extract with the EMA weights (if trained with EMA)")
 flags.mark_flag_as_required("data")
@@ -234,7 +242,9 @@ def main(argv):
         mesh = create_mesh()
         logging.info("data-parallel extraction over %d devices",
                      mesh.devices.size)
-        extract_fn = make_extract_fn(net, donate=False, mesh=mesh)
+        extract_fn = make_extract_fn(net, donate=False, mesh=mesh,
+                                     with_quality=bool(
+                                         FLAGS.output_quality))
         engine = "flax"
     if engine == "auto":
         engine = "flax" if quant else "folded"
@@ -257,7 +267,9 @@ def main(argv):
             apply_fn = None
         if apply_fn is not None:
             extract_fn = jax.jit(
-                lambda v, x: flip_averaged_embeddings(apply_fn, v, x))
+                lambda v, x: flip_averaged_embeddings(
+                    apply_fn, v, x,
+                    with_quality=bool(FLAGS.output_quality)))
     if FLAGS.output_dtype == "float16":
         if FLAGS.output.endswith(".bin"):
             raise SystemExit("--output_dtype=float16 is not available "
@@ -282,6 +294,10 @@ def main(argv):
                 "--chunk_rows writes a disk-backed .npy (the memmap "
                 f"format); --output={FLAGS.output!r} is not .npy — "
                 "drop --chunk_rows for .npz/.mat/.bin one-shot dumps")
+        if FLAGS.output_quality:
+            raise SystemExit(
+                "--output_quality is one-shot-mode only (the resumable "
+                "memmap stores embeddings alone); drop --chunk_rows")
         from tf_face_toolbox_tpu.extract import extract_shard_to_npy
         tag = None
         if bundle_meta is not None:
@@ -305,7 +321,13 @@ def main(argv):
             image_size=image_size, crop_from=crop_from,
             batch=FLAGS.batch, extract_fn=extract_fn,
             loader=FLAGS.loader, norm=norm,
-            progress=progress, rows=rows)
+            progress=progress, rows=rows,
+            with_quality=bool(FLAGS.output_quality))
+        if FLAGS.output_quality:
+            emb, quality = emb
+            np.save(FLAGS.output_quality, quality.astype(np.float32))
+            print(f"wrote {quality.shape} quality scores to "
+                  f"{FLAGS.output_quality}")
         if FLAGS.output_dtype == "float16":
             emb = emb.astype(np.float16)
         save_embeddings(FLAGS.output, emb)

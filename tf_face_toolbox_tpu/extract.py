@@ -27,7 +27,8 @@ from tf_face_toolbox_tpu.models.layers import l2_normalize
 
 
 def flip_averaged_embeddings(apply_fn: Callable, variables: Any,
-                             images: jax.Array) -> jax.Array:
+                             images: jax.Array,
+                             with_quality: bool = False):
     """Core extraction math: l2norm(f(x) + f(flip(x))).
 
     ``apply_fn(variables, images)`` must run the backbone in eval mode.
@@ -36,6 +37,11 @@ def flip_averaged_embeddings(apply_fn: Callable, variables: Any,
     is a DCT-coefficient tensor (trailing dim C·64, the dct stem's
     zero-decode input), the flip happens in the frequency domain —
     exactly equivalent (ops/dct.flip_coefficients, tested).
+
+    ``with_quality``: also return the PRE-normalization magnitude
+    ‖(f(x)+f(flip))/2‖ per face — the feature-norm quality score
+    (MagFace's trained signal, and an informative proxy on any
+    margin-softmax model). → ``(embeddings, quality (N,) f32)``.
     """
     n = images.shape[0]
     if images.shape[-1] != 3 and images.shape[-1] % 64 == 0:
@@ -46,13 +52,20 @@ def flip_averaged_embeddings(apply_fn: Callable, variables: Any,
         flipped = images[:, :, ::-1, :]
     both = jnp.concatenate([images, flipped], axis=0)
     emb = apply_fn(variables, both)
-    return l2_normalize(emb[:n] + emb[n:])
+    s = (emb[:n] + emb[n:]).astype(jnp.float32)
+    out = l2_normalize(s)
+    if with_quality:
+        return out, 0.5 * jnp.sqrt(jnp.sum(s * s, axis=-1) + 1e-12)
+    return out
 
 
-def make_extract_fn(net, *, donate: bool = True, mesh=None) -> Callable:
+def make_extract_fn(net, *, donate: bool = True, mesh=None,
+                    with_quality: bool = False) -> Callable:
     """Build the jitted extraction step for a backbone module.
 
-    Returns ``extract(variables, images) -> (N, D) f32 embeddings``.
+    Returns ``extract(variables, images) -> (N, D) f32 embeddings``
+    (``(embeddings, quality (N,))`` with ``with_quality`` — the
+    pre-normalization feature magnitude, MagFace's quality signal).
     ``images`` are standardized pixels (see ops.preprocess).
 
     ``mesh``: shard extraction data-parallel over a device mesh — the
@@ -66,7 +79,8 @@ def make_extract_fn(net, *, donate: bool = True, mesh=None) -> Callable:
         return net.apply(variables, images, train=False)
 
     def _extract(variables, images):
-        return flip_averaged_embeddings(_apply, variables, images)
+        return flip_averaged_embeddings(_apply, variables, images,
+                                        with_quality=with_quality)
 
     donate_argnums = (1,) if donate else ()
     if mesh is None:
@@ -77,10 +91,12 @@ def make_extract_fn(net, *, donate: bool = True, mesh=None) -> Callable:
 
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
     replicated = NamedSharding(mesh, P())
+    out_shardings = ((batch_sharding, batch_sharding) if with_quality
+                     else batch_sharding)
     jitted = jax.jit(
         _extract,
         in_shardings=(replicated, batch_sharding),
-        out_shardings=batch_sharding,
+        out_shardings=out_shardings,
         donate_argnums=donate_argnums,
     )
     n_data = mesh.shape[DATA_AXIS]
@@ -95,7 +111,10 @@ def make_extract_fn(net, *, donate: bool = True, mesh=None) -> Callable:
                 [images, jnp.broadcast_to(images[:1],
                                           (rem,) + images.shape[1:])])
         out = jitted(variables, images)
-        return out[:n] if rem else out
+        if not rem:
+            return out
+        return (jax.tree.map(lambda o: o[:n], out) if with_quality
+                else out[:n])
 
     return _padded
 
@@ -107,8 +126,13 @@ def extract_shard(net, variables, source, *, image_size: int,
                   extract_fn: Callable | None = None,
                   progress: Callable[[int, int], None] | None = None,
                   rows: tuple[int, int] | None = None,
-                  ) -> np.ndarray:
+                  with_quality: bool = False,
+                  ):
     """Extract embeddings for every record of a FaceShardSource.
+
+    ``with_quality``: also return per-face feature-norm quality scores
+    → ``(embeddings (N, D), quality (N,))``. When passing a custom
+    ``extract_fn`` it must return the same pair.
 
     The shared eval-extraction path (offline extract CLI and the
     in-training eval hook both route through here so their embeddings
@@ -142,8 +166,14 @@ def extract_shard(net, variables, source, *, image_size: int,
         # source scale is the model's input size, so default to it
         # instead of the pixel chain's image_size+8
         crop_from = crop_from or image_size
-    fn = extract_fn or make_extract_fn(net, donate=False)
+    fn = extract_fn or make_extract_fn(net, donate=False,
+                                       with_quality=with_quality)
     n = (rows[1] - rows[0]) if rows is not None else source.index.count
+
+    def _host(out):
+        return (tuple(np.asarray(o) for o in out) if with_quality
+                else np.asarray(out))
+
     outs = []
     done = 0
     pending = None  # one device batch in flight: jax dispatch is async,
@@ -158,18 +188,21 @@ def extract_shard(net, variables, source, *, image_size: int,
                                    loader=loader, norm=norm, rows=rows):
         out = fn(variables, x)
         if pending is not None:
-            outs.append(np.asarray(pending))
+            outs.append(_host(pending))
             done += pending_rows
             if progress is not None:
                 progress(done, n)
         pending, pending_rows = out, x.shape[0]
     if pending is not None:
-        outs.append(np.asarray(pending))
+        outs.append(_host(pending))
         done += pending_rows
         if progress is not None:
             progress(done, n)
     if not outs:
         raise ValueError("nothing to extract: empty shard or row range")
+    if with_quality:
+        return (np.concatenate([o[0] for o in outs]),
+                np.concatenate([o[1] for o in outs]))
     return np.concatenate(outs)
 
 
