@@ -140,6 +140,30 @@ def test_http_server_e2e(service):
         want = service.embed_batch(img[None])[0]
         np.testing.assert_allclose(emb_npy, want, atol=1e-5)
 
+        # ?quality=1: per-face feature-norm quality score rides along
+        buf = io.BytesIO()
+        np.save(buf, img)
+        req = urllib.request.Request(f"{base}/embed?quality=1",
+                                     data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req) as r:
+            payload = json.loads(r.read())
+        assert payload["quality"] > 0
+        np.testing.assert_allclose(np.asarray(payload["embedding"]),
+                                   want, atol=1e-5)
+        _, want_q = service.embed_batch(img[None], with_quality=True)
+        np.testing.assert_allclose(payload["quality"], want_q[0],
+                                   rtol=1e-4)
+
+        # bulk + quality
+        buf = io.BytesIO()
+        np.save(buf, _images(3, seed=4))
+        req = urllib.request.Request(f"{base}/embed_batch?quality=1",
+                                     data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req) as r:
+            payload = json.loads(r.read())
+        assert len(payload["qualities"]) == 3
+        assert all(q > 0 for q in payload["qualities"])
+
         # malformed body → 400, server keeps serving
         req = urllib.request.Request(f"{base}/embed", data=b"not an image",
                                      method="POST")

@@ -106,7 +106,12 @@ class EmbeddingService:
         def forward(variables, images_u8):
             x = preprocess_eval(images_u8, image_size, image_size, norm)
             x = x.astype(dtype)
-            return flip_averaged_embeddings(apply_fn, variables, x)
+            # quality (pre-normalization feature magnitude — MagFace's
+            # signal) always rides along: one (N,) scalar per face is
+            # free next to the embedding, and a resident program can't
+            # be re-specialized per request
+            return flip_averaged_embeddings(apply_fn, variables, x,
+                                            with_quality=True)
 
         return forward
 
@@ -123,7 +128,7 @@ class EmbeddingService:
         forward, variables = self._model
         dummy = np.zeros(
             (self.batch, self.crop_from, self.crop_from, 3), np.uint8)
-        np.asarray(forward(variables, jnp.asarray(dummy)))
+        jax.block_until_ready(forward(variables, jnp.asarray(dummy)))
 
     def reload(self, variables, *, apply_fn: Callable | None | type(...) = ...,
                step: int | None = None) -> None:
@@ -168,7 +173,8 @@ class EmbeddingService:
             forward = self._build_forward(apply_fn)
             dummy = np.zeros(
                 (self.batch, self.crop_from, self.crop_from, 3), np.uint8)
-            np.asarray(forward(variables, jnp.asarray(dummy)))  # warm
+            jax.block_until_ready(
+                forward(variables, jnp.asarray(dummy)))  # warm
             self._weights_baked = apply_fn is not None
         self._model = (forward, variables)
         self.step = step
@@ -192,10 +198,10 @@ class EmbeddingService:
 
     def dispatch_batch(self, images: "np.ndarray"):
         """Async half of embed_batch: pad, enqueue the device call, and
-        return the (not-yet-materialized) device array — jax dispatch is
-        asynchronous, so the caller can overlap collection of the next
-        batch with this one's device round trip. Finish with
-        ``np.asarray(result)[:n]``."""
+        return the (not-yet-materialized) ``(embeddings, quality)``
+        device arrays — jax dispatch is asynchronous, so the caller can
+        overlap collection of the next batch with this one's device
+        round trip. Finish with ``np.asarray(...)[:n]`` per element."""
         n = images.shape[0]
         if n > self.batch:
             raise ValueError(f"{n} > service batch {self.batch}")
@@ -210,12 +216,15 @@ class EmbeddingService:
         forward, variables = self._model   # one read: reload-atomic
         return forward(variables, jnp.asarray(images))
 
-    def embed_batch(self, images: "np.ndarray") -> np.ndarray:
+    def embed_batch(self, images: "np.ndarray",
+                    with_quality: bool = False):
         """(N<=batch, crop_from, crop_from, 3) uint8 → (N, D) f32
-        unit-norm embeddings. Pads to the fixed batch so the compiled
-        program is reused."""
+        unit-norm embeddings (plus (N,) quality scores when asked).
+        Pads to the fixed batch so the compiled program is reused."""
         n = images.shape[0]
-        return np.asarray(self.dispatch_batch(images))[:n]
+        emb, q = self.dispatch_batch(images)
+        emb = np.asarray(emb)[:n]
+        return (emb, np.asarray(q)[:n]) if with_quality else emb
 
     def decode_request(self, body: bytes) -> np.ndarray:
         """One request body → (crop_from, crop_from, 3) uint8, through
@@ -243,8 +252,8 @@ class EmbeddingService:
                           self.crop_from, self.crop_from)
 
 
-def bulk_embed(batcher: "DynamicBatcher",
-               images: "np.ndarray") -> np.ndarray:
+def bulk_embed(batcher: "DynamicBatcher", images: "np.ndarray",
+               with_quality: bool = False):
     """Bulk path shared by every transport front-end: chunk ``images``
     (already decoded to the service scale) through the fixed-batch
     program, dispatching every chunk BEFORE materializing any so the
@@ -255,11 +264,14 @@ def bulk_embed(batcher: "DynamicBatcher",
     spans = [(i, min(i + service.batch, len(images)))
              for i in range(0, len(images), service.batch)]
     outs = [service.dispatch_batch(images[a:b]) for a, b in spans]
-    embs = np.concatenate([np.asarray(o)[:b - a]
+    embs = np.concatenate([np.asarray(o[0])[:b - a]
                            for o, (a, b) in zip(outs, spans)])
+    quals = (np.concatenate([np.asarray(o[1])[:b - a]
+                             for o, (a, b) in zip(outs, spans)])
+             if with_quality else None)
     batcher.record_bulk(images=len(images), device_calls=len(spans),
                         elapsed=time.monotonic() - t0)
-    return embs
+    return (embs, quals) if with_quality else embs
 
 
 def health_payload(service: EmbeddingService) -> dict:
@@ -352,7 +364,8 @@ class DynamicBatcher:
                 self._stats[key] += d
 
     def submit(self, image: np.ndarray,
-               timeout: float = 30.0) -> np.ndarray:
+               timeout: float = 30.0,
+               with_quality: bool = False):
         # validate BEFORE coalescing: a malformed request must fail
         # alone, not poison the batch it would have joined
         self.service.validate(image)
@@ -377,7 +390,7 @@ class DynamicBatcher:
             raise TimeoutError("embedding request timed out")
         if p.error is not None:
             raise p.error
-        return p.result
+        return p.result if with_quality else p.result[0]
 
     def record_bulk(self, *, images: int, device_calls: int,
                     elapsed: float) -> None:
@@ -456,9 +469,10 @@ class DynamicBatcher:
                     return
                 continue
             try:
-                embs = np.asarray(device_out)[:len(batch)]
-                for p, e in zip(batch, embs):
-                    p.result = e
+                embs = np.asarray(device_out[0])[:len(batch)]
+                quals = np.asarray(device_out[1])[:len(batch)]
+                for p, e, q in zip(batch, embs, quals):
+                    p.result = (e, q)
             except Exception as e:
                 for p in batch:
                     p.error = e
@@ -512,10 +526,12 @@ def serve(batcher: "DynamicBatcher | dict[str, DynamicBatcher]", *,
     inflight_cv = threading.Condition()
 
     def route(raw_path: str):
-        """→ (path, batcher | None, model_name). None = unknown model."""
+        """→ (path, batcher | None, model_name, want_quality)."""
         parts = urlsplit(raw_path)
-        name = parse_qs(parts.query).get("model", [default_name])[0]
-        return parts.path, batchers.get(name, None), name
+        qs = parse_qs(parts.query)
+        name = qs.get("model", [default_name])[0]
+        quality = qs.get("quality", ["0"])[0] not in ("0", "", "false")
+        return parts.path, batchers.get(name, None), name, quality
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet; stats endpoint instead
@@ -557,7 +573,7 @@ def serve(batcher: "DynamicBatcher | dict[str, DynamicBatcher]", *,
                 pass  # client went away; nothing to tell it
 
         def do_GET(self):
-            path, b, name = route(self.path)
+            path, b, name, _ = route(self.path)
             if path not in ("/healthz", "/stats"):
                 self._reply(404, {"error": "unknown path"})
                 return
@@ -591,7 +607,7 @@ def serve(batcher: "DynamicBatcher | dict[str, DynamicBatcher]", *,
                     inflight_cv.notify_all()
 
         def _do_post(self):
-            path, b, name = route(self.path)
+            path, b, name, want_quality = route(self.path)
             if path not in ("/embed", "/embed_batch"):
                 self._reply(404, {"error": "unknown path"})
                 return
@@ -634,17 +650,38 @@ def serve(batcher: "DynamicBatcher | dict[str, DynamicBatcher]", *,
                 return
             try:
                 if path == "/embed_batch":
-                    embs = bulk_embed(b, images)
+                    out = bulk_embed(b, images,
+                                     with_quality=want_quality)
+                    embs, quals = out if want_quality else (out, None)
                     if self._wants_npy():
+                        # binary responses carry one array; quality
+                        # scores need the JSON shape
+                        if want_quality:
+                            self._reply(400, {
+                                "error": "quality=1 is JSON-only; drop "
+                                         "the x-npy Accept header"})
+                            return
                         self._reply_npy(embs.astype(np.float32))
                     else:
-                        self._reply(200, {"embeddings": embs.tolist()})
+                        payload = {"embeddings": embs.tolist()}
+                        if want_quality:
+                            payload["qualities"] = quals.tolist()
+                        self._reply(200, payload)
                 else:
-                    emb = b.submit(images[0])
+                    out = b.submit(images[0], with_quality=want_quality)
+                    emb, qual = out if want_quality else (out, None)
                     if self._wants_npy():
+                        if want_quality:
+                            self._reply(400, {
+                                "error": "quality=1 is JSON-only; drop "
+                                         "the x-npy Accept header"})
+                            return
                         self._reply_npy(np.asarray(emb, np.float32))
                     else:
-                        self._reply(200, {"embedding": emb.tolist()})
+                        payload = {"embedding": emb.tolist()}
+                        if want_quality:
+                            payload["quality"] = float(qual)
+                        self._reply(200, payload)
             except Exception as e:  # device/backlog fault → server error
                 self._reply(503 if isinstance(e, TimeoutError) else 500,
                             {"error": f"{type(e).__name__}: {e}"})

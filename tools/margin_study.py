@@ -35,12 +35,12 @@ for i in range(NUM_IDS):
 templates = (templates - templates.mean()) / (templates.std() + 1e-6)
 NOISE = 3.5   # harder than the demo so variants separate
 
-def run_variant(tag, m2, m3):
+def run_variant(tag, m2, m3, **cfg_kw):
     cfg = TrainConfig(network='resnet_v1_50', num_classes=NUM_IDS, image_size=SIZE,
                       global_batch=B, dtype=jnp.bfloat16, augment=False,
                       base_lr=0.05, warmup_steps=50, weight_decay=5e-4,
                       margin_scale=32.0, margin_m2=m2, margin_m3=m3,
-                      lr_boundaries=(250, 350))
+                      lr_boundaries=(250, 350), **cfg_kw)
     mesh = create_mesh()
     net = create_network(cfg.network, embedding_dim=cfg.embedding_dim,
                          dtype=cfg.dtype, stem='imagenet')
@@ -74,6 +74,35 @@ def run_variant(tag, m2, m3):
     acc = verify_pairs(emb[i1][order], emb[i2][order], lab[order])["accuracy_mean"]
     print("%s: final loss %.3f, held-out verification %.3f" % (tag, float(m['loss']), acc), flush=True)
 
-run_variant('softmax  (m2=0,   m3=0)',    0.0, 0.0)
-run_variant('cosface  (m2=0,   m3=0.2)',  0.0, 0.2)
-run_variant('arcface  (m2=0.3, m3=0)',    0.3, 0.0)
+VARIANTS = {
+    'softmax':    lambda: run_variant('softmax  (m2=0,   m3=0)', 0.0, 0.0),
+    'cosface':    lambda: run_variant('cosface  (m2=0,   m3=0.2)', 0.0, 0.2),
+    'arcface':    lambda: run_variant('arcface  (m2=0.3, m3=0)', 0.3, 0.0),
+    # r3 adaptive/metric family (paper-default hyperparameters scaled
+    # to this synthetic task's 0.2-0.3 margin regime)
+    'magface':    lambda: run_variant(
+        'magface  (m 0.2..0.45)', 0.0, 0.0, margin_mode='magface',
+        magface=__import__('tf_face_toolbox_tpu.ops.losses',
+                           fromlist=['MagFaceConfig']).MagFaceConfig(
+            l_m=0.2, u_m=0.45, lambda_g=5.0)),
+    'adaface':    lambda: run_variant(
+        'adaface  (m=0.25)', 0.0, 0.0, margin_mode='adaface',
+        adaface=__import__('tf_face_toolbox_tpu.ops.losses',
+                           fromlist=['AdaFaceConfig']).AdaFaceConfig(
+            m=0.25)),
+    'curricular': lambda: run_variant(
+        'curricular (m2=0.3)', 0.3, 0.0, margin_mode='curricular'),
+    'subcenter':  lambda: run_variant(
+        'arcface+K=3 subcenters', 0.3, 0.0, subcenters=3),
+    'center':     lambda: run_variant(
+        'cosface + center(5e-4)', 0.0, 0.2, center_weight=5e-4),
+    'triplet':    lambda: run_variant(
+        'cosface + triplet(0.2)', 0.0, 0.2, triplet_weight=0.2),
+}
+
+if __name__ == '__main__':
+    names = sys.argv[1:] or ['softmax', 'cosface', 'arcface']
+    if names == ['all']:
+        names = list(VARIANTS)
+    for n in names:
+        VARIANTS[n]()

@@ -95,7 +95,7 @@ def main():
     t0 = time.perf_counter()
     outs = [svc.dispatch_batch(imgs) for _ in range(args.reps)]
     for o in outs:
-        np.asarray(o)
+        np.asarray(o[0])
     pipe = args.reps * args.batch / (time.perf_counter() - t0)
     print(f"pipelined dispatch:  {pipe:10,.0f} faces/sec "
           f"({pipe / serial:.2f}x)")
