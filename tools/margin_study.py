@@ -1,15 +1,21 @@
 """Margin-variant comparison on real TPU hardware.
 
 Trains ResNet-50 on structured synthetic identities (noise 3.5x template
-scale) with three heads and evaluates held-out pair verification.
+scale) and evaluates held-out pair verification.
 Measured on v5e-1 (400 steps, batch 256):
 
-    softmax                 0.980
-    cosface  (m3=0.2)       0.990
-    arcface  (m2=0.3)       0.995
+    softmax                      0.980
+    cosface    (m3=0.2)          0.990
+    arcface    (m2=0.3)          0.995
+    magface    (m 0.2..0.45)     0.995   (r3 adaptive family)
+    adaface    (m=0.25)          0.995
+    curricular (m2=0.3)          0.990
+    arcface + K=3 subcenters     0.995
 
-The canonical margin ordering reproduces end-to-end through this stack.
-Run: python tools/margin_study.py  (from the repo root; ~15 min)
+The canonical margin ordering reproduces end-to-end through this stack,
+and every r3 adaptive/metric head trains to margin-family accuracy on
+hardware. Run: python tools/margin_study.py [variant ...|all]
+(from the repo root; ~5 min per variant)
 """
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(
