@@ -22,6 +22,15 @@ flags.DEFINE_integer("recode_size", 0,
                      "4:4:4 JPEG (multiple of 8) — the uniform shard "
                      "the DCT input path needs; 0 keeps original bytes")
 flags.DEFINE_integer("recode_quality", 95, "JPEG quality when recoding")
+flags.DEFINE_string("landmarks", "",
+                    "align while packing: file parallel to --list with "
+                    "10 floats per line (x1 y1 .. x5 y5 — eyes, nose, "
+                    "mouth corners); each face is similarity-aligned "
+                    "to the ArcFace template (ops/align, Umeyama) at "
+                    "--align_size² and re-encoded 4:4:4. The external "
+                    "MTCNN-era alignment step, folded into the packer")
+flags.DEFINE_integer("align_size", 112,
+                     "aligned crop size (multiple of 8)")
 flags.mark_flag_as_required("list")
 flags.mark_flag_as_required("output")
 
@@ -34,7 +43,9 @@ def main(argv):
 
     n = pack_image_list(FLAGS.list, FLAGS.output, root=FLAGS.root,
                         recode_size=FLAGS.recode_size,
-                        recode_quality=FLAGS.recode_quality)
+                        recode_quality=FLAGS.recode_quality,
+                        landmarks_path=FLAGS.landmarks,
+                        align_size=FLAGS.align_size)
     print(f"packed {n} records into {FLAGS.output}")
 
 

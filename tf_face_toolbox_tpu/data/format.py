@@ -233,7 +233,9 @@ def load_labels(path: str) -> np.ndarray:
 
 def pack_image_list(list_path: str, out_path: str, *, root: str = "",
                     recode_size: int = 0,
-                    recode_quality: int = 95) -> int:
+                    recode_quality: int = 95,
+                    landmarks_path: str = "",
+                    align_size: int = 112) -> int:
     """Pack an ``image_path label`` list file (the reference's input
     convention [TF1-IDIOM]) into a FaceShard of JPEG payloads.
     Streams through ShardWriter — O(1) memory at MS1M scale.
@@ -243,7 +245,37 @@ def pack_image_list(list_path: str, out_path: str, *, root: str = "",
     uniform-geometry shard the DCT input path requires (the native
     loader's entropy-decode-only ``dct_batch`` + on-TPU IDCT,
     ops/jpeg_tpu.py); plain shards keep the original bytes untouched.
-    ``recode_size`` should be the training pipeline's ``crop_from``."""
+    ``recode_size`` should be the training pipeline's ``crop_from``.
+
+    ``landmarks_path``: align WHILE packing — a file parallel to the
+    list with 10 floats per line (x1 y1 .. x5 y5: eyes, nose, mouth
+    corners in source-image coordinates). Each face is similarity-
+    aligned to the ArcFace template at ``align_size``² (ops/align) and
+    re-encoded 4:4:4, producing an aligned uniform shard in one step
+    (the external MTCNN-era alignment stage the reference assumed,
+    folded into the packer). Mutually exclusive with ``recode_size``
+    (alignment already fixes the geometry; pass align_size instead)."""
+    if landmarks_path and recode_size:
+        raise ValueError("landmarks alignment already recodes to "
+                         "align_size²; drop recode_size")
+    align_rows = None
+    if landmarks_path:
+        if align_size % 8:
+            raise ValueError("align_size must be a multiple of 8 "
+                             "(JPEG block granularity, DCT path)")
+        align_rows = []
+        with open(landmarks_path) as f:
+            for ln, line in enumerate(f):
+                line = line.strip()
+                if not line:
+                    continue
+                vals = [float(v) for v in line.replace(",", " ").split()]
+                if len(vals) != 10:
+                    raise ValueError(
+                        f"{landmarks_path}:{ln + 1}: expected 10 floats "
+                        f"(x1 y1 .. x5 y5), got {len(vals)}")
+                align_rows.append(
+                    np.asarray(vals, np.float64).reshape(5, 2))
     recode = None
     if recode_size:
         if recode_size % 8:
@@ -271,6 +303,23 @@ def pack_image_list(list_path: str, out_path: str, *, root: str = "",
                                       subsampling=0)
             return buf.getvalue()
 
+    if align_rows is not None:
+        import io
+
+        from PIL import Image
+
+        from tf_face_toolbox_tpu.ops.align import align_face
+
+        def aligned(blob: bytes, idx: int) -> bytes:
+            img = Image.open(io.BytesIO(blob)).convert("RGB")
+            arr = align_face(np.asarray(img, np.uint8),
+                             align_rows[idx], size=align_size)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, "JPEG",
+                                      quality=recode_quality,
+                                      subsampling=0)
+            return buf.getvalue()
+
     with ShardWriter(out_path, payload=PAYLOAD_JPEG) as writer:
         with open(list_path) as f:
             for line in f:
@@ -280,7 +329,19 @@ def pack_image_list(list_path: str, out_path: str, *, root: str = "",
                 p, lab = line.rsplit(" ", 1)
                 with open(os.path.join(root, p), "rb") as img:
                     blob = img.read()
-                writer.add(recode(blob) if recode else blob, int(lab))
+                if align_rows is not None:
+                    if writer.count >= len(align_rows):
+                        raise ValueError(
+                            f"landmarks file has {len(align_rows)} "
+                            "lines but the list has more images")
+                    blob = aligned(blob, writer.count)
+                elif recode:
+                    blob = recode(blob)
+                writer.add(blob, int(lab))
+        if align_rows is not None and writer.count != len(align_rows):
+            raise ValueError(
+                f"landmarks file has {len(align_rows)} lines for "
+                f"{writer.count} packed images — they must be parallel")
         return writer.count
 
 
