@@ -560,3 +560,53 @@ def test_grad_clip_bounds_update_and_is_exact():
     for a, b in zip(jax.tree.leaves(s1.params),
                     jax.tree.leaves(s1h.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gradient_accumulation_equals_full_batch():
+    """accum_steps=K averages micro-batch grads to EXACTLY the
+    full-batch gradient (BN-free net), so losses, grad norms, and
+    updated params match accum_steps=1 bit-comparably."""
+    import dataclasses
+
+    mesh = create_mesh(data=2, model=2)
+
+    def run(accum):
+        cfg = dataclasses.replace(CFG, accum_steps=accum)
+        state, net = create_train_state(cfg, jax.random.key(3), mesh,
+                                        net=_TinyNoBN())
+        step_fn = make_train_step(net, cfg, mesh, state)
+        metrics = None
+        for i in range(2):
+            images, labels = _synthetic_batch(jax.random.key(50 + i),
+                                              16, 16, 12)
+            state, metrics = step_fn(state, images, labels)
+        return state, metrics
+
+    s1, m1 = run(1)
+    s4, m4 = run(4)
+    np.testing.assert_allclose(float(m4["loss"]), float(m1["loss"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(m4["grad_norm"]),
+                               float(m1["grad_norm"]), rtol=2e-3)
+    for a, b in zip(jax.tree.leaves(s1.params),
+                    jax.tree.leaves(s4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4)
+
+
+def test_gradient_accumulation_refusals():
+    import dataclasses
+
+    mesh = create_mesh(data=1, devices=jax.devices()[:1])
+    for kw in (dict(margin_mode="adaface"), dict(center_weight=0.01)):
+        cfg = dataclasses.replace(CFG, accum_steps=2, **kw)
+        state, net = create_train_state(cfg, jax.random.key(0), mesh,
+                                        net=_TinyNoBN())
+        with pytest.raises(ValueError, match="stateless"):
+            make_train_step(net, cfg, mesh, state)
+    # indivisible per-device batch
+    cfg = dataclasses.replace(CFG, accum_steps=3)   # 16 % 3 != 0
+    state, net = create_train_state(cfg, jax.random.key(0), mesh,
+                                    net=_TinyNoBN())
+    with pytest.raises(ValueError, match="divisible"):
+        make_train_step(net, cfg, mesh, state)

@@ -164,6 +164,13 @@ flags.DEFINE_bool("distill_use_ema", False,
                   "distill from the teacher checkpoint's EMA weights")
 flags.DEFINE_bool("pallas_input", False,
                   "fused Pallas augmentation kernel (TPU)")
+flags.DEFINE_integer("accum_steps", 1,
+                     "gradient accumulation: K micro-batches per "
+                     "optimizer step inside the compiled step "
+                     "(activation memory scales with batch/K; exact "
+                     "grad equality for BN-free nets, sequential "
+                     "micro-batch BN otherwise). Stateless losses "
+                     "only — adaptive margins / center loss refuse")
 flags.DEFINE_float("random_erase", 0.0,
                    "random-erasing probability per image (Zhong 2020; "
                    "0 = off): a random rectangle becomes gaussian "
@@ -256,6 +263,7 @@ def build_config(num_classes: int) -> "TrainConfig":
         augment=True,
         crop_from=FLAGS.crop_from or FLAGS.image_size + 8,
         random_erase=FLAGS.random_erase,
+        accum_steps=FLAGS.accum_steps,
         ema_decay=FLAGS.ema_decay,
         pfc_sample_rate=FLAGS.pfc_sample_rate,
         pallas_input=FLAGS.pallas_input,

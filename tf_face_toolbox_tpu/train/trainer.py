@@ -145,6 +145,16 @@ class TrainConfig:
     # Random erasing (Zhong 2020) probability per image, applied after
     # standardization (0 = off). Occlusion robustness — masks/sunglasses.
     random_erase: float = 0.0
+    # Gradient accumulation: split each device's batch into K
+    # micro-batches, run forward+backward per micro inside a lax.scan
+    # (activation memory scales with the MICRO batch), average the
+    # grads, apply the optimizer once. Exactly equal to accum_steps=1
+    # for BN-free models; with BN the micro-batches see sequential
+    # batch statistics (the same behavioral note as DP-width changes).
+    # Stateless losses only (fixed margins / distill / triplet —
+    # triplet mines within each micro-batch); adaptive margin modes
+    # and center loss carry per-STEP head state and refuse loudly.
+    accum_steps: int = 1
     # input standardization: "per_image" (the reference's tf.image
     # chain) or "fixed" ((x-127.5)/127.5) — fine-tuning an imported
     # InsightFace-ecosystem checkpoint must train with the norm it
@@ -377,6 +387,19 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
             "sampled Partial-FC cannot combine with curricular: the "
             "hard-negative modulation is defined over ALL negatives — "
             "use the exact head (pfc_sample_rate=1)")
+    if cfg.accum_steps > 1:
+        if cfg.margin_mode != "fixed" or cfg.center_weight > 0:
+            raise ValueError(
+                "accum_steps>1 supports stateless losses only: "
+                "adaptive margin modes (magface/adaface/curricular) "
+                "and center loss update per-STEP head state, which a "
+                "micro-batch scan would apply K times per step")
+        n_local = cfg.global_batch // (
+            mesh.shape[DATA_AXIS] * mesh.shape[MODEL_AXIS])
+        if n_local % cfg.accum_steps:
+            raise ValueError(
+                f"per-device batch {n_local} not divisible by "
+                f"accum_steps {cfg.accum_steps}")
     tx, sched = make_optimizer(cfg)
     margin = cfg.margin
     num_classes = cfg.num_classes
@@ -440,35 +463,48 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
         # byte-identical whether or not dropout is enabled
         drop_rng = jax.random.fold_in(dev_rng, 0x0D12)
 
-        def loss_fn(params, classifier):
-            emb, updates = net.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                x, train=True, mutable=["batch_stats"],
-                rngs={"dropout": drop_rng})
-            updates = dict(updates)
-            updates.setdefault("batch_stats", {})
-            emb = emb.astype(jnp.float32)
-            total = jnp.float32(0.0)
-            parts = {}
-            aux_head = {}
-            if distilling:
-                # Frozen teacher on the SAME augmented views, eval mode.
-                # Local-shard mean; the ÷ model-size below makes the
-                # psum-over-model gradient exchange reconstruct the
-                # row mean exactly (same algebra as the margin path).
-                t_emb = jax.lax.stop_gradient(
-                    teacher_net.apply(tvars, x,
-                                      train=False).astype(jnp.float32))
-                cos = jnp.sum(_l2n(emb) * _l2n(t_emb), axis=-1)
-                parts["distill"] = jnp.mean(1.0 - cos)
-                total = total + alpha * parts["distill"] \
-                    / mesh.shape[MODEL_AXIS]
-            if not distilling or alpha < 1.0:
+        def grads_for(xb, lb, bs, mrng):
+            """Forward+backward over one (micro-)batch against the
+            running stats ``bs``; returns value_and_grad's output."""
+            def loss_fn(params, classifier):
+                emb, updates = net.apply(
+                    {"params": params, "batch_stats": bs},
+                    xb, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": mrng})
+                updates = dict(updates)
+                updates.setdefault("batch_stats", {})
+                emb = emb.astype(jnp.float32)
+                total = jnp.float32(0.0)
+                parts = {}
+                aux_head = {}
+                if distilling:
+                    # Frozen teacher on the SAME augmented views, eval
+                    # mode. Local-shard mean; the ÷ model-size below
+                    # makes the psum-over-model gradient exchange
+                    # reconstruct the row mean exactly (same algebra as
+                    # the margin path).
+                    t_emb = jax.lax.stop_gradient(
+                        teacher_net.apply(
+                            tvars, xb, train=False).astype(jnp.float32))
+                    cos = jnp.sum(_l2n(emb) * _l2n(t_emb), axis=-1)
+                    parts["distill"] = jnp.mean(1.0 - cos)
+                    total = total + alpha * parts["distill"] \
+                        / mesh.shape[MODEL_AXIS]
+                if not distilling or alpha < 1.0:
+                    total, parts, aux_head = margin_branch(
+                        emb, lb, classifier, total, parts, aux_head)
+                return total, (updates["batch_stats"], parts, aux_head)
+
+            return jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(
+                    state.params, state.classifier)
+
+        def margin_branch(emb, lb, classifier, total, parts, aux_head):
                 # Partial-FC: gather the data-row's embeddings across
                 # the model axis so each class shard scores every
                 # sample.
                 emb_g = jax.lax.all_gather(emb, MODEL_AXIS, tiled=True)
-                lab_g = jax.lax.all_gather(labels, MODEL_AXIS,
+                lab_g = jax.lax.all_gather(lb, MODEL_AXIS,
                                            tiled=True)
                 # Norm-adaptive per-sample margins (model-axis devices
                 # compute identical values from the identical emb_g, so
@@ -556,12 +592,42 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
                 # oracle in tests/test_parallel.py).
                 total = total + (1.0 - alpha) * m_loss \
                     / mesh.shape[MODEL_AXIS]
-            return total, (updates["batch_stats"], parts, aux_head)
+                return total, parts, aux_head
 
-        (loss, (new_bs, parts, aux_head)), (g_params, g_cls) = \
-            jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True)(
-                    state.params, state.classifier)
+        if cfg.accum_steps == 1:
+            (loss, (new_bs, parts, aux_head)), (g_params, g_cls) = \
+                grads_for(x, labels, state.batch_stats, drop_rng)
+        else:
+            # Micro-batch accumulation: forward+backward compiles ONCE
+            # and scans K times — activation memory is the micro
+            # batch's; grads average to exactly the full-batch mean
+            # (equal micro sizes), BN stats advance sequentially.
+            k = cfg.accum_steps
+            n_loc = x.shape[0]
+            xm = x.reshape(k, n_loc // k, *x.shape[1:])
+            lm = labels.reshape(k, n_loc // k)
+            mrngs = jax.vmap(
+                lambda i: jax.random.fold_in(drop_rng, i))(jnp.arange(k))
+
+            def micro(carry, inp):
+                bs, gp, gc, lo = carry
+                xb, lb, mrng = inp
+                (l, (nbs, parts, _)), (g1, g2) = grads_for(
+                    xb, lb, bs, mrng)
+                gp = jax.tree.map(jnp.add, gp, g1)
+                return (nbs, gp, gc + g2, lo + l), parts
+
+            init = (state.batch_stats,
+                    jax.tree.map(jnp.zeros_like, state.params),
+                    jnp.zeros_like(state.classifier),
+                    jnp.float32(0.0))
+            (new_bs, gp_sum, gc_sum, loss_sum), parts_k = jax.lax.scan(
+                micro, init, (xm, lm, mrngs))
+            g_params = jax.tree.map(lambda g: g / k, gp_sum)
+            g_cls = gc_sum / k
+            loss = loss_sum / k
+            parts = jax.tree.map(lambda p: jnp.mean(p, axis=0), parts_k)
+            aux_head = {}
 
         # --- explicit gradient exchange (the DP psum of SURVEY §2d) ---
         # Row loss is a mean over the row's samples; model-axis devices
