@@ -42,6 +42,16 @@ flags.DEFINE_bool("data_parallel", False,
                   "shard top-k + one ICI all-gather of k candidates "
                   "per device — the pattern for galleries beyond one "
                   "chip's HBM); results equal single-device ranking")
+flags.DEFINE_string("cohort", "",
+                    "impostor-cohort embeddings file: switches scores "
+                    "to ADAPTIVE S-NORM — each probe/gallery score is "
+                    "½(z+t)-normalized by that embedding's top-"
+                    "--snorm_top cohort statistics (the production "
+                    "calibration for open-set thresholds; --threshold "
+                    "then applies on the normalized scale)")
+flags.DEFINE_integer("snorm_top", 200,
+                     "cohort scores per embedding used for the "
+                     "adaptive statistics (0 = whole cohort)")
 flags.DEFINE_string("output", None, "output .npz path")
 flags.mark_flag_as_required("gallery")
 flags.mark_flag_as_required("probe")
@@ -58,6 +68,14 @@ def main(argv):
 
     gallery, _ = load_embeddings(FLAGS.gallery)
     probe, _ = load_embeddings(FLAGS.probe)
+    p_stats = g_stats = None
+    if FLAGS.cohort:
+        from tf_face_toolbox_tpu.ops.verification import cohort_stats
+        cohort, _ = load_embeddings(FLAGS.cohort)
+        top = min(FLAGS.snorm_top, cohort.shape[0]) \
+            if FLAGS.snorm_top else 0
+        p_stats = cohort_stats(probe, cohort, top=top)
+        g_stats = cohort_stats(gallery, cohort, top=top)
     if FLAGS.data_parallel:
         from tf_face_toolbox_tpu.ops.verification import (
             sharded_top_k_matches)
@@ -65,10 +83,13 @@ def main(argv):
 
         indices, scores = sharded_top_k_matches(
             gallery, probe, k=FLAGS.k, mesh=create_mesh(),
-            batch=FLAGS.probe_batch)
+            batch=FLAGS.probe_batch,
+            probe_stats=p_stats, gallery_stats=g_stats)
     else:
         indices, scores = top_k_matches(gallery, probe, k=FLAGS.k,
-                                        batch=FLAGS.probe_batch)
+                                        batch=FLAGS.probe_batch,
+                                        probe_stats=p_stats,
+                                        gallery_stats=g_stats)
     out = {"indices": indices, "scores": scores.astype(np.float32)}
     summary = {
         "probes": int(probe.shape[0]),
@@ -76,6 +97,8 @@ def main(argv):
         "k": FLAGS.k,
         "top1_score_mean": float(scores[:, 0].mean()),
     }
+    if FLAGS.cohort:
+        summary["snorm"] = {"cohort": int(cohort.shape[0]), "top": top}
     if FLAGS.gallery_list:
         gal_labels = load_labels(FLAGS.gallery_list)
         if len(gal_labels) != gallery.shape[0]:

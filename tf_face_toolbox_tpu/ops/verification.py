@@ -128,8 +128,56 @@ def tar_at_far(sims: np.ndarray, labels: np.ndarray,
     return out
 
 
+def cohort_stats(embeddings: np.ndarray, cohort: np.ndarray, *,
+                 top: int = 0, batch: int = 4096
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-embedding (mean, std) of its cosines against an impostor
+    cohort — the z-/t-norm statistics of score normalization.
+
+    ``top`` > 0: the ADAPTIVE variant (the face-recognition standard) —
+    statistics over only each embedding's ``top`` highest cohort
+    scores, which tracks the relevant impostor neighborhood instead of
+    the whole cohort's bulk. Returns ``(mu (N,), sigma (N,))``; sigma
+    is floored at 1e-6 so downstream division is safe.
+    """
+    cohort = np.asarray(cohort, np.float32)
+    if top < 0 or top > cohort.shape[0]:
+        raise ValueError(f"top={top} outside [0, cohort="
+                         f"{cohort.shape[0]}]")
+    c = jax.device_put(jnp.asarray(cohort))
+
+    @jax.jit
+    def chunk(c, e):
+        sims = similarity_matrix(c, e).T          # (B, C)
+        if top:
+            sims, _ = jax.lax.top_k(sims, top)
+        mu = jnp.mean(sims, axis=-1)
+        sd = jnp.std(sims, axis=-1)
+        return mu, sd
+
+    mus, sds = [], []
+    embeddings = np.asarray(embeddings)
+    for i in range(0, embeddings.shape[0], batch):
+        mu, sd = chunk(c, jnp.asarray(embeddings[i:i + batch],
+                                      jnp.float32))
+        mus.append(np.asarray(mu))
+        sds.append(np.asarray(sd))
+    if not mus:
+        raise ValueError("empty embedding set")
+    return np.concatenate(mus), np.maximum(np.concatenate(sds), 1e-6)
+
+
+def _snorm(sims, probe_stats, gallery_stats):
+    """S-norm: ½(z-norm + t-norm) of a (B, G) score block (traced)."""
+    mu_p, sd_p = probe_stats
+    mu_g, sd_g = gallery_stats
+    return 0.5 * ((sims - mu_p[:, None]) / sd_p[:, None]
+                  + (sims - mu_g[None, :]) / sd_g[None, :])
+
+
 def top_k_matches(gallery: np.ndarray, probe: np.ndarray, *,
-                  k: int = 5, batch: int = 4096
+                  k: int = 5, batch: int = 4096,
+                  probe_stats=None, gallery_stats=None,
                   ) -> tuple[np.ndarray, np.ndarray]:
     """Open-set 1:N search: the top-``k`` gallery rows per probe by
     cosine. Returns ``(indices (P, k) int32, scores (P, k) f32)``,
@@ -139,23 +187,43 @@ def top_k_matches(gallery: np.ndarray, probe: np.ndarray, *,
     an argument, never a jit closure constant — one compiled executable
     serves every batch) and ranking is ``lax.top_k`` on device, so
     million-entry galleries stream through without a host argsort.
+
+    ``probe_stats``/``gallery_stats``: optional ``(mu, sigma)`` pairs
+    from :func:`cohort_stats` — scores become adaptive s-norm
+    (½(z+t)-normalized) BEFORE ranking, so the gallery-side term can
+    rerank and open-set thresholds calibrate across probes. Pass both
+    or neither.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if (probe_stats is None) != (gallery_stats is None):
+        raise ValueError("s-norm needs BOTH probe_stats and "
+                         "gallery_stats (or neither)")
     gallery = np.asarray(gallery)
     if k > gallery.shape[0]:
         raise ValueError(f"k={k} exceeds gallery size {gallery.shape[0]}")
     g = jax.device_put(jnp.asarray(gallery, jnp.float32))
+    use_norm = probe_stats is not None
+    g_stats = (jax.device_put(jnp.asarray(gallery_stats[0], jnp.float32)),
+               jax.device_put(jnp.asarray(gallery_stats[1], jnp.float32))
+               ) if use_norm else None
 
     @jax.jit
-    def chunk(g, p):
+    def chunk(g, p, pst, gst):
         sims = similarity_matrix(g, p).T        # (B, G)
+        if use_norm:
+            sims = _snorm(sims, pst, gst)
         return jax.lax.top_k(sims, k)
 
     scores, indices = [], []
     probe = np.asarray(probe)
     for i in range(0, probe.shape[0], batch):
-        s, ix = chunk(g, jnp.asarray(probe[i:i + batch], jnp.float32))
+        pst = ((jnp.asarray(probe_stats[0][i:i + batch], jnp.float32),
+                jnp.asarray(probe_stats[1][i:i + batch], jnp.float32))
+               if use_norm else (jnp.zeros(()), jnp.zeros(())))
+        s, ix = chunk(g, jnp.asarray(probe[i:i + batch], jnp.float32),
+                      pst, g_stats if use_norm
+                      else (jnp.zeros(()), jnp.zeros(())))
         scores.append(np.asarray(s))
         indices.append(np.asarray(ix, np.int32))
     if not scores:
@@ -164,7 +232,8 @@ def top_k_matches(gallery: np.ndarray, probe: np.ndarray, *,
 
 
 def sharded_top_k_matches(gallery: np.ndarray, probe: np.ndarray, *,
-                          k: int, mesh, batch: int = 4096
+                          k: int, mesh, batch: int = 4096,
+                          probe_stats=None, gallery_stats=None,
                           ) -> tuple[np.ndarray, np.ndarray]:
     """Gallery-sharded 1:N search over a device mesh.
 
@@ -188,6 +257,10 @@ def sharded_top_k_matches(gallery: np.ndarray, probe: np.ndarray, *,
 
     gallery = np.asarray(gallery, np.float32)
     probe = np.asarray(probe, np.float32)
+    if (probe_stats is None) != (gallery_stats is None):
+        raise ValueError("s-norm needs BOTH probe_stats and "
+                         "gallery_stats (or neither)")
+    use_norm = probe_stats is not None
     n_dev = mesh.shape[DATA_AXIS]
     g_rows = gallery.shape[0]
     if k < 1 or k > g_rows:
@@ -198,29 +271,45 @@ def sharded_top_k_matches(gallery: np.ndarray, probe: np.ndarray, *,
         # never displace a real candidate even when k > shard size
         gallery = np.concatenate(
             [gallery, np.zeros((pad, gallery.shape[1]), np.float32)])
+    if use_norm:
+        # stats shard WITH their gallery rows; pads get (0, 1) — their
+        # sims are forced to −2 afterwards so values are irrelevant
+        mu_g = np.concatenate([np.asarray(gallery_stats[0], np.float32),
+                               np.zeros(pad, np.float32)])
+        sd_g = np.concatenate([np.asarray(gallery_stats[1], np.float32),
+                               np.ones(pad, np.float32)])
     shard_rows = gallery.shape[0] // n_dev
     k_local = min(k, shard_rows)
     g_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    v_sharding = NamedSharding(mesh, P(DATA_AXIS))
     g_dev = jax.device_put(jnp.asarray(gallery), g_sharding)
+    gst_dev = ((jax.device_put(jnp.asarray(mu_g), v_sharding),
+                jax.device_put(jnp.asarray(sd_g), v_sharding))
+               if use_norm else
+               (jnp.zeros(()), jnp.zeros(())))
 
     @jax.jit
-    def chunk(g, p):
-        def local(g_shard, p_rep):
+    def chunk(g, p, gst, pst):
+        def local(g_shard, p_rep, mu_gs, sd_gs, mu_p, sd_p):
             idx0 = jax.lax.axis_index(DATA_AXIS) * shard_rows
             gs = l2_normalize(g_shard)
             ps = l2_normalize(p_rep)
             sims = jnp.dot(ps, gs.T,
                            preferred_element_type=jnp.float32)
+            if use_norm:
+                sims = _snorm(sims, (mu_p, sd_p), (mu_gs, sd_gs))
             row = idx0 + jnp.arange(shard_rows)
-            sims = jnp.where(row[None, :] < g_rows, sims, -2.0)
+            sims = jnp.where(row[None, :] < g_rows, sims, -2e9)
             s, ix = jax.lax.top_k(sims, k_local)      # (B, k_local)
             return s, (ix + idx0).astype(jnp.int32)
 
+        gs_spec = P(DATA_AXIS) if use_norm else P()
         s, ix = shard_map(
             local, mesh=mesh,
-            in_specs=(P(DATA_AXIS, None), P()),
+            in_specs=(P(DATA_AXIS, None), P(), gs_spec,
+                      gs_spec, P(), P()),
             out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
-        )(g, p)
+        )(g, p, gst[0], gst[1], pst[0], pst[1])
         # merged candidate set (B, n_dev·k_local) is replicated; the
         # final top-k is tiny
         sm, pos = jax.lax.top_k(s, k)
@@ -228,7 +317,11 @@ def sharded_top_k_matches(gallery: np.ndarray, probe: np.ndarray, *,
 
     scores, indices = [], []
     for i in range(0, probe.shape[0], batch):
-        s, ix = chunk(g_dev, jnp.asarray(probe[i:i + batch]))
+        pst = ((jnp.asarray(probe_stats[0][i:i + batch], jnp.float32),
+                jnp.asarray(probe_stats[1][i:i + batch], jnp.float32))
+               if use_norm else (jnp.zeros(()), jnp.zeros(())))
+        s, ix = chunk(g_dev, jnp.asarray(probe[i:i + batch]),
+                      gst_dev, pst)
         scores.append(np.asarray(s))
         indices.append(np.asarray(ix))
     if not scores:
