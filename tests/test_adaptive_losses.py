@@ -415,3 +415,64 @@ def test_resume_guard_on_head_state_mismatch(tmp_path):
         train_loop(cfg2, mesh, batches(), num_steps=2,
                    train_dir=str(tmp_path / "run"), save_every=1,
                    log_every=0, net=_TinyNoBN())
+
+
+def test_restore_checkpoint_predating_head_state(tmp_path):
+    """A checkpoint saved before TrainState grew head_state (r2-era)
+    must still restore: the template drops fields the checkpoint never
+    saved and fills them back with None (CheckpointManager.restore)."""
+    import dataclasses as _dc
+
+    import orbax.checkpoint as ocp
+
+    from tf_face_toolbox_tpu.train.checkpoint import CheckpointManager
+
+    mesh = create_mesh(data=1, devices=jax.devices()[:1])
+    state, net = create_train_state(_BASE, jax.random.key(0), mesh,
+                                    net=_TinyNoBN())
+    # simulate the OLD on-disk structure: same fields minus head_state
+    old_style = {f.name: getattr(state, f.name)
+                 for f in _dc.fields(state) if f.name != "head_state"}
+    mgr = CheckpointManager(str(tmp_path / "ck"), save_every=1)
+    mgr._mgr.save(0, args=ocp.args.StandardSave(old_style))
+    mgr.wait()
+
+    fresh, _ = create_train_state(_BASE, jax.random.key(9), mesh,
+                                  net=_TinyNoBN())
+    assert fresh.head_state is None
+    restored = mgr.restore(fresh)
+    assert restored.head_state is None
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_load_variables_subcenter_center_checkpoint(tmp_path):
+    """pretrained.load_variables rebuilds the right template for a
+    checkpoint trained with BOTH subcenters>1 and center loss (their
+    row counts differ: classifier C·K vs centers C)."""
+    import dataclasses as _dc
+
+    from tf_face_toolbox_tpu.models import create_network
+    from tf_face_toolbox_tpu.pretrained import load_variables
+    from tf_face_toolbox_tpu.train.checkpoint import CheckpointManager
+
+    cfg = _dc.replace(_BASE, network="resnet_tiny", subcenters=2,
+                      center_weight=0.01, image_size=16)
+    mesh = create_mesh(data=1, devices=jax.devices()[:1])
+    net = create_network("resnet_tiny", embedding_dim=16)
+    state, net = create_train_state(cfg, jax.random.key(0), mesh,
+                                    net=net)
+    assert state.classifier.shape[0] == 2 * state.head_state[
+        "centers"].shape[0]
+    mgr = CheckpointManager(str(tmp_path / "ck"), save_every=1)
+    assert mgr.maybe_save(state, force=True)
+    mgr.wait()
+    mgr.close()
+
+    _, variables = load_variables(str(tmp_path / "ck"), "resnet_tiny",
+                                  16, 16, jnp.float32)
+    for a, b in zip(jax.tree.leaves(variables["params"]),
+                    jax.tree.leaves(jax.device_get(state.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

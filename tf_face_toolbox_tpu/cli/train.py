@@ -209,6 +209,12 @@ def build_config(num_classes: int) -> "TrainConfig":
 
     margin_mode = "fixed"
     if FLAGS.margin in ("magface", "adaface"):
+        if FLAGS.margin_value >= 0:
+            raise SystemExit(
+                f"--margin_value does not apply to --margin="
+                f"{FLAGS.margin} (its margins are per-sample "
+                "adaptive); tune --magface_lm/--magface_um or "
+                "--adaface_m instead")
         # papers' exact losses: zero base margins, per-sample adaptive
         margin_mode, (m1, m2, m3) = FLAGS.margin, (1.0, 0.0, 0.0)
     elif FLAGS.margin == "curricular":

@@ -101,7 +101,21 @@ def sharded_margin_softmax_loss(embeddings: jax.Array, w_shard: jax.Array,
     logits, one_hot = local_margin_logits(
         embeddings, w_shard, labels, cfg, axis_name,
         extra_m2=extra_m2, extra_m3=extra_m3, subcenters=subcenters)
-    c_local = w_shard.shape[0] // subcenters
+    return _masked_softmax_nll(logits, one_hot, total_classes,
+                               axis_name)
+
+
+def _masked_softmax_nll(logits: jax.Array, one_hot: jax.Array,
+                        total_classes: int | None,
+                        axis_name: str) -> jax.Array:
+    """Pad-masked, numerically stable DISTRIBUTED softmax NLL (mean over
+    rows) — the shared tail of the exact and curricular heads.
+
+    IMPORTANT: shift/exp the MASKED logits — a padded column's raw
+    logit can exceed the max over valid columns by enough that
+    exp(raw - max) overflows to inf, and inf * 0-mask = NaN.
+    """
+    c_local = logits.shape[-1]
     if total_classes is not None:
         idx = jax.lax.axis_index(axis_name)
         col_ids = idx * c_local + jax.lax.broadcasted_iota(
@@ -109,10 +123,6 @@ def sharded_margin_softmax_loss(embeddings: jax.Array, w_shard: jax.Array,
         valid = (col_ids < total_classes).astype(jnp.float32)
     else:
         valid = jnp.ones((1, c_local), jnp.float32)
-    # Numerically stable distributed log-softmax (f32 throughout).
-    # IMPORTANT: shift/exp the MASKED logits — a padded column's raw
-    # logit can exceed the max over valid columns by enough that
-    # exp(raw - max) overflows to inf, and inf * 0-mask = NaN.
     neg_inf = jnp.float32(-1e30)
     masked_logits = jnp.where(valid > 0, logits, neg_inf)
     local_max = jnp.max(masked_logits, axis=-1)
@@ -315,12 +325,8 @@ def sharded_curricular_loss(embeddings: jax.Array, w_shard: jax.Array,
     modulation uses t'. Returns ``(mean NLL over the local rows, t')``
     — the caller stores t' as the next step's state.
     """
-    idx = jax.lax.axis_index(axis_name)
     c_local = w_shard.shape[0] // subcenters
-    offset = idx * c_local
-    local_labels = labels - offset
-    owned = (local_labels >= 0) & (local_labels < c_local)
-    safe_labels = jnp.where(owned, local_labels, 0)
+    safe_labels, owned = _ownership(labels, c_local, axis_name)
     one_hot = jax.nn.one_hot(safe_labels, c_local, dtype=jnp.float32)
     one_hot = one_hot * owned[:, None].astype(jnp.float32)
 
@@ -336,21 +342,5 @@ def sharded_curricular_loss(embeddings: jax.Array, w_shard: jax.Array,
     hard = cos_c > jax.lax.stop_gradient(target)[:, None]
     neg = jnp.where(hard, cos_c * (t_new + cos_c), cos_c)
     logits = cfg.scale * jnp.where(one_hot > 0, target[:, None], neg)
-
-    if total_classes is not None:
-        col_ids = offset + jax.lax.broadcasted_iota(
-            jnp.int32, (1, c_local), 1)
-        valid = (col_ids < total_classes).astype(jnp.float32)
-    else:
-        valid = jnp.ones((1, c_local), jnp.float32)
-    neg_inf = jnp.float32(-1e30)
-    masked = jnp.where(valid > 0, logits, neg_inf)
-    local_max = jnp.max(masked, axis=-1)
-    global_max = jax.lax.pmax(jax.lax.stop_gradient(local_max), axis_name)
-    shifted = masked - global_max[:, None]
-    denom = jax.lax.psum(jnp.sum(jnp.exp(shifted) * valid, axis=-1),
-                         axis_name)
-    tgt_logit = jax.lax.psum(jnp.sum(shifted * one_hot, axis=-1),
-                             axis_name)
-    nll = jnp.log(denom) - tgt_logit
-    return jnp.mean(nll), t_new
+    return _masked_softmax_nll(logits, one_hot, total_classes,
+                               axis_name), t_new

@@ -57,16 +57,27 @@ def load_variables(checkpoint_dir: str, network: str, embedding_dim: int,
         if meta is None:
             raise FileNotFoundError("no checkpoint found")
         heads = mgr.head_state_children(meta)
+        # Template shapes must match the checkpoint exactly. The
+        # classifier holds num_classes·subcenters rows and the center
+        # table (when present) num_classes rows — recover both counts
+        # from the saved shapes so sub-center checkpoints with center
+        # loss rebuild the right template (values are unused at
+        # serving time).
+        cls_rows = _classifier_rows_from(meta)
+        if "centers" in heads:
+            ctr_rows = _rows_from(meta, "('head_state', 'centers')")
+            num_classes, subcenters = ctr_rows, cls_rows // ctr_rows
+        else:
+            num_classes, subcenters = cls_rows, 1
         template, _ = create_train_state(
             TrainConfig(network=network, stem=stem, head_variant=head,
                         embedding_dim=embedding_dim,
                         image_size=image_size, dtype=dtype,
-                        num_classes=_classifier_rows_from(meta),
+                        num_classes=num_classes, subcenters=subcenters,
                         ema_decay=0.999 if mgr.has_ema(meta) else 0.0,
                         # loss-head aux state (AdaFace stats / center
                         # table) must exist in the template iff the
-                        # checkpoint holds it; the values are unused
-                        # at serving time.
+                        # checkpoint holds it
                         margin_mode=("adaface" if "adaface" in heads
                                      else "curricular"
                                      if "curricular" in heads
@@ -87,4 +98,8 @@ def load_variables(checkpoint_dir: str, network: str, embedding_dim: int,
 
 
 def _classifier_rows_from(tree: dict) -> int:
-    return int(tree["('classifier',)"]["value_metadata"]["write_shape"][0])
+    return _rows_from(tree, "('classifier',)")
+
+
+def _rows_from(tree: dict, key: str) -> int:
+    return int(tree[key]["value_metadata"]["write_shape"][0])

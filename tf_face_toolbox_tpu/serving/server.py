@@ -616,6 +616,14 @@ def serve(batcher: "DynamicBatcher | dict[str, DynamicBatcher]", *,
                     "error": f"unknown model {name!r}",
                     "models": sorted(k for k in batchers if k)})
                 return
+            if want_quality and self._wants_npy():
+                # checked BEFORE decode/dispatch: the binary .npy body
+                # carries one array, and finding that out after a full
+                # device round trip would waste the batch
+                self._reply(400, {"error": "quality=1 is JSON-only; "
+                                           "drop the x-npy Accept "
+                                           "header"})
+                return
             svc = b.service
             try:
                 n = int(self.headers.get("Content-Length", 0))
@@ -654,13 +662,6 @@ def serve(batcher: "DynamicBatcher | dict[str, DynamicBatcher]", *,
                                      with_quality=want_quality)
                     embs, quals = out if want_quality else (out, None)
                     if self._wants_npy():
-                        # binary responses carry one array; quality
-                        # scores need the JSON shape
-                        if want_quality:
-                            self._reply(400, {
-                                "error": "quality=1 is JSON-only; drop "
-                                         "the x-npy Accept header"})
-                            return
                         self._reply_npy(embs.astype(np.float32))
                     else:
                         payload = {"embeddings": embs.tolist()}
@@ -671,11 +672,6 @@ def serve(batcher: "DynamicBatcher | dict[str, DynamicBatcher]", *,
                     out = b.submit(images[0], with_quality=want_quality)
                     emb, qual = out if want_quality else (out, None)
                     if self._wants_npy():
-                        if want_quality:
-                            self._reply(400, {
-                                "error": "quality=1 is JSON-only; drop "
-                                         "the x-npy Accept header"})
-                            return
                         self._reply_npy(np.asarray(emb, np.float32))
                     else:
                         payload = {"embedding": emb.tolist()}

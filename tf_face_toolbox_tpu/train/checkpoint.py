@@ -71,6 +71,13 @@ class CheckpointManager:
         restore spec — so a checkpoint written on one mesh restores onto
         another as long as shapes match.
 
+        Forward compatibility: a TrainState field the CHECKPOINT never
+        saved (it predates the field — e.g. ``head_state``, added r3)
+        is dropped from the restore template when the target holds None
+        there, and filled back with None afterwards — otherwise orbax
+        refuses the structure mismatch and every pre-upgrade checkpoint
+        becomes unrestorable.
+
         Multi-process: pass ``mesh`` + ``pspecs`` (trainer.state_pspecs)
         so orbax restores each leaf DIRECTLY as a global array with its
         canonical sharding. A fresh ``target``'s leaves are process-local
@@ -78,23 +85,44 @@ class CheckpointManager:
         cross-host device transfer the CPU/TPU backends don't do outside
         DCN configs (caught by the two-process durability test).
         """
+        import dataclasses
+
         step = self._mgr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint found in {self._dir}")
-        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+        meta = self.tree_metadata(step) or {}
+        saved_fields = {k.split("'")[1] for k in meta}
+        dropped = [f.name for f in dataclasses.fields(target)
+                   if saved_fields and f.name not in saved_fields
+                   and getattr(target, f.name) is None]
+        template = target
+        if dropped:
+            template = {f.name: getattr(target, f.name)
+                        for f in dataclasses.fields(target)
+                        if f.name not in dropped}
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
         if mesh is not None:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
 
+            spec_tree = pspecs
+            if dropped:
+                spec_tree = {f.name: getattr(pspecs, f.name)
+                             for f in dataclasses.fields(pspecs)
+                             if f.name not in dropped}
             shardings = jax.tree.map(
-                lambda spec: NamedSharding(mesh, spec), pspecs,
+                lambda spec: NamedSharding(mesh, spec), spec_tree,
                 is_leaf=lambda x: isinstance(x, P))
             abstract = jax.tree.map(
                 lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype,
                                                   sharding=s),
                 abstract, shardings)
-        return self._mgr.restore(
+        restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(abstract))
+        if dropped:
+            restored = type(target)(
+                **restored, **{name: None for name in dropped})
+        return restored
 
     def restore_raw(self, step: int | None = None) -> dict:
         """Restore the checkpoint AS SAVED, to host numpy, with no

@@ -594,8 +594,10 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
                     / mesh.shape[MODEL_AXIS]
                 return total, parts, aux_head
 
+        # (the scalar loss value is recomposed from the pmean'd parts
+        # below — grads_for's own total is only autodiff's primal)
         if cfg.accum_steps == 1:
-            (loss, (new_bs, parts, aux_head)), (g_params, g_cls) = \
+            (_, (new_bs, parts, aux_head)), (g_params, g_cls) = \
                 grads_for(x, labels, state.batch_stats, drop_rng)
         else:
             # Micro-batch accumulation: forward+backward compiles ONCE
@@ -610,22 +612,20 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
                 lambda i: jax.random.fold_in(drop_rng, i))(jnp.arange(k))
 
             def micro(carry, inp):
-                bs, gp, gc, lo = carry
+                bs, gp, gc = carry
                 xb, lb, mrng = inp
-                (l, (nbs, parts, _)), (g1, g2) = grads_for(
+                (_, (nbs, parts, _a)), (g1, g2) = grads_for(
                     xb, lb, bs, mrng)
                 gp = jax.tree.map(jnp.add, gp, g1)
-                return (nbs, gp, gc + g2, lo + l), parts
+                return (nbs, gp, gc + g2), parts
 
             init = (state.batch_stats,
                     jax.tree.map(jnp.zeros_like, state.params),
-                    jnp.zeros_like(state.classifier),
-                    jnp.float32(0.0))
-            (new_bs, gp_sum, gc_sum, loss_sum), parts_k = jax.lax.scan(
+                    jnp.zeros_like(state.classifier))
+            (new_bs, gp_sum, gc_sum), parts_k = jax.lax.scan(
                 micro, init, (xm, lm, mrngs))
             g_params = jax.tree.map(lambda g: g / k, gp_sum)
             g_cls = gc_sum / k
-            loss = loss_sum / k
             parts = jax.tree.map(lambda p: jnp.mean(p, axis=0), parts_k)
             aux_head = {}
 
