@@ -1279,3 +1279,113 @@ def test_fixed_norm_service_matches_offline_chain(service):
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
     # and it is NOT the per-image serving (same weights, same pixels)
     assert not np.allclose(got, service.embed_batch(imgs), atol=1e-3)
+
+
+# ---------------------------------------------------------------- gallery
+
+def test_device_gallery_enroll_search_and_growth():
+    from tf_face_toolbox_tpu.serving.gallery import DeviceGallery
+
+    rng = np.random.default_rng(0)
+
+    def unit(n):
+        e = rng.normal(size=(n, DIM)).astype(np.float32)
+        return e / np.linalg.norm(e, axis=1, keepdims=True)
+
+    g = DeviceGallery(DIM, block=4)
+    base = unit(6)
+    assert g.enroll(base, np.arange(6)) == 6          # crosses block 4
+    labs, scores = g.search(base[2], k=3)
+    assert labs[0, 0] == 2 and scores[0, 0] == pytest.approx(1.0, abs=1e-5)
+    # grow past another block boundary; old entries still found
+    g.enroll(unit(5), 100 + np.arange(5))
+    assert len(g) == 11
+    labs, _ = g.search(base[5], k=1)
+    assert labs[0, 0] == 5
+    # k clamps to size; empty probe dim mismatch is loud
+    labs, scores = g.search(base[0], k=99)
+    assert labs.shape == (1, 11)
+    assert np.all(np.diff(scores[0]) <= 1e-6)         # descending
+    with pytest.raises(ValueError, match="dim"):
+        g.search(np.zeros((1, DIM + 1), np.float32))
+
+
+def test_device_gallery_save_load_roundtrip(tmp_path):
+    from tf_face_toolbox_tpu.serving.gallery import DeviceGallery
+
+    rng = np.random.default_rng(1)
+    e = rng.normal(size=(5, DIM)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    g = DeviceGallery(DIM)
+    g.enroll(e, [7, 8, 9, 10, 11])
+    p = str(tmp_path / "gal.npz")
+    assert g.save(p) == 5
+    g2 = DeviceGallery.load(p)
+    assert len(g2) == 5 and g2.dim == DIM
+    labs, scores = g2.search(e[3], k=1)
+    assert labs[0, 0] == 10
+    # empty gallery refuses search
+    with pytest.raises(ValueError, match="empty"):
+        DeviceGallery(DIM).search(e[:1])
+
+
+def test_http_gallery_enroll_identify(service):
+    from tf_face_toolbox_tpu.serving.gallery import DeviceGallery
+
+    gallery = DeviceGallery(DIM, block=4)
+    batcher = DynamicBatcher(service, max_wait_ms=1.0)
+    server = serve(batcher, port=0, gallery=gallery,
+                   enroll_min_quality=0.0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+
+    def post(path, img):
+        buf = io.BytesIO()
+        np.save(buf, img)
+        req = urllib.request.Request(f"{base}{path}",
+                                     data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    try:
+        imgs = _images(3, seed=9)
+        for i, img in enumerate(imgs):
+            out = post(f"/enroll?label={100 + i}", img)
+            assert out["enrolled"] and out["size"] == i + 1
+            assert out["quality"] > 0
+
+        with urllib.request.urlopen(f"{base}/gallery") as r:
+            assert json.loads(r.read())["size"] == 3
+
+        out = post("/identify?k=2", imgs[1])
+        assert out["matches"][0]["label"] == 101
+        assert out["matches"][0]["score"] == pytest.approx(1.0, abs=1e-4)
+        assert not out["unknown"]
+
+        # open-set: impossible threshold marks it unknown
+        out = post("/identify?k=1&threshold=2.0", imgs[1])
+        assert out["unknown"]
+
+        # quality floor refuses enrollment (422)
+        req_img = imgs[0]
+        buf = io.BytesIO()
+        np.save(buf, req_img)
+        req = urllib.request.Request(
+            f"{base}/enroll?label=7&min_quality=1e9",
+            data=buf.getvalue(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 422
+
+        # /gallery/save writes a loadable snapshot
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            p = f"{td}/g.npz"
+            req = urllib.request.Request(
+                f"{base}/gallery/save?path={p}", data=b"",
+                method="POST")
+            with urllib.request.urlopen(req) as r:
+                assert json.loads(r.read())["saved"] == 3
+            assert len(DeviceGallery.load(p)) == 3
+    finally:
+        server.shutdown()
+        batcher.close()

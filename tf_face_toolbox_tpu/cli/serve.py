@@ -70,6 +70,16 @@ flags.DEFINE_enum("transport", "http", ["http", "grpc"],
                   "(raw-bytes tfft.Embedding service, "
                   "serving/grpc_server.py); both honor --host/--port/"
                   "--unix_socket and share the drain story")
+flags.DEFINE_string("gallery", "",
+                    "enable the 1:N endpoints (/enroll, /identify, "
+                    "/gallery, /gallery/save) with this .npz snapshot "
+                    "path: loaded at boot when it exists, saved on "
+                    "drain. Bound to the default model's embedding "
+                    "space; HTTP transport only")
+flags.DEFINE_float("enroll_min_quality", 0.0,
+                   "default feature-norm quality floor for /enroll "
+                   "(0 = accept all; override per request with "
+                   "&min_quality=)")
 flags.DEFINE_integer("max_batch", 64, "device batch (pad-to-batch)")
 flags.DEFINE_float("max_wait_ms", 5.0,
                    "straggler wait after the first request of a batch")
@@ -303,6 +313,31 @@ def _serve_front_end(batcher, all_batchers, watcher):
     list to close at drain time."""
     from tf_face_toolbox_tpu.serving.server import serve
 
+    gallery = None
+    if FLAGS.gallery:
+        if FLAGS.transport == "grpc":
+            raise SystemExit("--gallery endpoints are HTTP-only")
+        import os
+
+        from tf_face_toolbox_tpu.serving.gallery import DeviceGallery
+
+        first = (next(iter(batcher.values())) if isinstance(batcher, dict)
+                 else batcher)
+        dim = getattr(first.service._net, "embedding_dim", 0)
+        if not dim:       # nets without the attr: probe one warm batch
+            import numpy as _np
+            dim = first.service.embed_batch(_np.zeros(
+                (1, first.service.crop_from, first.service.crop_from, 3),
+                "uint8")).shape[1]
+        if os.path.exists(FLAGS.gallery):
+            gallery = DeviceGallery.load(FLAGS.gallery)
+            if gallery.dim != dim:
+                raise SystemExit(
+                    f"--gallery={FLAGS.gallery} holds {gallery.dim}-d "
+                    f"embeddings; the served model produces {dim}-d")
+            logging.info("gallery loaded: %d enrolled", len(gallery))
+        else:
+            gallery = DeviceGallery(dim)
     if FLAGS.transport == "grpc":
         from tf_face_toolbox_tpu.serving.grpc_server import serve_grpc
 
@@ -312,7 +347,9 @@ def _serve_front_end(batcher, all_batchers, watcher):
                  f"grpc://{FLAGS.host}:{server.bound_port}")
     else:
         server = serve(batcher, host=FLAGS.host, port=FLAGS.port,
-                       unix_socket=FLAGS.unix_socket or None)
+                       unix_socket=FLAGS.unix_socket or None,
+                       gallery=gallery,
+                       enroll_min_quality=FLAGS.enroll_min_quality)
         where = (f"unix:{FLAGS.unix_socket}" if FLAGS.unix_socket else
                  f"http://{FLAGS.host}:{server.server_address[1]}")
     models = (" models=" + ",".join(batcher)
@@ -347,6 +384,10 @@ def _serve_front_end(batcher, all_batchers, watcher):
         server.server_close()
     for b in all_batchers:
         b.close()
+    if gallery is not None and FLAGS.gallery:
+        n = gallery.save(FLAGS.gallery)
+        logging.info("gallery snapshot: %d enrolled -> %s", n,
+                     FLAGS.gallery)
     print("drained; bye", flush=True)
 
 

@@ -483,7 +483,8 @@ class DynamicBatcher:
 def serve(batcher: "DynamicBatcher | dict[str, DynamicBatcher]", *,
           host: str = "127.0.0.1",
           port: int = 0, unix_socket: str | None = None,
-          max_body_mb: int = 64):
+          max_body_mb: int = 64,
+          gallery=None, enroll_min_quality: float = 0.0):
     """Start the HTTP front-end; returns the (running) HTTPServer.
     Caller owns shutdown(); call ``server.wait_idle(timeout)`` after
     shutdown() to let in-flight handlers finish (the stdlib's
@@ -509,7 +510,19 @@ def serve(batcher: "DynamicBatcher | dict[str, DynamicBatcher]", *,
     (docs/ROADMAP r2 #5): no TCP handshake/TIME_WAIT per request, and
     the next daemon takes the path over atomically (bind to a temp
     name + rename) so a proxy never sees connection-refused between
-    generations. A stale path from a dead process is replaced."""
+    generations. A stale path from a dead process is replaced.
+
+    ``gallery``: a serving.gallery.DeviceGallery enables the daemon's
+    1:N endpoints against the DEFAULT model's embedding space:
+    POST /enroll?label=<int> (image body → embed → store; an
+    ``enroll_min_quality`` floor — overridable per request with
+    &min_quality= — gates low-quality enrollments using the feature-
+    norm score), POST /identify?k=5[&threshold=t] (image body →
+    matches [{label, score}], plus "unknown": true when the top score
+    is below t — the open-set decision), GET /gallery (size), and
+    POST /gallery/save?path= (atomic snapshot). Multi-model daemons
+    refuse gallery calls with ?model= other than the default (one
+    gallery, one embedding space)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qs, urlsplit
 
@@ -526,12 +539,12 @@ def serve(batcher: "DynamicBatcher | dict[str, DynamicBatcher]", *,
     inflight_cv = threading.Condition()
 
     def route(raw_path: str):
-        """→ (path, batcher | None, model_name, want_quality)."""
+        """→ (path, batcher | None, model_name, want_quality, qs)."""
         parts = urlsplit(raw_path)
         qs = parse_qs(parts.query)
         name = qs.get("model", [default_name])[0]
         quality = qs.get("quality", ["0"])[0] not in ("0", "", "false")
-        return parts.path, batchers.get(name, None), name, quality
+        return parts.path, batchers.get(name, None), name, quality, qs
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet; stats endpoint instead
@@ -573,7 +586,18 @@ def serve(batcher: "DynamicBatcher | dict[str, DynamicBatcher]", *,
                 pass  # client went away; nothing to tell it
 
         def do_GET(self):
-            path, b, name, _ = route(self.path)
+            path, b, name, _, _qs = route(self.path)
+            if path == "/gallery":
+                if gallery is None:
+                    self._reply(404, {"error": "no gallery configured "
+                                               "(cli.serve --gallery)"})
+                elif name != default_name:
+                    self._reply(404, {"error": "gallery is bound to the "
+                                               "default model"})
+                else:
+                    self._reply(200, {"size": len(gallery),
+                                      "dim": gallery.dim})
+                return
             if path not in ("/healthz", "/stats"):
                 self._reply(404, {"error": "unknown path"})
                 return
@@ -606,8 +630,79 @@ def serve(batcher: "DynamicBatcher | dict[str, DynamicBatcher]", *,
                     inflight["n"] -= 1
                     inflight_cv.notify_all()
 
+        def _do_gallery(self, path, b, name, qs):
+            """/enroll, /identify, /gallery/save — the daemon's 1:N
+            endpoints over the device-resident gallery."""
+            if gallery is None:
+                self._reply(404, {"error": "no gallery configured "
+                                           "(cli.serve --gallery)"})
+                return
+            if b is None or name != default_name:
+                self._reply(404, {"error": "gallery endpoints are bound "
+                                           "to the default model"})
+                return
+            if path == "/gallery/save":
+                target = qs.get("path", [""])[0]
+                if not target:
+                    self._reply(400, {"error": "need ?path="})
+                    return
+                try:
+                    n = gallery.save(target)
+                except OSError as e:
+                    self._reply(500, {"error": f"{e}"})
+                    return
+                self._reply(200, {"saved": n, "path": target})
+                return
+            svc = b.service
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                if n > max_body:
+                    self._reply(413, {"error": "body too large"})
+                    return
+                image = svc.decode_request(self.rfile.read(n))
+                if path == "/enroll":
+                    label = int(qs.get("label", [""])[0])
+                min_q = float(qs.get("min_quality",
+                                     [str(enroll_min_quality)])[0])
+            except Exception as e:
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            try:
+                emb, qual = b.submit(image, with_quality=True)
+                if path == "/enroll":
+                    if float(qual) < min_q:
+                        self._reply(422, {
+                            "error": "quality below enrollment floor",
+                            "quality": float(qual),
+                            "min_quality": min_q})
+                        return
+                    size = gallery.enroll(emb, [label])
+                    self._reply(200, {"enrolled": True, "label": label,
+                                      "quality": float(qual),
+                                      "size": size})
+                else:                                   # /identify
+                    k = int(qs.get("k", ["5"])[0])
+                    thr = float(qs.get("threshold", ["-1e9"])[0])
+                    try:
+                        labs, scores = gallery.search(emb, k=k)
+                    except ValueError as e:
+                        self._reply(409, {"error": f"{e}"})
+                        return
+                    matches = [{"label": int(l), "score": float(s)}
+                               for l, s in zip(labs[0], scores[0])]
+                    self._reply(200, {
+                        "matches": matches,
+                        "quality": float(qual),
+                        "unknown": bool(scores[0][0] < thr)})
+            except Exception as e:
+                self._reply(503 if isinstance(e, TimeoutError) else 500,
+                            {"error": f"{type(e).__name__}: {e}"})
+
         def _do_post(self):
-            path, b, name, want_quality = route(self.path)
+            path, b, name, want_quality, qs = route(self.path)
+            if path in ("/enroll", "/identify", "/gallery/save"):
+                self._do_gallery(path, b, name, qs)
+                return
             if path not in ("/embed", "/embed_batch"):
                 self._reply(404, {"error": "unknown path"})
                 return
