@@ -1389,3 +1389,36 @@ def test_http_gallery_enroll_identify(service):
     finally:
         server.shutdown()
         batcher.close()
+
+
+def test_gallery_deenroll(service):
+    from tf_face_toolbox_tpu.serving.gallery import DeviceGallery
+
+    gallery = DeviceGallery(DIM, block=4)
+    batcher = DynamicBatcher(service, max_wait_ms=1.0)
+    server = serve(batcher, port=0, gallery=gallery)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        imgs = _images(3, seed=11)
+        for i, img in enumerate(imgs):
+            buf = io.BytesIO()
+            np.save(buf, img)
+            req = urllib.request.Request(
+                f"{base}/enroll?label={5 if i < 2 else 6}",
+                data=buf.getvalue(), method="POST")
+            urllib.request.urlopen(req).read()
+        req = urllib.request.Request(f"{base}/deenroll?label=5",
+                                     data=b"", method="POST")
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert out == {"removed": 2, "size": 1}
+        # remaining identity still identifiable
+        buf = io.BytesIO()
+        np.save(buf, imgs[2])
+        req = urllib.request.Request(f"{base}/identify?k=1",
+                                     data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req) as r:
+            assert json.loads(r.read())["matches"][0]["label"] == 6
+    finally:
+        server.shutdown()
+        batcher.close()

@@ -110,6 +110,19 @@ class DeviceGallery:
         idx = np.asarray(idx)
         return labels[idx], np.asarray(scores)
 
+    def remove(self, label: int) -> int:
+        """Drop every enrollment of ``label``; → rows removed. The
+        device array re-syncs immediately (capacity only shrinks at
+        block granularity, so usually no recompile)."""
+        with self._lock:
+            keep = self._labels != int(label)
+            removed = int((~keep).sum())
+            if removed:
+                self._emb = self._emb[keep]
+                self._labels = self._labels[keep]
+                self._sync_locked()
+            return removed
+
     # ------------------------------------------------------ persistence
 
     def save(self, path: str) -> int:

@@ -653,6 +653,16 @@ def serve(batcher: "DynamicBatcher | dict[str, DynamicBatcher]", *,
                     return
                 self._reply(200, {"saved": n, "path": target})
                 return
+            if path == "/deenroll":
+                try:
+                    label = int(qs.get("label", [""])[0])
+                except ValueError:
+                    self._reply(400, {"error": "need ?label=<int>"})
+                    return
+                removed = gallery.remove(label)
+                self._reply(200, {"removed": removed,
+                                  "size": len(gallery)})
+                return
             svc = b.service
             try:
                 n = int(self.headers.get("Content-Length", 0))
@@ -700,7 +710,8 @@ def serve(batcher: "DynamicBatcher | dict[str, DynamicBatcher]", *,
 
         def _do_post(self):
             path, b, name, want_quality, qs = route(self.path)
-            if path in ("/enroll", "/identify", "/gallery/save"):
+            if path in ("/enroll", "/identify", "/gallery/save",
+                        "/deenroll"):
                 self._do_gallery(path, b, name, qs)
                 return
             if path not in ("/embed", "/embed_batch"):

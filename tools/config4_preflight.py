@@ -104,6 +104,11 @@ def main() -> None:
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--noise", type=float, default=2.0)
     p.add_argument("--base_lr", type=float, default=0.1)
+    p.add_argument("--margin", default="cosface",
+                   choices=["cosface", "arcface", "adaface", "magface",
+                            "curricular"],
+                   help="loss head (r3: the adaptive family preflights "
+                        "through the same harness/gates)")
     p.add_argument("--qat", action="store_true",
                    help="train with fake-quant (quantized='qat'): the "
                         "PTQ remedy for stems whose trained weights "
@@ -115,6 +120,19 @@ def main() -> None:
     args = p.parse_args()
 
     size, crop_from = 112, 120
+    margin_kw = {"cosface": dict(margin_m3=0.2),
+                 "arcface": dict(margin_m2=0.3)}.get(args.margin)
+    if margin_kw is None:
+        from tf_face_toolbox_tpu.ops.losses import (AdaFaceConfig,
+                                                    MagFaceConfig)
+        margin_kw = {
+            "adaface": dict(margin_mode="adaface",
+                            adaface=AdaFaceConfig(m=0.25)),
+            "magface": dict(margin_mode="magface",
+                            magface=MagFaceConfig(l_m=0.2, u_m=0.45,
+                                                  lambda_g=5.0)),
+            "curricular": dict(margin_mode="curricular", margin_m2=0.3),
+        }[args.margin]
     cfg = TrainConfig(
         network=args.network, stem=args.stem,
         num_classes=args.num_ids, image_size=size,
@@ -122,8 +140,8 @@ def main() -> None:
         augment=True, crop_from=crop_from,
         base_lr=args.base_lr, warmup_steps=100,
         lr_boundaries=(int(args.steps * 0.6), int(args.steps * 0.85)),
-        margin_scale=32.0, margin_m3=0.2, weight_decay=5e-4,
-        quantized="qat" if args.qat else False)
+        margin_scale=32.0, weight_decay=5e-4,
+        quantized="qat" if args.qat else False, **margin_kw)
 
     print(f"# templates: {args.num_ids} ids at {crop_from}²", flush=True)
     templates = make_templates(args.num_ids, crop_from)
