@@ -8,13 +8,13 @@ from tf_face_toolbox_tpu.train.trainer import TrainConfig
 
 
 def test_all_baseline_milestones_present():
-    # five BASELINE milestones + the r3 accuracy-serving and sampled-PFC
-    # presets
-    assert len(list_configs()) == 7
+    # five BASELINE milestones + the r3 accuracy-serving, sampled-PFC,
+    # and adaptive-loss presets
+    assert len(list_configs()) == 8
     for name in ["extract_verify_cpu", "se_resnet_extract",
                  "variant_backbones", "casia_single_chip",
                  "v5e8_data_parallel", "accuracy_serving_bf16",
-                 "large_id_pfc_v5e8"]:
+                 "large_id_pfc_v5e8", "adaface_noisy_data"]:
         assert name in list_configs()
 
 
@@ -126,3 +126,38 @@ def test_config5_runs_on_v5e8_shaped_mesh():
     assert float(lr(preset.warmup_steps)) == pytest.approx(preset.base_lr)
     assert float(lr(preset.lr_boundaries[0] + 1)) == pytest.approx(
         preset.base_lr * preset.lr_decay)
+
+
+def test_config8_adaface_preset_executes():
+    """CONFIG_8 (adaface + 3 sub-centers + random erasing, cosine LR)
+    runs a step on the 8-device mesh with the preset's own loss knobs
+    (extents scaled for the CPU box)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+    from tf_face_toolbox_tpu.train.trainer import (
+        create_train_state,
+        make_train_step,
+    )
+
+    preset = get_config("adaface_noisy_data")
+    assert preset.margin_mode == "adaface"
+    assert preset.subcenters == 3 and preset.random_erase == 0.25
+    mesh = create_mesh()
+    cfg = dataclasses.replace(
+        preset, network="resnet_tiny", embedding_dim=16,
+        num_classes=48, image_size=12, crop_from=16, global_batch=16,
+        dtype=jnp.float32, lr_total_steps=100)
+    state, net = create_train_state(cfg, jax.random.key(0), mesh)
+    assert state.classifier.shape[0] == 48 * 3
+    assert "adaface" in state.head_state
+    step_fn = make_train_step(net, cfg, mesh, state)
+    images = jax.random.randint(
+        jax.random.key(1), (16, 16, 16, 3), 0, 256, jnp.int32
+    ).astype(jnp.uint8)
+    labels = jax.random.randint(jax.random.key(2), (16,), 0, 48)
+    state, metrics = step_fn(state, images, labels.astype(jnp.int32))
+    assert jnp.isfinite(jax.device_get(metrics["loss"]))

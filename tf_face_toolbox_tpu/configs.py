@@ -125,6 +125,31 @@ CONFIG_7_LARGE_ID_PFC_V5E8 = TrainConfig(
 # mesh for config 7: create_mesh(data=2, model=4) (or data=1, model=8
 # at 10^6+ ids) — the classifier shards over `model`.
 
+# Modern-recipe training: AdaFace margins (quality-adaptive — the
+# robust choice on web-scraped data), sub-centers for label noise,
+# random erasing for occlusion robustness, cosine LR. The r3
+# adaptive-loss family at CONFIG_4's scale (docs/design.md margin
+# study: adaface 0.995 on the hardware harness).
+CONFIG_8_ADAFACE_NOISY_DATA = TrainConfig(
+    network="resnet_v1_50",
+    embedding_dim=512,
+    num_classes=10_572,
+    image_size=112,
+    crop_from=120,
+    global_batch=256,
+    base_lr=0.1,
+    lr_schedule="cosine",
+    lr_total_steps=220_000,
+    warmup_steps=2_000,
+    weight_decay=5e-4,
+    margin_scale=64.0,
+    margin_mode="adaface",
+    subcenters=3,
+    random_erase=0.25,
+    dtype=jnp.bfloat16,
+    augment=True,
+)
+
 _REGISTRY = {
     "extract_verify_cpu": CONFIG_1_EXTRACT_VERIFY_CPU,
     "se_resnet_extract": CONFIG_2_SE_RESNET_EXTRACT,
@@ -133,6 +158,7 @@ _REGISTRY = {
     "v5e8_data_parallel": CONFIG_5_V5E8_DATA_PARALLEL,
     "accuracy_serving_bf16": CONFIG_6_ACCURACY_SERVING_BF16,
     "large_id_pfc_v5e8": CONFIG_7_LARGE_ID_PFC_V5E8,
+    "adaface_noisy_data": CONFIG_8_ADAFACE_NOISY_DATA,
 }
 
 
