@@ -125,6 +125,45 @@ def test_torch_state_dict_parity():
                                rtol=2e-4, atol=5e-4)
 
 
+def test_exporter_roundtrips_to_torch():
+    """variables → state_dict loads into a real torch module with
+    strict=True and reproduces the original torch forward; and
+    import(export(v)) is bit-identical on every leaf (the two mappings
+    are exact inverses)."""
+    import torch
+
+    from tf_face_toolbox_tpu.interop.torch_iresnet import (
+        variables_to_iresnet_state_dict,
+    )
+
+    tnet = _torch_iresnet()
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+    variables = iresnet_state_dict_to_variables(sd, stage_sizes=STAGES)
+
+    out_sd = variables_to_iresnet_state_dict(variables,
+                                             stage_sizes=STAGES)
+    # Same keys as a real torch module (incl. num_batches_tracked),
+    # and strict load succeeds.
+    assert set(out_sd) == set(sd)
+    tnet2 = _torch_iresnet()
+    tnet2.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                           for k, v in out_sd.items()}, strict=True)
+    tnet2.eval()
+    x = torch.tensor(np.random.default_rng(1).normal(
+        size=(3, 3, SIZE, SIZE)).astype(np.float32))
+    with torch.no_grad():
+        np.testing.assert_allclose(tnet2(x).numpy(), tnet(x).numpy(),
+                                   rtol=1e-5, atol=1e-5)
+
+    # flax-side round trip: bit-exact on every leaf.
+    back = iresnet_state_dict_to_variables(out_sd, stage_sizes=STAGES)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(back)[0],
+            jax.tree_util.tree_flatten_with_path(variables)[0]):
+        assert pa == pb
+        np.testing.assert_array_equal(a, b, err_msg=str(pa))
+
+
 def test_importer_strict_catches_mismatch():
     import torch  # noqa: F401
 
@@ -191,6 +230,53 @@ def test_train_mode_updates_stats_and_grads_flow():
     gnorms = [float(jnp.linalg.norm(g)) for g in
               jax.tree_util.tree_leaves(grads)]
     assert all(np.isfinite(gnorms)) and max(gnorms) > 0
+
+
+@pytest.mark.slow
+def test_export_torch_cli_roundtrip(tmp_path):
+    """npz → cli.export_torch → cli.import_torch → npz: the TPU→torch
+    hand-off survives a full CLI round trip bit-exactly."""
+    from tf_face_toolbox_tpu.interop.port import (
+        load_variables_npz,
+        save_variables_npz,
+    )
+
+    net = create_network("iresnet_tiny", embedding_dim=DIM)
+    variables = init_variables(net, jax.random.key(7),
+                               (1, SIZE, SIZE, 3))
+    variables = {k: variables[k] for k in ("params", "batch_stats")}
+    npz = str(tmp_path / "in.npz")
+    save_variables_npz(npz, variables)
+
+    def _run(args):
+        env = dict(os.environ)
+        env["TFFT_PLATFORM"] = "cpu"
+        r = subprocess.run([sys.executable, "-m"] + args,
+                           capture_output=True, text=True, env=env,
+                           cwd=os.path.dirname(os.path.dirname(
+                               os.path.abspath(__file__))))
+        assert r.returncode == 0, f"{args}:\n{r.stdout}\n{r.stderr}"
+        return r.stdout
+
+    pt = str(tmp_path / "out.pth")
+    out = _run(["tf_face_toolbox_tpu.cli.export_torch",
+                f"--variables_npz={npz}", f"--output={pt}",
+                "--network=iresnet_tiny", "--input_norm=fixed"])
+    assert "feed the torch side (x - 127.5) / 127.5" in out
+
+    npz2 = str(tmp_path / "back.npz")
+    _run(["tf_face_toolbox_tpu.cli.import_torch", f"--pt={pt}",
+          f"--output={npz2}", "--network=iresnet_tiny",
+          f"--image_size={SIZE}"])
+    back = load_variables_npz(npz2)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(back)[0],
+            jax.tree_util.tree_flatten_with_path(
+                jax.tree.map(np.asarray, variables))[0]):
+        assert pa == pb
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b, dtype=np.float32),
+            err_msg=str(pa))
 
 
 @pytest.mark.slow

@@ -27,7 +27,11 @@ import math
 
 import numpy as np
 
-__all__ = ["iresnet_state_dict_to_variables", "load_torch_state_dict"]
+__all__ = [
+    "iresnet_state_dict_to_variables",
+    "load_torch_state_dict",
+    "variables_to_iresnet_state_dict",
+]
 
 
 def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
@@ -137,3 +141,77 @@ def iresnet_state_dict_to_variables(
             f"{sorted(sd)[:4]}); wrong stage_sizes or not an iresnet "
             "checkpoint — pass strict=False to ignore extras")
     return {"params": params, "batch_stats": stats}
+
+
+def _conv_out(kernel: np.ndarray) -> np.ndarray:
+    # flax (kh, kw, I, O) → torch (O, I, kh, kw)
+    return _f32(np.asarray(kernel).transpose(3, 2, 0, 1))
+
+
+def _bn_out(sd: dict, name: str, params: dict, stats: dict) -> None:
+    sd[name + ".weight"] = _f32(np.asarray(params["scale"]))
+    sd[name + ".bias"] = _f32(np.asarray(params["bias"]))
+    sd[name + ".running_mean"] = _f32(np.asarray(stats["mean"]))
+    sd[name + ".running_var"] = _f32(np.asarray(stats["var"]))
+    # torch BatchNorm tracks this buffer; torch_model.load_state_dict
+    # with strict=True requires it to be present.
+    sd[name + ".num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+
+
+def variables_to_iresnet_state_dict(
+        variables: dict, *,
+        stage_sizes: tuple[int, ...] = (3, 4, 14, 3)) -> dict:
+    """Exact inverse of :func:`iresnet_state_dict_to_variables`.
+
+    Maps a ``models.iresnet.IResNet`` flax variable tree (params +
+    batch_stats, e.g. a checkpoint trained or fine-tuned here) back onto
+    the InsightFace/arcface_torch ``state_dict`` key layout, so a model
+    trained on TPU can be handed to a torch-serving fleet (or compared
+    leaf-by-leaf against its torch ancestor). All the layout notes in
+    the importer docstring apply mirrored — in particular ``fc.weight``
+    is re-flattened NHWC→NCHW. Returns ``{name: np.ndarray}``; save it
+    with ``torch.save({k: torch.from_numpy(v) ...})`` or via
+    ``cli.export_torch``.
+    """
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    sd: dict = {}
+
+    sd["conv1.weight"] = _conv_out(params["conv1"]["kernel"])
+    _bn_out(sd, "bn1", params["bn1"], stats["bn1"])
+    sd["prelu.weight"] = _f32(np.asarray(params["prelu"]["alpha"]))
+
+    for stage_idx, num_blocks in enumerate(stage_sizes):
+        for block_idx in range(num_blocks):
+            t = f"layer{stage_idx + 1}.{block_idx}"
+            f = f"layer{stage_idx + 1}_{block_idx}"
+            blk, blk_stats = params[f], stats[f]
+            _bn_out(sd, t + ".bn1", blk["bn1"], blk_stats["bn1"])
+            sd[t + ".conv1.weight"] = _conv_out(blk["conv1"]["kernel"])
+            _bn_out(sd, t + ".bn2", blk["bn2"], blk_stats["bn2"])
+            sd[t + ".prelu.weight"] = _f32(
+                np.asarray(blk["prelu"]["alpha"]))
+            sd[t + ".conv2.weight"] = _conv_out(blk["conv2"]["kernel"])
+            _bn_out(sd, t + ".bn3", blk["bn3"], blk_stats["bn3"])
+            if "downsample_conv" in blk:
+                sd[t + ".downsample.0.weight"] = _conv_out(
+                    blk["downsample_conv"]["kernel"])
+                _bn_out(sd, t + ".downsample.1",
+                        blk["downsample_bn"], blk_stats["downsample_bn"])
+
+    _bn_out(sd, "bn2", params["bn2"], stats["bn2"])
+
+    # fc: un-flatten (h, w, C) → permute → re-flatten (C, h, w).
+    kernel = np.asarray(params["fc"]["kernel"])    # (h*w*C, D)
+    flat, dim = kernel.shape
+    c = np.asarray(params["bn2"]["scale"]).shape[0]
+    hw = flat // c
+    h = int(math.isqrt(hw))
+    if c * h * h != flat:
+        raise ValueError(f"fc kernel in-dim {flat} is not h*h*C for "
+                         f"C={c} channels — not an iresnet head?")
+    w = kernel.reshape(h, h, c, dim).transpose(3, 2, 0, 1)
+    sd["fc.weight"] = _f32(w.reshape(dim, c * h * h))
+    sd["fc.bias"] = _f32(np.asarray(params["fc"]["bias"]))
+    _bn_out(sd, "features", params["features"], stats["features"])
+    return sd
