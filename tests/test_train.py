@@ -610,3 +610,58 @@ def test_gradient_accumulation_refusals():
                                     net=_TinyNoBN())
     with pytest.raises(ValueError, match="divisible"):
         make_train_step(net, cfg, mesh, state)
+
+
+def test_skip_nonfinite_holds_state_and_recovers():
+    """A poisoned (NaN) batch with skip_nonfinite: every state leaf
+    holds bit-exactly, the step counter advances, the skip is counted;
+    the next clean batch trains normally. Without the guard the same
+    batch corrupts the params (the failure mode being defended)."""
+    import dataclasses
+
+    mesh = create_mesh()
+    cfg = dataclasses.replace(CFG, skip_nonfinite=True, ema_decay=0.9)
+    state, net = create_train_state(cfg, jax.random.key(0), mesh,
+                                    net=_tiny_net())
+    step_fn = make_train_step(net, cfg, mesh, state)
+
+    images, labels = _synthetic_batch(jax.random.key(100), 16, 16, 12)
+    state, m = step_fn(state, images, labels)
+    assert float(m["skipped_nonfinite"]) == 0.0
+    before = jax.tree.map(np.asarray, (
+        state.params, state.classifier, state.opt_state,
+        state.batch_stats, state.ema_params))
+
+    poisoned = images.at[0, 0, 0, 0].set(jnp.nan)
+    state, m = step_fn(state, poisoned, labels)
+    assert float(m["skipped_nonfinite"]) == 1.0
+    assert not np.isfinite(float(m["loss"]))
+    assert int(state.step) == 2    # counter still advances
+    after = jax.tree.map(np.asarray, (
+        state.params, state.classifier, state.opt_state,
+        state.batch_stats, state.ema_params))
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
+
+    state, m = step_fn(state, images, labels)   # clean batch recovers
+    assert float(m["skipped_nonfinite"]) == 0.0
+    assert np.isfinite(float(m["loss"]))
+    assert any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(jax.tree.leaves(before[0]),
+                        jax.tree.leaves(state.params)))
+
+
+def test_nonfinite_unguarded_corrupts_params():
+    """Control for the guard test: the same poisoned batch WITHOUT
+    skip_nonfinite propagates NaN into the weights."""
+    mesh = create_mesh()
+    state, net = create_train_state(CFG, jax.random.key(0), mesh,
+                                    net=_tiny_net())
+    step_fn = make_train_step(net, CFG, mesh, state)
+    images, labels = _synthetic_batch(jax.random.key(100), 16, 16, 12)
+    poisoned = images.at[0, 0, 0, 0].set(jnp.nan)
+    state, m = step_fn(state, poisoned, labels)
+    assert "skipped_nonfinite" not in m
+    leaves = [np.asarray(l) for l in jax.tree.leaves(state.params)]
+    assert any(not np.isfinite(l).all() for l in leaves)

@@ -67,6 +67,11 @@ flags.DEFINE_float("grad_clip_norm", 0.0,
                    "optimizer (0 = off; the classifier's shard norms "
                    "are psum-combined first, so clipping is "
                    "mesh-invariant). Standard ViT/adamw stabilizer")
+flags.DEFINE_bool("skip_nonfinite", False,
+                  "skip applying any step whose loss/grad norm is "
+                  "non-finite (bf16 spike, poisoned batch): all state "
+                  "holds, the step counter advances, and the skip is "
+                  "counted in the metrics")
 flags.DEFINE_enum("margin", "cosface",
                   ["softmax", "arcface", "cosface", "sphereface",
                    "magface", "adaface", "curricular"],
@@ -252,6 +257,7 @@ def build_config(num_classes: int) -> "TrainConfig":
         momentum=FLAGS.momentum,
         weight_decay=FLAGS.weight_decay,
         grad_clip_norm=FLAGS.grad_clip_norm,
+        skip_nonfinite=FLAGS.skip_nonfinite,
         margin_scale=FLAGS.margin_scale,
         margin_m1=m1, margin_m2=m2, margin_m3=m3,
         margin_mode=margin_mode,

@@ -155,6 +155,14 @@ class TrainConfig:
     # triplet mines within each micro-batch); adaptive margin modes
     # and center loss carry per-STEP head state and refuse loudly.
     accum_steps: int = 1
+    # Skip applying any step whose loss or global grad norm is
+    # non-finite (bf16 overflow spike, a poisoned batch): params,
+    # classifier, optimizer/EMA/BN/head state all hold; the step
+    # counter still advances so the LR schedule and data position stay
+    # in sync. The decision is global (loss and grad_norm are
+    # mesh-combined) so every device skips in lockstep. The reference
+    # era had no such guard — a NaN there corrupted the Saver state.
+    skip_nonfinite: bool = False
     # input standardization: "per_image" (the reference's tf.image
     # chain) or "fixed" ((x-127.5)/127.5) — fine-tuning an imported
     # InsightFace-ecosystem checkpoint must train with the norm it
@@ -695,6 +703,27 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
                 lambda e, p: d * e + (1.0 - d) * p,
                 state.ema_params, new_vars["params"])
 
+        ok = jnp.bool_(True)
+        if cfg.skip_nonfinite:
+            # grad_norm is the global norm over every grad leaf, so a
+            # single NaN/Inf anywhere poisons it — one scalar test
+            # covers the whole tree. Gate everything derived from this
+            # batch; only the step counter moves on a skip.
+            ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+
+            def keep(new, old):
+                return jax.tree.map(
+                    lambda n, o: jnp.where(ok, n, o), new, old)
+
+            new_vars = keep(new_vars, {"params": state.params,
+                                       "classifier": state.classifier})
+            new_opt = keep(new_opt, state.opt_state)
+            new_bs = keep(new_bs, state.batch_stats)
+            if new_ema is not None:
+                new_ema = keep(new_ema, state.ema_params)
+            if new_head is not None:
+                new_head = keep(new_head, state.head_state)
+
         new_state = state.replace(
             step=state.step + 1,
             params=new_vars["params"],
@@ -709,6 +738,8 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
             "learning_rate": sched(state.step),
             "grad_norm": grad_norm,   # pre-clip, the diagnostic one
         }
+        if cfg.skip_nonfinite:
+            metrics["skipped_nonfinite"] = 1.0 - ok.astype(jnp.float32)
         if distilling:
             metrics["distill_loss"] = parts["distill"]
             if alpha < 1.0:
