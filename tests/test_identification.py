@@ -204,3 +204,107 @@ def test_sharded_top_k_matches_equals_single_device():
         np.testing.assert_array_equal(idx8, idx1)  # continuous scores:
         # ties have measure zero with random gaussians
         assert (idx8 < 43).all()                   # padding never wins
+
+
+def _reference_dir(gallery, glabels, probe, plabels, far, rank):
+    """Naive host oracle for the open-set protocol."""
+    g = gallery / np.linalg.norm(gallery, axis=1, keepdims=True)
+    p = probe / np.linalg.norm(probe, axis=1, keepdims=True)
+    sims = p @ g.T
+    mated = np.isin(plabels, glabels)
+    neg = np.sort(sims[~mated].max(axis=1))[::-1]
+    k = int(np.floor(far * len(neg)))
+    if k == 0 and far > 0 and 1 / len(neg) > far:
+        return float("nan"), None
+    thr = neg[k] if k < len(neg) else -np.inf
+    hits = 0
+    for i in np.nonzero(mated)[0]:
+        order = np.argsort(-sims[i], kind="stable")
+        pos = np.nonzero(glabels[order] == plabels[i])[0][0]
+        best_correct = sims[i][glabels == plabels[i]].max()
+        if pos + 1 <= rank and best_correct > thr:
+            hits += 1
+    return hits / mated.sum(), thr
+
+
+def test_dir_at_far_matches_oracle():
+    from tf_face_toolbox_tpu.ops.verification import dir_at_far
+
+    rng = np.random.default_rng(7)
+    gallery = rng.normal(size=(30, 16)).astype(np.float32)
+    glabels = np.arange(30) % 10          # 10 enrolled identities
+    # mated probes near their identity (varying quality), plus
+    # distractor probes with identities 100.. (never enrolled)
+    probe = np.concatenate([
+        gallery[rng.integers(0, 30, 20)] +
+        0.3 * rng.normal(size=(20, 16)).astype(np.float32),
+        rng.normal(size=(25, 16)).astype(np.float32)])
+    plabels = np.concatenate([
+        glabels[rng.integers(0, 30, 20)], 100 + np.arange(25)])
+    # re-derive mated labels consistently with the drawn rows
+    probe[:20] = gallery[:20] + 0.3 * rng.normal(
+        size=(20, 16)).astype(np.float32)
+    plabels[:20] = glabels[:20]
+
+    for far, rank in ((0.2, 1), (0.04, 1), (0.2, 3)):
+        out = dir_at_far(gallery, glabels, probe, plabels,
+                         fars=(far,), rank=rank, batch=6)
+        want, thr = _reference_dir(gallery, glabels, probe, plabels,
+                                   far, rank)
+        got = out[f"dir@far={far:g}"]
+        assert abs(got - want) < 1e-9, (far, rank, got, want)
+        if thr is not None:
+            assert abs(out[f"thr@far={far:g}"] - thr) < 1e-6
+    out = dir_at_far(gallery, glabels, probe, plabels,
+                     fars=(1e-4,), rank=1)   # finer than 1/25
+    assert np.isnan(out["dir@far=0.0001"])
+    assert out["mated"] == 20 and out["nonmated"] == 25
+    # FAR→1 limit equals the closed-set rank-1 hit rate over mated
+    full = dir_at_far(gallery, glabels, probe, plabels, fars=(1.0,))
+    assert abs(full["dir@far=1"] - full["dir_closed_set"]) < 1e-9
+
+
+def test_dir_at_far_all_mated_warns_nan():
+    from tf_face_toolbox_tpu.ops.verification import dir_at_far
+
+    g = np.eye(4, dtype=np.float32)
+    with pytest.warns(UserWarning, match="non-mated"):
+        out = dir_at_far(g, np.arange(4), g, np.arange(4),
+                         fars=(0.1,))
+    assert np.isnan(out["dir@far=0.1"])
+    assert out["dir_closed_set"] == 1.0
+
+
+def test_cli_open_set_report(tmp_path):
+    rng = np.random.default_rng(3)
+    proto = rng.normal(size=(6, 8)).astype(np.float32)
+    gallery = proto + 0.01 * rng.normal(size=(6, 8)).astype(np.float32)
+    # 6 mated probes + 4 distractors with un-enrolled identities
+    probe = np.concatenate([
+        proto + 0.01 * rng.normal(size=(6, 8)).astype(np.float32),
+        rng.normal(size=(4, 8)).astype(np.float32)])
+    np.save(tmp_path / "gal.npy", gallery)
+    np.save(tmp_path / "probe.npy", probe)
+    (tmp_path / "gal_list.txt").write_text(
+        "".join(f"g{i}.jpg {i}\n" for i in range(6)))
+    (tmp_path / "probe_list.txt").write_text(
+        "".join(f"p{i}.jpg {l}\n"
+                for i, l in enumerate(list(range(6)) + [90, 91, 92, 93])))
+    r = subprocess.run(
+        [sys.executable, "-m",
+         "tf_face_toolbox_tpu.cli.eval_identification",
+         f"--gallery={tmp_path}/gal.npy",
+         f"--gallery_list={tmp_path}/gal_list.txt",
+         f"--probe={tmp_path}/probe.npy",
+         f"--probe_list={tmp_path}/probe_list.txt",
+         "--ranks=1", "--far=0.5,0.25"],
+        capture_output=True, text=True, env=_CPU_ENV)
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(r.stdout)
+    assert report["skipped"] == 4
+    os_rep = report["open_set"]
+    assert os_rep["mated"] == 6 and os_rep["nonmated"] == 4
+    # random distractors vs tight prototype matches: everyone clears
+    # the 50%-FAR threshold
+    assert os_rep["dir@far=0.5"] == 1.0
+    assert os_rep["dir_closed_set"] == 1.0

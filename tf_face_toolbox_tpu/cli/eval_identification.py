@@ -30,6 +30,14 @@ flags.DEFINE_string("gallery_list", None,
                     "pack list file with gallery labels")
 flags.DEFINE_string("probe_list", None, "pack list file with probe labels")
 flags.DEFINE_list("ranks", ["1", "5", "10"], "CMC ranks to report")
+flags.DEFINE_list("far", ["1e-1", "1e-2"],
+                  "open-set operating points: DIR@FAR is reported "
+                  "whenever the probe set contains non-mated "
+                  "(not-enrolled) identities — the IJB-style 1:N "
+                  "watchlist protocol")
+flags.DEFINE_integer("dir_rank", 1,
+                     "rank within which a mated probe must be "
+                     "identified for DIR@FAR")
 flags.DEFINE_integer("probe_batch", 4096,
                      "probes per device matmul batch")
 flags.mark_flag_as_required("gallery")
@@ -63,6 +71,14 @@ def main(argv):
     report = cmc_curve(gallery, glabels, probe, plabels,
                        ranks=[int(k) for k in FLAGS.ranks],
                        batch=FLAGS.probe_batch)
+    if report["skipped"]:
+        # cmc's "skipped" probes are exactly the open-set non-mated
+        # set: score them as impostors instead of dropping them.
+        from tf_face_toolbox_tpu.ops.verification import dir_at_far
+        report["open_set"] = dir_at_far(
+            gallery, glabels, probe, plabels,
+            fars=[float(f) for f in FLAGS.far], rank=FLAGS.dir_rank,
+            batch=FLAGS.probe_batch)
     print(json.dumps(json_sanitize(report), indent=2,
                  allow_nan=False))
 

@@ -461,3 +461,94 @@ def cmc_curve(gallery: np.ndarray, gallery_labels: np.ndarray,
                 for k in ranks},
         "mean_rank": float(r.mean()) if len(r) else float("nan"),
     }
+
+
+def dir_at_far(gallery: np.ndarray, gallery_labels: np.ndarray,
+               probe: np.ndarray, probe_labels: np.ndarray, *,
+               fars=(1e-1, 1e-2), rank: int = 1,
+               batch: int = 4096) -> dict:
+    """Open-set identification: DIR@FAR (IJB/NIST 1:N protocol).
+
+    Completes the L7 eval layer's third protocol leg next to the 1:1
+    TAR@FAR and the closed-set CMC (SURVEY.md §3.3 covers only the
+    closed protocols — open-set is the watchlist deployment the 1:N
+    serving gallery actually runs). Probes whose identity is absent
+    from the gallery are the NON-MATED (impostor) set; their top
+    gallery scores set the alarm threshold. For each target FAR the
+    threshold follows ``tar_at_far``'s convention — the tightest value
+    the non-mated set supports, acceptance strictly above, achieved
+    FAR ≤ target, NaN when FAR is finer than 1/N_nonmated. A mated
+    probe is identified iff its correct identity sits within
+    ``rank`` AND that match scores above the threshold:
+
+        DIR(far, rank) = P[rank_i <= rank  AND  s_correct_i > thr(far)]
+
+    All similarity work is the same streamed device matmul as
+    ``cmc_curve`` (one MXU matmul + two reductions per probe batch), so
+    million-entry distractor galleries pass through in ``batch`` rows.
+    """
+    gallery_labels = np.asarray(gallery_labels)
+    probe_labels = np.asarray(probe_labels)
+    probe = np.asarray(probe)
+    g = jax.device_put(jnp.asarray(gallery, jnp.float32))
+    gl = jax.device_put(jnp.asarray(gallery_labels))
+    mated_mask = np.isin(probe_labels, gallery_labels)
+
+    @jax.jit
+    def mated_stats(g, gl, p, pl):
+        sims = similarity_matrix(g, p).T            # (B, G)
+        same = gl[None, :] == pl[:, None]
+        best_correct = jnp.max(jnp.where(same, sims, -jnp.inf), axis=1)
+        above = jnp.sum((sims > best_correct[:, None]) & ~same, axis=1)
+        return best_correct, 1 + above
+
+    @jax.jit
+    def top_scores(g, p):
+        return jnp.max(similarity_matrix(g, p).T, axis=1)
+
+    mp, mpl = probe[mated_mask], probe_labels[mated_mask]
+    scores, ranks_ = [], []
+    for i in range(0, len(mp), batch):
+        s, r = mated_stats(g, gl, jnp.asarray(mp[i:i + batch]),
+                           jnp.asarray(mpl[i:i + batch]))
+        scores.append(np.asarray(s))
+        ranks_.append(np.asarray(r))
+    s_correct = (np.concatenate(scores) if scores
+                 else np.empty((0,), np.float64))
+    r_mated = (np.concatenate(ranks_) if ranks_
+               else np.empty((0,), np.int64))
+
+    nm = probe[~mated_mask]
+    nm_top = np.concatenate(
+        [np.asarray(top_scores(g, jnp.asarray(nm[i:i + batch])))
+         for i in range(0, len(nm), batch)]) if len(nm) else \
+        np.empty((0,), np.float64)
+    neg = np.sort(nm_top.astype(np.float64))[::-1]   # descending
+
+    in_rank = r_mated <= rank
+    out: dict = {
+        "mated": int(mated_mask.sum()),
+        "nonmated": int((~mated_mask).sum()),
+        "gallery": int(len(gallery_labels)),
+        "rank": int(rank),
+        # the FAR→1 limit: pure closed-set rank-`rank` hit rate
+        "dir_closed_set": (float(in_rank.mean()) if len(r_mated)
+                           else float("nan")),
+    }
+    if len(neg) == 0:
+        import warnings
+        warnings.warn(
+            "dir_at_far: every probe identity is enrolled — no "
+            "non-mated probes to set thresholds; DIR@FAR is NaN "
+            "(add distractor probes for the open-set protocol)")
+    for far in fars:
+        key = f"dir@far={far:g}"
+        k = int(np.floor(far * len(neg)))
+        if len(neg) == 0 or len(s_correct) == 0 or \
+                (k == 0 and far > 0 and 1 / len(neg) > far):
+            out[key] = float("nan")
+            continue
+        thr = neg[k] if k < len(neg) else -np.inf
+        out[key] = float((in_rank & (s_correct > thr)).mean())
+        out[key.replace("dir@", "thr@")] = float(thr)
+    return out
