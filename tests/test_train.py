@@ -665,3 +665,63 @@ def test_nonfinite_unguarded_corrupts_params():
     assert "skipped_nonfinite" not in m
     leaves = [np.asarray(l) for l in jax.tree.leaves(state.params)]
     assert any(not np.isfinite(l).all() for l in leaves)
+
+
+def test_keep_best_checkpoint(tmp_path):
+    """--keep_best: the best-eval checkpoint survives in
+    <train_dir>/best with its bar recorded, GC-immune, and the bar
+    persists across a resumed run (a later worse eval never demotes)."""
+    from tf_face_toolbox_tpu.train.checkpoint import CheckpointManager
+    from tf_face_toolbox_tpu.train.loop import train_loop
+
+    mesh = create_mesh()
+    train_dir = str(tmp_path / "run")
+
+    def batches():
+        while True:
+            yield {"image": np.zeros((16, 16, 16, 3), np.float32),
+                   "label": (np.arange(16) % 12).astype(np.int32)}
+
+    scripted = iter([0.5, 0.9, 0.7])
+
+    def eval_fn(state):
+        return {"lfw_accuracy": next(scripted)}
+
+    train_loop(CFG, mesh, batches(), num_steps=3, train_dir=train_dir,
+               save_every=1, log_every=1, eval_fn=eval_fn,
+               eval_every=1, keep_best="lfw_accuracy",
+               net=_tiny_net())
+
+    mgr = CheckpointManager(train_dir)
+    info = mgr.best_info()
+    assert info == {"step": 2, "metric": 0.9, "name": "lfw_accuracy"}
+    best = CheckpointManager(str(tmp_path / "run" / "best"))
+    assert best.latest_step() == 2          # downstream CLIs read this
+    best.close()
+
+    # resumed run with a WORSE eval: the bar holds, no new best save
+    scripted = iter([0.6])
+    train_loop(CFG, mesh, batches(), num_steps=4, train_dir=train_dir,
+               save_every=1, log_every=1, eval_fn=eval_fn,
+               eval_every=1, keep_best="lfw_accuracy",
+               net=_tiny_net())
+    mgr2 = CheckpointManager(train_dir)
+    assert mgr2.best_info()["step"] == 2
+    mgr2.close()
+    mgr.close()
+
+
+def test_save_best_bar_logic(tmp_path):
+    """save_best only fires on strict improvement."""
+    from tf_face_toolbox_tpu.train.checkpoint import CheckpointManager
+
+    mesh = create_mesh()
+    state, _ = create_train_state(CFG, jax.random.key(0), mesh,
+                                  net=_tiny_net())
+    mgr = CheckpointManager(str(tmp_path / "d"))
+    assert mgr.save_best(state, step=1, metric=0.5, name="m") is True
+    assert mgr.save_best(state, step=2, metric=0.5, name="m") is False
+    assert mgr.save_best(state, step=3, metric=0.6, name="m") is True
+    mgr.wait()
+    assert mgr.best_info() == {"step": 3, "metric": 0.6, "name": "m"}
+    mgr.close()

@@ -200,6 +200,13 @@ flags.DEFINE_string("eval_pairs", "",
                     "pairs file 'idx1 idx2 label' over eval_data")
 flags.DEFINE_integer("eval_every", 0, "run verification every N steps")
 flags.DEFINE_integer("eval_batch", 256, "extraction batch for the hook")
+flags.DEFINE_string("keep_best", "",
+                    "eval metric name (e.g. lfw_accuracy, higher = "
+                    "better): whenever the eval hook improves on the "
+                    "best seen — across restarts — also checkpoint to "
+                    "<train_dir>/best, immune to --save_every's ring-"
+                    "buffer GC; serve/export it via "
+                    "--checkpoint_dir=<train_dir>/best")
 
 _MARGINS = {  # (m1, m2, m3) defaults per variant
     "softmax": (1.0, 0.0, 0.0),
@@ -388,6 +395,14 @@ def main(argv):
         raise SystemExit("--stem=space2depth / --qat are resnet-family "
                          "options; densenet supports stem=face|imagenet, "
                          "fp training")
+    if FLAGS.keep_best and not (FLAGS.eval_data and FLAGS.eval_pairs
+                                and FLAGS.eval_every):
+        raise SystemExit(
+            "--keep_best tracks the in-training eval hook; it needs "
+            "--eval_data/--eval_pairs/--eval_every")
+    if FLAGS.keep_best and not FLAGS.train_dir:
+        raise SystemExit("--keep_best saves to <train_dir>/best; "
+                         "pass --train_dir")
     from tf_face_toolbox_tpu.cli import setup_platform
     setup_platform()
     if FLAGS.multihost:
@@ -523,6 +538,7 @@ def main(argv):
         rng_seed=FLAGS.seed,
         eval_fn=build_eval_fn(cfg),
         eval_every=FLAGS.eval_every,
+        keep_best=FLAGS.keep_best,
         input_format="dct" if FLAGS.loader == "native_dct" else "u8",
         should_stop=stop.is_set,
         warm_start=warm_start,

@@ -184,12 +184,73 @@ class CheckpointManager:
         return {k.split("'")[3] for k in meta
                 if k.startswith("('head_state', ")}
 
+    # ---- best-checkpoint tracking (--keep_best) -------------------
+    # Periodic retention is a ring buffer (max_to_keep): by the time a
+    # long run ends, the checkpoint with the best eval metric is long
+    # garbage-collected. ``save_best`` keeps it alive in ``<dir>/best``
+    # — itself a normal orbax dir, so every downstream consumer
+    # (cli.export/extract/serve --checkpoint_dir=<run>/best) reads it
+    # with zero new code. The bar persists in ``<dir>/best_step.json``
+    # and is reloaded on resume, so a restarted run never demotes an
+    # earlier, better checkpoint. Higher metric = better (accuracy
+    # convention; negate a loss-like metric at the call site).
+
+    _BEST_JSON = "best_step.json"
+
+    def _best_manager(self):
+        if getattr(self, "_best_mgr", None) is None:
+            options = ocp.CheckpointManagerOptions(
+                max_to_keep=1, create=True,
+                enable_async_checkpointing=True)
+            self._best_mgr = ocp.CheckpointManager(
+                os.path.join(self._dir, "best"), options=options)
+        return self._best_mgr
+
+    def best_info(self) -> dict | None:
+        """{"step", "metric", "name"} of the best save, or None."""
+        import json
+
+        path = os.path.join(self._dir, self._BEST_JSON)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def save_best(self, state: TrainState, *, step: int, metric: float,
+                  name: str = "metric") -> bool:
+        """Save to ``<dir>/best`` iff ``metric`` beats the stored bar.
+
+        Multi-process: the save is a collective — every process must
+        call this with the same decision inputs (train_loop broadcasts
+        the metric from the eval process); only process 0 writes the
+        json record.
+        """
+        import json
+
+        best = self.best_info()
+        if best is not None and metric <= best["metric"]:
+            return False
+        self._best_manager().save(
+            step, args=ocp.args.StandardSave(state))
+        if jax.process_index() == 0:
+            path = os.path.join(self._dir, self._BEST_JSON)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"step": int(step), "metric": float(metric),
+                           "name": name}, f)
+            os.replace(tmp, path)
+        return True
+
     def wait(self):
         """Block until async saves are durable (call before exit)."""
         self._mgr.wait_until_finished()
+        if getattr(self, "_best_mgr", None) is not None:
+            self._best_mgr.wait_until_finished()
 
     def close(self):
         self._mgr.close()
+        if getattr(self, "_best_mgr", None) is not None:
+            self._best_mgr.close()
 
 
 _EMB_BIN_MAGIC = b"TFFB"

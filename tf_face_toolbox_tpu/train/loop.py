@@ -43,6 +43,7 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
                logger: MetricLogger | None = None,
                eval_fn=None,
                eval_every: int = 0,
+               keep_best: str = "",
                input_format: str = "u8",
                should_stop=None,
                warm_start=None,
@@ -62,6 +63,12 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
 
     ``teacher``: optional ``(teacher_net, teacher_variables)`` for
     embedding-space distillation (see make_train_step).
+
+    ``keep_best``: name of an ``eval_fn`` metric (higher = better, e.g.
+    ``"lfw_accuracy"``); whenever an eval improves on the best seen so
+    far — across restarts — the state is also saved to
+    ``<train_dir>/best`` (CheckpointManager.save_best), immune to the
+    periodic ring buffer's GC.
     """
     state, net = create_train_state(cfg, jax.random.key(rng_seed), mesh,
                                     net=net)
@@ -138,7 +145,12 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
         step = start = start + 1
         if log_every and (step % log_every == 0 or step == num_steps):
             host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
-            if not np.isfinite(host["loss"]):
+            if not np.isfinite(host["loss"]) and not host.get(
+                    "skipped_nonfinite"):
+                # cfg.skip_nonfinite reports the bad loss but HELD the
+                # state — that is a survivable event, not a crash; the
+                # hard stop is for unguarded runs where the weights are
+                # already poisoned.
                 raise FloatingPointError(
                     f"non-finite loss at step {step}: {host['loss']}")
             logger.log(step, host)
@@ -146,6 +158,19 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
             eval_metrics = eval_fn(state)
             logger.log(step, {f"eval/{k}": v
                               for k, v in eval_metrics.items()})
+            if keep_best and mgr is not None:
+                # Multi-process: only the eval process has the metric,
+                # but orbax saves are collective — broadcast the value
+                # so every process reaches the same save decision.
+                val = eval_metrics.get(keep_best)
+                if jax.process_count() > 1:
+                    from jax.experimental import multihost_utils
+                    val = float(multihost_utils.broadcast_one_to_all(
+                        np.asarray(np.nan if val is None else val,
+                                   np.float64)))
+                if val is not None and np.isfinite(val):
+                    mgr.save_best(state, step=step, metric=float(val),
+                                  name=keep_best)
         if mgr is not None:
             mgr.maybe_save(state, step=step)
     if mgr is not None:
