@@ -431,3 +431,67 @@ def test_merge_shards_roundtrip(tmp_path):
         capture_output=True, text=True, env=env)
     assert res.returncode == 0, res.stderr[-1500:]
     assert "merged 3 shards (12 records)" in res.stdout
+
+
+def _two_shards(tmp_path, na=12, nb=8):
+    rng = np.random.default_rng(11)
+    a = str(tmp_path / "a.faceshard")
+    b = str(tmp_path / "b.faceshard")
+    pack_arrays(a, rng.integers(0, 256, (na, 8, 8, 3), dtype=np.uint8),
+                (np.arange(na) % 3).astype(np.int32))   # classes 0..2
+    pack_arrays(b, rng.integers(0, 256, (nb, 8, 8, 3), dtype=np.uint8),
+                (np.arange(nb) % 2).astype(np.int32))   # classes 0..1
+    return a, b
+
+
+def test_mixed_iterator_offsets_and_weights(tmp_path):
+    from tf_face_toolbox_tpu.data.pipeline import mixed_batch_iterator
+
+    a, b = _two_shards(tmp_path)
+    it = mixed_batch_iterator([a, b], 4, seed=3, num_threads=1)
+    seen = {0: set(), 1: set()}
+    sources = []
+    for _ in range(40):
+        batch = next(it)
+        sources.append(batch["source"])
+        seen[batch["source"]].update(batch["label"].tolist())
+    # both sources drawn; disjoint identity spaces: shard B's classes
+    # 0..1 are offset past shard A's 0..2
+    assert set(sources) == {0, 1}
+    assert seen[0] <= {0, 1, 2}
+    assert seen[1] <= {3, 4}
+    # weighted draw shifts the ratio the right way
+    it = mixed_batch_iterator([a, b], 4, weights=(10, 1), seed=3,
+                              num_threads=1)
+    s = [next(it)["source"] for _ in range(60)]
+    assert s.count(0) > 45
+
+
+def test_mixed_iterator_resume_exact(tmp_path):
+    from tf_face_toolbox_tpu.data.pipeline import mixed_batch_iterator
+
+    a, b = _two_shards(tmp_path)
+    fresh = mixed_batch_iterator([a, b], 4, weights=(2, 1), seed=5,
+                                 num_threads=1)
+    want = [next(fresh) for _ in range(10)]
+    resumed = mixed_batch_iterator([a, b], 4, weights=(2, 1), seed=5,
+                                   start_step=6, num_threads=1)
+    for t in range(6, 10):
+        got = next(resumed)
+        assert got["source"] == want[t]["source"], t
+        np.testing.assert_array_equal(got["image"], want[t]["image"])
+        np.testing.assert_array_equal(got["label"], want[t]["label"])
+
+
+def test_mixed_iterator_refusals(tmp_path):
+    import pytest
+
+    from tf_face_toolbox_tpu.data.pipeline import mixed_batch_iterator
+
+    a, b = _two_shards(tmp_path)
+    with pytest.raises(ValueError, match=">= 2"):
+        next(mixed_batch_iterator([a], 4))
+    with pytest.raises(ValueError, match="weights"):
+        next(mixed_batch_iterator([a, b], 4, weights=(1.0,)))
+    with pytest.raises(ValueError, match="smaller than one batch"):
+        next(mixed_batch_iterator([a, b], 64, num_threads=1))

@@ -26,7 +26,14 @@ from absl import app, flags, logging
 FLAGS = flags.FLAGS
 
 flags.DEFINE_string("data", "synthetic",
-                    "FaceShard path, or 'synthetic' for random data")
+                    "FaceShard path, or 'synthetic' for random data; "
+                    "a comma-separated list trains a weighted online "
+                    "MIXTURE of shards with disjoint identity spaces "
+                    "(labels offset per source — see --data_weights)")
+flags.DEFINE_string("data_weights", "",
+                    "comma floats, one per --data shard: relative "
+                    "per-step sampling weights of the mixture "
+                    "(default equal)")
 flags.DEFINE_string("train_dir", "", "checkpoint/summary directory")
 flags.DEFINE_string("network", "resnet_v1_50", "backbone name")
 flags.DEFINE_enum("stem", "face", ["face", "imagenet", "space2depth"],
@@ -427,6 +434,49 @@ def main(argv):
         num_classes = FLAGS.num_classes or 100
         cfg = build_config(num_classes)
         batches = synthetic_batches(cfg, FLAGS.seed)
+    elif "," in FLAGS.data:
+        # Weighted online mixture over several shards (disjoint
+        # identity spaces, labels offset — see
+        # data.pipeline.mixed_batch_iterator). Python loader only:
+        # per-step source switching breaks the native loader's
+        # per-epoch readahead plan.
+        if FLAGS.loader not in ("auto", "python"):
+            raise SystemExit("--data with multiple shards uses the "
+                             f"Python loader (got --loader={FLAGS.loader})")
+        if FLAGS.balanced_pk:
+            raise SystemExit("--balanced_pk mixes identities within "
+                             "ONE shard; it does not compose with "
+                             "multi-shard --data")
+        from tf_face_toolbox_tpu.data.pipeline import mixed_batch_iterator
+        paths = [p for p in FLAGS.data.split(",") if p]
+        mix_sources = [FaceShardSource(p) for p in paths]
+        weights = None
+        if FLAGS.data_weights:
+            try:
+                weights = [float(v)
+                           for v in FLAGS.data_weights.split(",")]
+            except ValueError:
+                raise SystemExit("--data_weights must be comma floats "
+                                 f"(got {FLAGS.data_weights!r})")
+            if len(weights) != len(paths):
+                raise SystemExit(
+                    f"--data_weights has {len(weights)} entries for "
+                    f"{len(paths)} shards")
+        num_classes = FLAGS.num_classes or sum(
+            s.num_classes for s in mix_sources)
+        cfg = build_config(num_classes)
+        host_batch = cfg.global_batch // jax.process_count()
+        start = 0
+        if FLAGS.train_dir:
+            from tf_face_toolbox_tpu.train.checkpoint import (
+                CheckpointManager)
+            start = CheckpointManager(FLAGS.train_dir).latest_step() or 0
+        batches = mixed_batch_iterator(
+            paths, host_batch, weights=weights, seed=FLAGS.seed,
+            start_step=start,
+            resize_to=(cfg.crop_from, cfg.crop_from),
+            host_index=jax.process_index(),
+            host_count=jax.process_count())
     else:
         source = FaceShardSource(
             FLAGS.data, seed=FLAGS.seed,

@@ -322,6 +322,85 @@ def native_dct_batch_iterator(source: FaceShardSource, batch_size: int, *,
         fetch=lambda reader, ids: reader.dct_batch(ids, size, size))
 
 
+def mixed_batch_iterator(paths, batch_size: int, *,
+                         weights=None, seed: int = 0,
+                         start_step: int = 0,
+                         resize_to: tuple[int, int] | None = None,
+                         num_threads: int = 4,
+                         host_index: int = 0,
+                         host_count: int = 1) -> Iterator[dict]:
+    """Weighted online mixture over several FaceShards.
+
+    The production multi-dataset recipe (clean + web-noisy sources at a
+    chosen ratio — the companion to the adaface_noisy_data preset)
+    without an offline re-pack: each STEP draws its whole batch from
+    one source, picked by ``weights`` from a deterministic per-seed
+    choice stream, so the augment/step program is identical to
+    single-source training. Identity spaces are DISJOINT: source i's
+    labels are offset by the summed ``num_classes`` of sources before
+    it, and the caller trains with ``sum(num_classes)`` classes (the
+    same relabeling cli.merge applies offline).
+
+    Resume: pass the global step; the choice stream's first
+    ``start_step`` draws are replayed in one vectorized call and each
+    per-source iterator fast-forwards through its own seeded
+    permutation (the single-source deterministic-resume contract,
+    per source).
+    """
+    if isinstance(paths, str):
+        paths = [p for p in paths.split(",") if p]
+    n = len(paths)
+    if n < 2:
+        raise ValueError("mixed_batch_iterator needs >= 2 shards; "
+                         "use batch_iterator for one")
+    w = np.asarray([1.0] * n if weights is None else weights, np.float64)
+    if len(w) != n or (w <= 0).any():
+        raise ValueError(f"need {n} positive weights, got {list(w)}")
+    cum = np.cumsum(w / w.sum())
+
+    # distinct per-source seeds decorrelate the shuffle permutations
+    sources = [FaceShardSource(p, seed=seed + 9973 * i,
+                               host_index=host_index,
+                               host_count=host_count)
+               for i, p in enumerate(paths)]
+    offsets = np.concatenate(
+        [[0], np.cumsum([s.num_classes for s in sources])[:-1]]
+    ).astype(np.int64)
+
+    # One deterministic choice stream; resume replays the prefix in one
+    # vectorized draw (~ns/step) instead of stepping an RNG in Python.
+    choice_rng = np.random.default_rng((seed, 0x313E))
+    consumed = [0] * n
+    if start_step:
+        prefix = np.searchsorted(cum, choice_rng.random(start_step),
+                                 side="right").clip(0, n - 1)
+        for i in range(n):
+            consumed[i] = int((prefix == i).sum())
+
+    iters = []
+    for i, s in enumerate(sources):
+        spe = s.num_records // batch_size
+        if spe == 0:
+            raise ValueError(
+                f"{paths[i]}: {s.num_records} records (per host) — "
+                f"smaller than one batch of {batch_size}")
+        iters.append(batch_iterator(
+            s, batch_size, start_epoch=consumed[i] // spe,
+            start_step=consumed[i] % spe, num_threads=num_threads,
+            resize_to=resize_to))
+
+    t = start_step
+    while True:
+        i = int(np.searchsorted(cum, choice_rng.random(),
+                                side="right").clip(0, n - 1))
+        b = next(iters[i])
+        yield {"image": b["image"],
+               "label": (b["label"].astype(np.int64)
+                         + offsets[i]).astype(np.int32),
+               "source": i, "step": t}
+        t += 1
+
+
 def host_prefetch(it: Iterator[dict], *, depth: int = 2) -> Iterator[dict]:
     """Run the upstream iterator (decode+batch) in a background thread.
 
