@@ -308,3 +308,27 @@ def test_cli_open_set_report(tmp_path):
     # the 50%-FAR threshold
     assert os_rep["dir@far=0.5"] == 1.0
     assert os_rep["dir_closed_set"] == 1.0
+
+
+def test_shared_stats_match_direct_calls():
+    """identification_stats fed to both protocols reproduces each
+    function's own sweep exactly (what cli.eval_identification does)."""
+    from tf_face_toolbox_tpu.ops.verification import (
+        cmc_curve,
+        dir_at_far,
+        identification_stats,
+    )
+
+    rng = np.random.default_rng(9)
+    gallery = rng.normal(size=(20, 8)).astype(np.float32)
+    glabels = np.arange(20) % 7
+    probe = rng.normal(size=(15, 8)).astype(np.float32)
+    plabels = np.concatenate([np.arange(10) % 7, 100 + np.arange(5)])
+    stats = identification_stats(gallery, glabels, probe, plabels,
+                                 batch=4)
+    assert cmc_curve(gallery, glabels, probe, plabels, stats=stats) \
+        == cmc_curve(gallery, glabels, probe, plabels, batch=4)
+    assert dir_at_far(gallery, glabels, probe, plabels,
+                      fars=(0.4,), stats=stats) \
+        == dir_at_far(gallery, glabels, probe, plabels,
+                      fars=(0.4,), batch=4)

@@ -68,9 +68,14 @@ def main(argv):
             raise SystemExit(
                 f"{name}: {len(emb)} embeddings vs {len(lab)} labels — "
                 "list file must be the one the extraction consumed")
+    from tf_face_toolbox_tpu.ops.verification import identification_stats
+
+    # One similarity sweep feeds both protocols.
+    stats = identification_stats(gallery, glabels, probe, plabels,
+                                 batch=FLAGS.probe_batch)
     report = cmc_curve(gallery, glabels, probe, plabels,
                        ranks=[int(k) for k in FLAGS.ranks],
-                       batch=FLAGS.probe_batch)
+                       stats=stats)
     if report["skipped"]:
         # cmc's "skipped" probes are exactly the open-set non-mated
         # set: score them as impostors instead of dropping them.
@@ -78,7 +83,7 @@ def main(argv):
         report["open_set"] = dir_at_far(
             gallery, glabels, probe, plabels,
             fars=[float(f) for f in FLAGS.far], rank=FLAGS.dir_rank,
-            batch=FLAGS.probe_batch)
+            stats=stats)
     print(json.dumps(json_sanitize(report), indent=2,
                  allow_nan=False))
 

@@ -63,6 +63,10 @@ def main(argv):
     if bool(FLAGS.checkpoint_dir) == bool(FLAGS.variables_npz):
         raise SystemExit(
             "pass exactly one of --checkpoint_dir / --variables_npz")
+    if FLAGS.network not in _REGISTRY:
+        have = sorted(k for k in _REGISTRY if k.startswith("iresnet"))
+        raise SystemExit(f"unknown network {FLAGS.network!r}; "
+                         f"iresnet registry names: {have}")
     pinned = _REGISTRY[FLAGS.network][1]
 
     if FLAGS.variables_npz:

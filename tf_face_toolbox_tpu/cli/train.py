@@ -447,9 +447,13 @@ def main(argv):
             raise SystemExit("--balanced_pk mixes identities within "
                              "ONE shard; it does not compose with "
                              "multi-shard --data")
-        from tf_face_toolbox_tpu.data.pipeline import mixed_batch_iterator
+        from tf_face_toolbox_tpu.data.pipeline import (
+            mixed_batch_iterator, mixture_sources)
         paths = [p for p in FLAGS.data.split(",") if p]
-        mix_sources = [FaceShardSource(p) for p in paths]
+        mix_sources = mixture_sources(
+            paths, seed=FLAGS.seed,
+            host_index=jax.process_index(),
+            host_count=jax.process_count())
         weights = None
         if FLAGS.data_weights:
             try:
@@ -475,8 +479,7 @@ def main(argv):
             paths, host_batch, weights=weights, seed=FLAGS.seed,
             start_step=start,
             resize_to=(cfg.crop_from, cfg.crop_from),
-            host_index=jax.process_index(),
-            host_count=jax.process_count())
+            sources=mix_sources)
     else:
         source = FaceShardSource(
             FLAGS.data, seed=FLAGS.seed,

@@ -322,13 +322,28 @@ def native_dct_batch_iterator(source: FaceShardSource, batch_size: int, *,
         fetch=lambda reader, ids: reader.dct_batch(ids, size, size))
 
 
+def mixture_sources(paths, *, seed: int = 0, host_index: int = 0,
+                    host_count: int = 1) -> list[FaceShardSource]:
+    """Open the per-source readers for a shard mixture, with the
+    distinct per-source shuffle seeds ``mixed_batch_iterator`` expects
+    (decorrelated permutations). Callers that need source metadata
+    (num_classes sums) pass the result back via ``sources=`` so each
+    index is opened exactly once."""
+    return [FaceShardSource(p, seed=seed + 9973 * i,
+                            host_index=host_index,
+                            host_count=host_count)
+            for i, p in enumerate(paths)]
+
+
 def mixed_batch_iterator(paths, batch_size: int, *,
                          weights=None, seed: int = 0,
                          start_step: int = 0,
                          resize_to: tuple[int, int] | None = None,
                          num_threads: int = 4,
                          host_index: int = 0,
-                         host_count: int = 1) -> Iterator[dict]:
+                         host_count: int = 1,
+                         sources: list[FaceShardSource] | None = None,
+                         ) -> Iterator[dict]:
     """Weighted online mixture over several FaceShards.
 
     The production multi-dataset recipe (clean + web-noisy sources at a
@@ -346,6 +361,11 @@ def mixed_batch_iterator(paths, batch_size: int, *,
     per-source iterator fast-forwards through its own seeded
     permutation (the single-source deterministic-resume contract,
     per source).
+
+    ``sources``: pre-opened ``mixture_sources(paths, ...)`` (the caller
+    keeps them for num_classes etc. without a second index open). A
+    plain function (not a generator), so argument errors raise at call
+    time, not at the first ``next()`` out of a prefetch thread.
     """
     if isinstance(paths, str):
         paths = [p for p in paths.split(",") if p]
@@ -358,11 +378,10 @@ def mixed_batch_iterator(paths, batch_size: int, *,
         raise ValueError(f"need {n} positive weights, got {list(w)}")
     cum = np.cumsum(w / w.sum())
 
-    # distinct per-source seeds decorrelate the shuffle permutations
-    sources = [FaceShardSource(p, seed=seed + 9973 * i,
-                               host_index=host_index,
-                               host_count=host_count)
-               for i, p in enumerate(paths)]
+    if sources is None:
+        sources = mixture_sources(paths, seed=seed,
+                                  host_index=host_index,
+                                  host_count=host_count)
     offsets = np.concatenate(
         [[0], np.cumsum([s.num_classes for s in sources])[:-1]]
     ).astype(np.int64)
@@ -389,16 +408,19 @@ def mixed_batch_iterator(paths, batch_size: int, *,
             start_step=consumed[i] % spe, num_threads=num_threads,
             resize_to=resize_to))
 
-    t = start_step
-    while True:
-        i = int(np.searchsorted(cum, choice_rng.random(),
-                                side="right").clip(0, n - 1))
-        b = next(iters[i])
-        yield {"image": b["image"],
-               "label": (b["label"].astype(np.int64)
-                         + offsets[i]).astype(np.int32),
-               "source": i, "step": t}
-        t += 1
+    def gen():
+        t = start_step
+        while True:
+            i = int(np.searchsorted(cum, choice_rng.random(),
+                                    side="right").clip(0, n - 1))
+            b = next(iters[i])
+            yield {"image": b["image"],
+                   "label": (b["label"].astype(np.int64)
+                             + offsets[i]).astype(np.int32),
+                   "source": i, "step": t}
+            t += 1
+
+    return gen()
 
 
 def host_prefetch(it: Iterator[dict], *, depth: int = 2) -> Iterator[dict]:

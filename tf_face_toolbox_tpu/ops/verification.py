@@ -413,83 +413,25 @@ def identification_rank_k(gallery: np.ndarray, gallery_labels: np.ndarray,
     return float(hits.mean())
 
 
-def cmc_curve(gallery: np.ndarray, gallery_labels: np.ndarray,
-              probe: np.ndarray, probe_labels: np.ndarray,
-              *, ranks=(1, 5, 10), batch: int = 4096) -> dict:
-    """Closed-set CMC: hit rate at each rank, megaface-style.
+def identification_stats(gallery: np.ndarray, gallery_labels: np.ndarray,
+                         probe: np.ndarray, probe_labels: np.ndarray,
+                         *, batch: int = 4096) -> dict:
+    """One streamed device pass shared by the 1:N protocols.
 
-    Rank of a probe = 1 + number of WRONG-identity gallery entries
-    scoring above its best correct match — computed as two device
-    reductions over the similarity matrix (no host argsort over G),
-    so million-entry distractor galleries stream through in probe
-    batches of ``batch`` rows.
-
-    Probes whose identity is absent from the gallery cannot be ranked
-    in a closed-set protocol; they are excluded and counted in the
-    returned ``skipped``.
-    """
-    gallery_labels = np.asarray(gallery_labels)
-    probe_labels = np.asarray(probe_labels)
-    # device-resident arguments (NOT jit closure constants: a closed-over
-    # gallery would be baked into each compiled executable — one copy per
-    # probe-batch shape — defeating the large-gallery design)
-    g = jax.device_put(jnp.asarray(gallery, jnp.float32))
-    gl = jax.device_put(jnp.asarray(gallery_labels))
-    rankable = np.isin(probe_labels, gallery_labels)
-    skipped = int((~rankable).sum())
-    probe = np.asarray(probe)[rankable]
-    probe_labels = probe_labels[rankable]
-
-    @jax.jit
-    def probe_ranks(g, gl, p, pl):
-        sims = similarity_matrix(g, p).T            # (B, G)
-        same = gl[None, :] == pl[:, None]
-        best_correct = jnp.max(jnp.where(same, sims, -jnp.inf), axis=1)
-        above = jnp.sum((sims > best_correct[:, None]) & ~same, axis=1)
-        return 1 + above
-
-    all_ranks = [np.asarray(probe_ranks(
-                     g, gl, jnp.asarray(probe[i:i + batch]),
-                     jnp.asarray(probe_labels[i:i + batch])))
-                 for i in range(0, len(probe), batch)]
-    r = np.concatenate(all_ranks) if all_ranks else np.empty((0,), np.int64)
-    return {
-        "probes": int(len(r)),
-        "gallery": int(len(gallery_labels)),
-        "skipped": skipped,
-        "cmc": {int(k): (float((r <= k).mean()) if len(r) else float("nan"))
-                for k in ranks},
-        "mean_rank": float(r.mean()) if len(r) else float("nan"),
-    }
-
-
-def dir_at_far(gallery: np.ndarray, gallery_labels: np.ndarray,
-               probe: np.ndarray, probe_labels: np.ndarray, *,
-               fars=(1e-1, 1e-2), rank: int = 1,
-               batch: int = 4096) -> dict:
-    """Open-set identification: DIR@FAR (IJB/NIST 1:N protocol).
-
-    Completes the L7 eval layer's third protocol leg next to the 1:1
-    TAR@FAR and the closed-set CMC (SURVEY.md §3.3 covers only the
-    closed protocols — open-set is the watchlist deployment the 1:N
-    serving gallery actually runs). Probes whose identity is absent
-    from the gallery are the NON-MATED (impostor) set; their top
-    gallery scores set the alarm threshold. For each target FAR the
-    threshold follows ``tar_at_far``'s convention — the tightest value
-    the non-mated set supports, acceptance strictly above, achieved
-    FAR ≤ target, NaN when FAR is finer than 1/N_nonmated. A mated
-    probe is identified iff its correct identity sits within
-    ``rank`` AND that match scores above the threshold:
-
-        DIR(far, rank) = P[rank_i <= rank  AND  s_correct_i > thr(far)]
-
-    All similarity work is the same streamed device matmul as
-    ``cmc_curve`` (one MXU matmul + two reductions per probe batch), so
-    million-entry distractor galleries pass through in ``batch`` rows.
+    Computes, per MATED probe (identity present in the gallery), the
+    best-correct-match score and the rank (1 + wrong-identity entries
+    scoring above it — two device reductions, no host argsort over G),
+    and per NON-MATED probe the top gallery score. ``cmc_curve`` and
+    ``dir_at_far`` are post-processing over this dict; pass the same
+    result to both (``stats=``) to evaluate closed- and open-set
+    metrics off a single similarity sweep.
     """
     gallery_labels = np.asarray(gallery_labels)
     probe_labels = np.asarray(probe_labels)
     probe = np.asarray(probe)
+    # device-resident arguments (NOT jit closure constants: a closed-over
+    # gallery would be baked into each compiled executable — one copy per
+    # probe-batch shape — defeating the large-gallery design)
     g = jax.device_put(jnp.asarray(gallery, jnp.float32))
     gl = jax.device_put(jnp.asarray(gallery_labels))
     mated_mask = np.isin(probe_labels, gallery_labels)
@@ -513,23 +455,92 @@ def dir_at_far(gallery: np.ndarray, gallery_labels: np.ndarray,
                            jnp.asarray(mpl[i:i + batch]))
         scores.append(np.asarray(s))
         ranks_.append(np.asarray(r))
-    s_correct = (np.concatenate(scores) if scores
-                 else np.empty((0,), np.float64))
-    r_mated = (np.concatenate(ranks_) if ranks_
-               else np.empty((0,), np.int64))
 
     nm = probe[~mated_mask]
     nm_top = np.concatenate(
         [np.asarray(top_scores(g, jnp.asarray(nm[i:i + batch])))
          for i in range(0, len(nm), batch)]) if len(nm) else \
         np.empty((0,), np.float64)
-    neg = np.sort(nm_top.astype(np.float64))[::-1]   # descending
+
+    return {
+        "mated_mask": mated_mask,
+        "s_correct": (np.concatenate(scores) if scores
+                      else np.empty((0,), np.float64)),
+        "ranks": (np.concatenate(ranks_) if ranks_
+                  else np.empty((0,), np.int64)),
+        "nm_top": nm_top,
+        "gallery_size": int(len(gallery_labels)),
+    }
+
+
+def cmc_curve(gallery: np.ndarray, gallery_labels: np.ndarray,
+              probe: np.ndarray, probe_labels: np.ndarray,
+              *, ranks=(1, 5, 10), batch: int = 4096,
+              stats: dict | None = None) -> dict:
+    """Closed-set CMC: hit rate at each rank, megaface-style.
+
+    Rank of a probe = 1 + number of WRONG-identity gallery entries
+    scoring above its best correct match (``identification_stats``), so
+    million-entry distractor galleries stream through in probe batches
+    of ``batch`` rows.
+
+    Probes whose identity is absent from the gallery cannot be ranked
+    in a closed-set protocol; they are excluded and counted in the
+    returned ``skipped`` (feed them to ``dir_at_far`` instead — same
+    ``stats``).
+    """
+    if stats is None:
+        stats = identification_stats(gallery, gallery_labels,
+                                     probe, probe_labels, batch=batch)
+    r = stats["ranks"]
+    return {
+        "probes": int(len(r)),
+        "gallery": stats["gallery_size"],
+        "skipped": int((~stats["mated_mask"]).sum()),
+        "cmc": {int(k): (float((r <= k).mean()) if len(r) else float("nan"))
+                for k in ranks},
+        "mean_rank": float(r.mean()) if len(r) else float("nan"),
+    }
+
+
+def dir_at_far(gallery: np.ndarray, gallery_labels: np.ndarray,
+               probe: np.ndarray, probe_labels: np.ndarray, *,
+               fars=(1e-1, 1e-2), rank: int = 1,
+               batch: int = 4096, stats: dict | None = None) -> dict:
+    """Open-set identification: DIR@FAR (IJB/NIST 1:N protocol).
+
+    Completes the L7 eval layer's third protocol leg next to the 1:1
+    TAR@FAR and the closed-set CMC (SURVEY.md §3.3 covers only the
+    closed protocols — open-set is the watchlist deployment the 1:N
+    serving gallery actually runs). Probes whose identity is absent
+    from the gallery are the NON-MATED (impostor) set; their top
+    gallery scores set the alarm threshold. For each target FAR the
+    threshold follows ``tar_at_far``'s convention — the tightest value
+    the non-mated set supports, acceptance strictly above, achieved
+    FAR ≤ target, NaN when FAR is finer than 1/N_nonmated. A mated
+    probe is identified iff its correct identity sits within
+    ``rank`` AND that match scores above the threshold:
+
+        DIR(far, rank) = P[rank_i <= rank  AND  s_correct_i > thr(far)]
+
+    All similarity work is one ``identification_stats`` sweep (one MXU
+    matmul + two reductions per probe batch), so million-entry
+    distractor galleries pass through in ``batch`` rows; pass a
+    precomputed ``stats`` to share the sweep with ``cmc_curve``.
+    """
+    if stats is None:
+        stats = identification_stats(gallery, gallery_labels,
+                                     probe, probe_labels, batch=batch)
+    mated_mask = stats["mated_mask"]
+    s_correct = stats["s_correct"]
+    r_mated = stats["ranks"]
+    neg = np.sort(stats["nm_top"].astype(np.float64))[::-1]  # descending
 
     in_rank = r_mated <= rank
     out: dict = {
         "mated": int(mated_mask.sum()),
         "nonmated": int((~mated_mask).sum()),
-        "gallery": int(len(gallery_labels)),
+        "gallery": stats["gallery_size"],
         "rank": int(rank),
         # the FAR→1 limit: pure closed-set rank-`rank` hit rate
         "dir_closed_set": (float(in_rank.mean()) if len(r_mated)

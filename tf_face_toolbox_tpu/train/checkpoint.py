@@ -220,18 +220,33 @@ class CheckpointManager:
                   name: str = "metric") -> bool:
         """Save to ``<dir>/best`` iff ``metric`` beats the stored bar.
 
-        Multi-process: the save is a collective — every process must
-        call this with the same decision inputs (train_loop broadcasts
-        the metric from the eval process); only process 0 writes the
-        json record.
+        Multi-process: the save is a collective, so the save/skip
+        decision must be uniform — process 0's reading of the bar is
+        broadcast (a per-process filesystem read of the json could
+        diverge under attribute caching and deadlock the collective);
+        only process 0 writes the json record.
         """
         import json
 
         best = self.best_info()
-        if best is not None and metric <= best["metric"]:
+        improved = best is None or metric > best["metric"]
+        if jax.process_count() > 1:
+            import numpy as np
+            from jax.experimental import multihost_utils
+
+            improved = bool(np.asarray(
+                multihost_utils.broadcast_one_to_all(
+                    np.asarray(improved))))
+        if not improved:
             return False
         self._best_manager().save(
             step, args=ocp.args.StandardSave(state))
+        # The bar is only durable once the checkpoint is: block on the
+        # async save BEFORE recording it, or a crash in the window
+        # would leave a bar with no checkpoint behind it, permanently
+        # suppressing future best saves. Best saves are eval-cadence
+        # rare; the sync wait costs nothing that matters.
+        self._best_manager().wait_until_finished()
         if jax.process_index() == 0:
             path = os.path.join(self._dir, self._BEST_JSON)
             tmp = path + ".tmp"

@@ -131,6 +131,7 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
 
     metrics = {}
     preempted = False
+    keep_best_warned = False
     start = int(jax.device_get(state.step))
     for _ in range(start, num_steps):
         if (check_stop is not None and start % stop_sync == 0
@@ -163,6 +164,15 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
                 # but orbax saves are collective — broadcast the value
                 # so every process reaches the same save decision.
                 val = eval_metrics.get(keep_best)
+                if val is None and eval_metrics and not keep_best_warned:
+                    # a typo'd metric name would otherwise no-op for
+                    # the whole run with no diagnostic
+                    from absl import logging
+                    logging.warning(
+                        "keep_best=%r is not among the eval metrics %s "
+                        "— no best checkpoint will be saved",
+                        keep_best, sorted(eval_metrics))
+                    keep_best_warned = True
                 if jax.process_count() > 1:
                     from jax.experimental import multihost_utils
                     val = float(multihost_utils.broadcast_one_to_all(
