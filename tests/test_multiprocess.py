@@ -461,3 +461,89 @@ def test_two_process_sigterm_flush_resume_equals_uninterrupted(tmp_path):
     np.testing.assert_allclose(np.asarray(r2[0]["params"]),
                                np.asarray(rr[0]["params"]),
                                rtol=1e-5, atol=1e-6)
+
+
+_KEEP_BEST_WORKER = textwrap.dedent("""
+    import json, os, sys
+    pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+    train_dir = sys.argv[4]
+
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address="localhost:" + port, num_processes=2,
+        process_id=pid)
+    import numpy as np
+    import jax.numpy as jnp
+    from tf_face_toolbox_tpu.parallel.mesh import (
+        create_mesh, globalize_host_batches)
+    from tf_face_toolbox_tpu.train.loop import train_loop
+    from tf_face_toolbox_tpu.train.trainer import TrainConfig
+
+    cfg = TrainConfig(dtype=jnp.float32, **{cfg_kwargs})
+    mesh = create_mesh()
+    half = {gb} // 2
+
+    def host_batches():
+        step = 0
+        while True:
+            rng = np.random.default_rng(1000 + step)
+            images = rng.integers(0, 256, ({gb}, 16, 16, 3)).astype(
+                np.uint8)
+            labels = (np.arange({gb}) % {nc}).astype(np.int32)
+            yield {{"image": images[pid * half:(pid + 1) * half],
+                    "label": labels[pid * half:(pid + 1) * half]}}
+            step += 1
+
+    # The real build_eval_fn shape: only process 0 computes the metric;
+    # the others return {{}} and rely on train_loop's broadcast for the
+    # collective save decision.
+    scripted = iter([0.5, 0.9, 0.7])
+
+    def eval_fn(state):
+        if pid != 0:
+            return {{}}
+        return {{"m": next(scripted)}}
+
+    result = train_loop(
+        cfg, mesh, globalize_host_batches(host_batches(), mesh),
+        num_steps=3, train_dir=train_dir, save_every=1000,
+        log_every=0, eval_fn=eval_fn, eval_every=1, keep_best="m")
+    json.dump({{"pid": pid,
+                "final_step": int(jax.device_get(result.state.step))}},
+              open(out, "w"))
+""").format(gb=GLOBAL_BATCH, nc=NUM_CLASSES, cfg_kwargs=repr(CFG_KWARGS))
+
+
+@pytest.mark.slow
+def test_two_process_keep_best_broadcast(tmp_path):
+    """--keep_best across two jax.distributed processes: only process 0
+    sees the eval metric, the save decision is broadcast, and BOTH
+    enter the collective best-save without deadlock; the recorded bar
+    is the scripted maximum."""
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    port = str(_free_port())
+    train_dir = str(tmp_path / "run")
+    workers = []
+    for pid in range(2):
+        out = str(tmp_path / f"kb_worker{pid}.json")
+        workers.append((out, subprocess.Popen(
+            [sys.executable, "-c", _KEEP_BEST_WORKER, str(pid), port,
+             out, train_dir],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)))
+    results = []
+    for out, proc in workers:
+        stdout, stderr = proc.communicate(timeout=900)
+        assert proc.returncode == 0, (
+            f"keep_best worker failed:\n{stdout[-1000:]}\n"
+            f"{stderr[-3000:]}")
+        results.append(json.load(open(out)))
+    assert all(r["final_step"] == 3 for r in results)
+    info = json.load(open(os.path.join(train_dir, "best_step.json")))
+    assert info == {"step": 2, "metric": 0.9, "name": "m"}
+    from tf_face_toolbox_tpu.train.checkpoint import CheckpointManager
+    best = CheckpointManager(os.path.join(train_dir, "best"))
+    assert best.latest_step() == 2
+    best.close()
