@@ -652,6 +652,49 @@ def test_skip_nonfinite_holds_state_and_recovers():
                         jax.tree.leaves(state.params)))
 
 
+def test_skip_nonfinite_counter_and_divergence_abort(tmp_path):
+    """train_loop with skip_nonfinite: the cumulative skip count is
+    logged (skipped_nonfinite_total), and a run of max_consecutive_skips
+    consecutive skips raises instead of skipping forever (the ADVICE r3
+    failure mode: a diverged run that appears to train)."""
+    import dataclasses
+
+    from tf_face_toolbox_tpu.train.loop import train_loop
+
+    mesh = create_mesh()
+    cfg = dataclasses.replace(CFG, skip_nonfinite=True)
+
+    def batches(poison_from, poison_to=10**9):
+        step = 0
+        while True:
+            img = np.zeros((16, 16, 16, 3), np.float32)
+            if poison_from <= step < poison_to:
+                img[0, 0, 0, 0] = np.nan
+            yield {"image": img,
+                   "label": (np.arange(16) % 12).astype(np.int32)}
+            step += 1
+
+    # Transient spikes (2 poisoned steps out of 6): counted, no abort.
+    res = train_loop(cfg, mesh, batches(2, 4), num_steps=6,
+                     log_every=3, net=_tiny_net(),
+                     max_consecutive_skips=3)
+    assert res.last_metrics["skipped_nonfinite_total"] == 2.0
+    assert int(jax.device_get(res.state.step)) == 6
+
+    # Persistent divergence: every step from 1 on is poisoned → abort
+    # after 3 consecutive skips, even mid-run between log points.
+    with pytest.raises(FloatingPointError, match="consecutive"):
+        train_loop(cfg, mesh, batches(1), num_steps=50,
+                   log_every=2, net=_tiny_net(),
+                   max_consecutive_skips=3)
+
+    # max_consecutive_skips=0 disables the abort (counting still works).
+    res = train_loop(cfg, mesh, batches(1), num_steps=5,
+                     log_every=5, net=_tiny_net(),
+                     max_consecutive_skips=0)
+    assert res.last_metrics["skipped_nonfinite_total"] == 4.0
+
+
 def test_nonfinite_unguarded_corrupts_params():
     """Control for the guard test: the same poisoned batch WITHOUT
     skip_nonfinite propagates NaN into the weights."""

@@ -84,6 +84,15 @@ def main(argv):
             gallery, glabels, probe, plabels,
             fars=[float(f) for f in FLAGS.far], rank=FLAGS.dir_rank,
             stats=stats)
+    else:
+        # A user who passed --far with an all-mated probe set would
+        # otherwise get no open_set key and no diagnostic (the warning
+        # inside dir_at_far is unreachable from here).
+        report["open_set_note"] = (
+            "DIR@FAR skipped: every probe identity is enrolled in the "
+            "gallery, so there are no non-mated probes to set FAR "
+            "thresholds (add distractor probes for the open-set "
+            "protocol)")
     print(json.dumps(json_sanitize(report), indent=2,
                  allow_nan=False))
 

@@ -77,8 +77,16 @@ flags.DEFINE_float("grad_clip_norm", 0.0,
 flags.DEFINE_bool("skip_nonfinite", False,
                   "skip applying any step whose loss/grad norm is "
                   "non-finite (bf16 spike, poisoned batch): all state "
-                  "holds, the step counter advances, and the skip is "
-                  "counted in the metrics")
+                  "holds and the step counter advances. The loop logs "
+                  "a cumulative skipped_nonfinite_total at each log "
+                  "point and aborts after --max_consecutive_skips "
+                  "consecutive skips (a diverged run must not skip "
+                  "forever)")
+flags.DEFINE_integer("max_consecutive_skips", 100,
+                     "with --skip_nonfinite: raise after this many "
+                     "CONSECUTIVE skipped steps — the run has "
+                     "diverged, not hit a transient spike (0 = never "
+                     "abort, counting still logs)")
 flags.DEFINE_enum("margin", "cosface",
                   ["softmax", "arcface", "cosface", "sphereface",
                    "magface", "adaface", "curricular"],
@@ -430,6 +438,12 @@ def main(argv):
                      dict(mesh.shape))
     else:
         mesh = create_mesh(model=FLAGS.mesh_model)
+    if FLAGS.data_weights and "," not in FLAGS.data:
+        # A typo'd --data that drops a comma would otherwise silently
+        # change the training mixture to one source.
+        raise SystemExit(
+            "--data_weights needs a multi-shard --data "
+            f"(got --data={FLAGS.data!r})")
     if FLAGS.data == "synthetic":
         num_classes = FLAGS.num_classes or 100
         cfg = build_config(num_classes)
@@ -466,8 +480,17 @@ def main(argv):
                 raise SystemExit(
                     f"--data_weights has {len(weights)} entries for "
                     f"{len(paths)} shards")
-        num_classes = FLAGS.num_classes or sum(
-            s.num_classes for s in mix_sources)
+        total_mix_classes = sum(s.num_classes for s in mix_sources)
+        if FLAGS.num_classes and FLAGS.num_classes < total_mix_classes:
+            # Offset labels would exceed the classifier rows and the
+            # on-device one-hot/gather fails SILENTLY (wrong training,
+            # no error) — refuse on host instead.
+            raise SystemExit(
+                f"--num_classes={FLAGS.num_classes} is smaller than the "
+                f"mixture's combined identity count {total_mix_classes} "
+                "(labels are offset per source); omit --num_classes or "
+                f"set it >= {total_mix_classes}")
+        num_classes = FLAGS.num_classes or total_mix_classes
         cfg = build_config(num_classes)
         host_batch = cfg.global_batch // jax.process_count()
         start = 0
@@ -596,6 +619,7 @@ def main(argv):
         should_stop=stop.is_set,
         warm_start=warm_start,
         teacher=build_teacher(cfg),
+        max_consecutive_skips=FLAGS.max_consecutive_skips,
     )
     if result.last_metrics.get("preempted"):
         step = int(jax.device_get(result.state.step))

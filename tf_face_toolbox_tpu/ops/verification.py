@@ -457,17 +457,20 @@ def identification_stats(gallery: np.ndarray, gallery_labels: np.ndarray,
         ranks_.append(np.asarray(r))
 
     nm = probe[~mated_mask]
+    # empty fallbacks use the SAME dtype as the non-empty path (the
+    # device sweeps return float32) so consumers never see a
+    # shape-dependent dtype switch
     nm_top = np.concatenate(
         [np.asarray(top_scores(g, jnp.asarray(nm[i:i + batch])))
          for i in range(0, len(nm), batch)]) if len(nm) else \
-        np.empty((0,), np.float64)
+        np.empty((0,), np.float32)
 
     return {
         "mated_mask": mated_mask,
         "s_correct": (np.concatenate(scores) if scores
-                      else np.empty((0,), np.float64)),
+                      else np.empty((0,), np.float32)),
         "ranks": (np.concatenate(ranks_) if ranks_
-                  else np.empty((0,), np.int64)),
+                  else np.empty((0,), np.int32)),
         "nm_top": nm_top,
         "gallery_size": int(len(gallery_labels)),
     }

@@ -47,7 +47,8 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
                input_format: str = "u8",
                should_stop=None,
                warm_start=None,
-               teacher=None) -> LoopResult:
+               teacher=None,
+               max_consecutive_skips: int = 100) -> LoopResult:
     """Run (or resume) training for ``num_steps`` total steps.
 
     Resume semantics match the reference's Saver/latest_checkpoint
@@ -69,6 +70,17 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
     far — across restarts — the state is also saved to
     ``<train_dir>/best`` (CheckpointManager.save_best), immune to the
     periodic ring buffer's GC.
+
+    ``max_consecutive_skips``: with ``cfg.skip_nonfinite``, a
+    persistently diverged run (LR blowup, corrupted shard) would skip
+    every step forever while appearing to train. The loop keeps the
+    per-step skip flags as unmaterialized device scalars (no extra
+    sync; async dispatch is preserved) and settles them at each log
+    point: the cumulative count is logged as
+    ``skipped_nonfinite_total`` and a run of ``max_consecutive_skips``
+    consecutive skips — tracked across log boundaries — raises
+    ``FloatingPointError`` (t5x-style) instead of training on air.
+    0 disables the abort (counting still logs).
     """
     state, net = create_train_state(cfg, jax.random.key(rng_seed), mesh,
                                     net=net)
@@ -132,6 +144,29 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
     metrics = {}
     preempted = False
     keep_best_warned = False
+    # skip_nonfinite bookkeeping: per-step device scalars, settled at
+    # log points (see docstring). cum/consec persist across log points.
+    skip_pending: list = []
+    skip_total = 0
+    skip_consec = 0
+
+    def settle_skips():
+        nonlocal skip_total, skip_consec
+        for v in jax.device_get(skip_pending):
+            if float(v) > 0:
+                skip_total += 1
+                skip_consec += 1
+            else:
+                skip_consec = 0
+        skip_pending.clear()
+        if max_consecutive_skips and skip_consec >= max_consecutive_skips:
+            raise FloatingPointError(
+                f"skip_nonfinite: {skip_consec} consecutive steps "
+                f"skipped (>= {max_consecutive_skips}) — the run has "
+                "diverged (every batch produces non-finite loss/grads); "
+                "lower the LR or restore an earlier checkpoint instead "
+                "of skipping forever")
+
     start = int(jax.device_get(state.step))
     for _ in range(start, num_steps):
         if (check_stop is not None and start % stop_sync == 0
@@ -143,9 +178,14 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
             break
         batch = next(batches)
         state, metrics = step_fn(state, batch["image"], batch["label"])
+        if "skipped_nonfinite" in metrics:
+            skip_pending.append(metrics["skipped_nonfinite"])
         step = start = start + 1
         if log_every and (step % log_every == 0 or step == num_steps):
+            settle_skips()
             host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+            if "skipped_nonfinite" in metrics:
+                host["skipped_nonfinite_total"] = float(skip_total)
             if not np.isfinite(host["loss"]) and not host.get(
                     "skipped_nonfinite"):
                 # cfg.skip_nonfinite reports the bad loss but HELD the
@@ -187,6 +227,9 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
         mgr.maybe_save(state, step=start, force=True)
         mgr.wait()
     logger.flush()
+    settle_skips()
     host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+    if "skipped_nonfinite" in metrics:
+        host["skipped_nonfinite_total"] = float(skip_total)
     host["preempted"] = float(preempted)
     return LoopResult(state=state, last_metrics=host)
