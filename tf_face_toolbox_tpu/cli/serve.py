@@ -31,7 +31,8 @@ flags.DEFINE_string("bundle", "",
                     "those flags are ignored and int8 scales need no "
                     "calibration shard here. A comma-separated "
                     "[name=]path list serves SEVERAL models from one "
-                    "daemon (route with ?model=<name>; first entry is "
+                    "daemon (route with ?model=<name> on HTTP / the "
+                    "tfft-model metadata key on gRPC; first entry is "
                     "the default; name defaults to the bundle's "
                     "network)")
 flags.DEFINE_string("network", "resnet_v1_50", "backbone name")
@@ -128,18 +129,15 @@ def main(argv):
     # --bundle takes a comma-separated list of [name=]path entries —
     # more than one boots the TF-Serving-style multi-model server
     # (serving/server.py serve() docstring): each bundle gets its own
-    # service/batcher, requests route with ?model=<name> (name defaults
-    # to the bundle's network), first entry is the default model.
+    # service/batcher; requests route with ?model=<name> on HTTP or
+    # the tfft-model metadata key on gRPC (name defaults to the
+    # bundle's network), first entry is the default model.
     bundle_specs = []
     if FLAGS.bundle:
         for entry in FLAGS.bundle.split(","):
             name, sep, path = entry.partition("=")
             bundle_specs.append((name.strip() if sep else None,
                                  (path if sep else entry).strip()))
-        if len(bundle_specs) > 1 and FLAGS.transport == "grpc":
-            raise SystemExit(
-                "multi-model serving is HTTP-only (the raw-bytes gRPC "
-                "contract carries no model field); use --transport=http")
 
     def boot_bundle(path):
         """One bundle → (EmbeddingService ready to warm, meta)."""

@@ -27,6 +27,16 @@ marshallers for these method paths:
   request; JSON (UTF-8 bytes) response, same payloads as GET
   /healthz and GET /stats.
 
+**Multi-model** (parity with the HTTP front-end's ``?model=`` routing
+— the r3 transport fork is closed): pass ``{name: DynamicBatcher}``
+to :func:`serve_grpc` and clients pick a model with the
+``tfft-model`` invocation-metadata key on any method — metadata is
+gRPC's header channel, so the raw-bytes body contract is unchanged
+and single-model clients keep working (no key = the FIRST entry, the
+default model, exactly like HTTP). Unknown names → NOT_FOUND with
+the model list. Health/Stats without the key report all models keyed
+by name, same as GET /healthz without ``?model=``.
+
 Error mapping: malformed or over-``max_body`` payloads →
 INVALID_ARGUMENT (not retryable; the transport's receive cap is set
 above ``max_body`` so the size guard, not gRPC's default 4 MiB
@@ -73,9 +83,37 @@ class _Handlers:
         import grpc
 
         self._grpc = grpc
-        self.batcher = batcher
-        self.service = batcher.service
+        if isinstance(batcher, dict):
+            if not batcher:
+                raise ValueError("serve_grpc() got an empty model map")
+            self.batchers = dict(batcher)
+        else:
+            self.batchers = {None: batcher}
+        self.default_name = next(iter(self.batchers))
         self.max_body = max_body
+
+    METADATA_KEY = "tfft-model"
+
+    def _resolve(self, context, *, explicit_only: bool = False):
+        """Pick the batcher for this RPC from the ``tfft-model``
+        invocation metadata (None = the default model, mirroring a
+        request without ``?model=`` on HTTP). ``explicit_only``:
+        return None when the key is absent (Health/Stats aggregate
+        over all models in that case)."""
+        name = None
+        for k, v in (context.invocation_metadata() or ()):
+            if k == self.METADATA_KEY:
+                name = v if isinstance(v, str) else v.decode()
+                break
+        if name is None:
+            if explicit_only:
+                return None, None
+            name = self.default_name
+        if name not in self.batchers:
+            known = [k or "<default>" for k in self.batchers]
+            context.abort(self._grpc.StatusCode.NOT_FOUND,
+                          f"unknown model {name!r}; served: {known}")
+        return name, self.batchers[name]
 
     def _guard_size(self, body: bytes, context) -> None:
         if len(body) > self.max_body:
@@ -85,14 +123,15 @@ class _Handlers:
 
     def embed(self, request: bytes, context) -> bytes:
         grpc = self._grpc
+        _, batcher = self._resolve(context)
         self._guard_size(request, context)
         try:
-            image = self.service.decode_request(request)
+            image = batcher.service.decode_request(request)
         except Exception as e:
             context.abort(grpc.StatusCode.INVALID_ARGUMENT,
                           f"{type(e).__name__}: {e}")
         try:
-            emb = self.batcher.submit(image)
+            emb = batcher.submit(image)
         except TimeoutError as e:
             context.abort(grpc.StatusCode.RESOURCE_EXHAUSTED, str(e))
         except RuntimeError as e:  # batcher closed (draining)
@@ -106,8 +145,9 @@ class _Handlers:
         from tf_face_toolbox_tpu.serving.server import bulk_embed
 
         grpc = self._grpc
+        _, batcher = self._resolve(context)
         self._guard_size(request, context)
-        service = self.service
+        service = batcher.service
         try:
             arr = _npy_load(request)
             if arr.ndim != 4 or arr.shape[-1] != 3:
@@ -118,7 +158,7 @@ class _Handlers:
             context.abort(grpc.StatusCode.INVALID_ARGUMENT,
                           f"{type(e).__name__}: {e}")
         try:
-            embs = bulk_embed(self.batcher, images)
+            embs = bulk_embed(batcher, images)
         except Exception as e:
             context.abort(grpc.StatusCode.INTERNAL,
                           f"{type(e).__name__}: {e}")
@@ -127,21 +167,44 @@ class _Handlers:
     def health(self, request: bytes, context) -> bytes:
         from tf_face_toolbox_tpu.serving.server import health_payload
 
-        del request, context
-        return json.dumps(health_payload(self.service)).encode()
+        del request
+        _, batcher = self._resolve(context, explicit_only=True)
+        if batcher is not None:
+            payload = health_payload(batcher.service)
+        elif self.default_name is None:
+            payload = health_payload(self.batchers[None].service)
+        else:  # multi-model, no key: all models (same shape as HTTP)
+            payload = {"status": "ok", "models": {
+                n: health_payload(b.service)
+                for n, b in self.batchers.items()}}
+        return json.dumps(payload).encode()
 
     def stats(self, request: bytes, context) -> bytes:
         from tf_face_toolbox_tpu.serving.server import stats_payload
 
-        del request, context
-        return json.dumps(stats_payload(self.batcher)).encode()
+        del request
+        _, batcher = self._resolve(context, explicit_only=True)
+        if batcher is not None:
+            payload = stats_payload(batcher)
+        elif self.default_name is None:
+            payload = stats_payload(self.batchers[None])
+        else:
+            payload = {"models": {n: stats_payload(b)
+                                  for n, b in self.batchers.items()}}
+        return json.dumps(payload).encode()
 
 
 def serve_grpc(batcher, *, host: str = "127.0.0.1", port: int = 0,
                unix_socket: str | None = None, max_workers: int = 16,
                max_body_mb: int = 64):
     """Start the gRPC front-end; returns the started ``grpc.Server``
-    with ``bound_port`` set (0 when serving a unix socket). Caller
+    with ``bound_port`` set (0 when serving a unix socket).
+
+    ``batcher``: one DynamicBatcher, or a ``{name: DynamicBatcher}``
+    map for the multi-model server (module docstring: clients route
+    with the ``tfft-model`` metadata key; first entry = default).
+
+    Caller
     owns shutdown: ``server.stop(grace)`` returns an event —
     in-flight RPCs complete within ``grace`` seconds while new ones
     are refused, which is the drain half of a rolling restart
@@ -232,24 +295,37 @@ class GrpcEmbeddingClient:
         self._health = mk("Health")
         self._stats = mk("Stats")
 
+    @staticmethod
+    def _meta(model: "str | None"):
+        return ((("tfft-model", model),) if model else None)
+
     def embed(self, image: "np.ndarray | bytes",
-              timeout: float = 30.0) -> np.ndarray:
-        """One frame (uint8 array or raw JPEG/npy bytes) → (D,) f32."""
+              timeout: float = 30.0,
+              model: "str | None" = None) -> np.ndarray:
+        """One frame (uint8 array or raw JPEG/npy bytes) → (D,) f32.
+        ``model`` routes on a multi-model daemon (metadata key)."""
         body = image if isinstance(image, (bytes, bytearray)) \
             else _npy_bytes(np.asarray(image))
-        return _npy_load(self._embed(bytes(body), timeout=timeout))
+        return _npy_load(self._embed(bytes(body), timeout=timeout,
+                                     metadata=self._meta(model)))
 
     def embed_batch(self, images: np.ndarray,
-                    timeout: float = 120.0) -> np.ndarray:
+                    timeout: float = 120.0,
+                    model: "str | None" = None) -> np.ndarray:
         """(N, H, W, 3) uint8 → (N, D) f32."""
         return _npy_load(
-            self._embed_batch(_npy_bytes(images), timeout=timeout))
+            self._embed_batch(_npy_bytes(images), timeout=timeout,
+                              metadata=self._meta(model)))
 
-    def health(self, timeout: float = 10.0) -> dict:
-        return json.loads(self._health(b"", timeout=timeout))
+    def health(self, timeout: float = 10.0,
+               model: "str | None" = None) -> dict:
+        return json.loads(self._health(b"", timeout=timeout,
+                                       metadata=self._meta(model)))
 
-    def stats(self, timeout: float = 10.0) -> dict:
-        return json.loads(self._stats(b"", timeout=timeout))
+    def stats(self, timeout: float = 10.0,
+              model: "str | None" = None) -> dict:
+        return json.loads(self._stats(b"", timeout=timeout,
+                                      metadata=self._meta(model)))
 
     def close(self) -> None:
         self._channel.close()
