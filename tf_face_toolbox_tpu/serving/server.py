@@ -595,8 +595,13 @@ def serve(batcher: "DynamicBatcher | dict[str, DynamicBatcher]", *,
                     self._reply(404, {"error": "gallery is bound to the "
                                                "default model"})
                 else:
-                    self._reply(200, {"size": len(gallery),
-                                      "dim": gallery.dim})
+                    self._reply(200, {
+                        "size": len(gallery),
+                        "dim": gallery.dim,
+                        "dtype": gallery.dtype,
+                        "device_mb": round(
+                            gallery.device_bytes() / 1e6, 1),
+                        "hbm_limit_gb": gallery.hbm_limit_gb})
                 return
             if path not in ("/healthz", "/stats"):
                 self._reply(404, {"error": "unknown path"})
@@ -705,8 +710,16 @@ def serve(batcher: "DynamicBatcher | dict[str, DynamicBatcher]", *,
                         "quality": float(qual),
                         "unknown": bool(scores[0][0] < thr)})
             except Exception as e:
-                self._reply(503 if isinstance(e, TimeoutError) else 500,
-                            {"error": f"{type(e).__name__}: {e}"})
+                from tf_face_toolbox_tpu.serving.gallery import (
+                    GalleryCapacityError)
+
+                if isinstance(e, GalleryCapacityError):
+                    code = 507        # Insufficient Storage, retryable
+                elif isinstance(e, TimeoutError):
+                    code = 503
+                else:
+                    code = 500
+                self._reply(code, {"error": f"{type(e).__name__}: {e}"})
 
         def _do_post(self):
             path, b, name, want_quality, qs = route(self.path)
