@@ -1,11 +1,14 @@
 # Developer entry points.
-.PHONY: test test-all bench native clean
+.PHONY: test test-mid test-all bench native clean
 
-test:           ## fast suite (fake 8-device CPU mesh)
+test:           ## fast gate (<5 min; fake 8-device CPU mesh)
 	python -m pytest tests/ -q
 
-test-all:       ## including slow tests (deep nets, CLI e2e, learning)
-	python -m pytest tests/ -q -m "slow or not slow"
+test-mid:       ## the >10s tier: full-size-net compiles, CLI e2e
+	python -m pytest tests/ -q -m "mid"
+
+test-all:       ## everything (fast + mid + slow)
+	python -m pytest tests/ -q -m ""
 
 bench:          ## headline benchmark on the attached TPU
 	python bench.py

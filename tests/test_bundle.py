@@ -87,6 +87,7 @@ def test_unknown_format_version_refused(tmp_path):
         read_bundle(path)
 
 
+@pytest.mark.mid
 def test_static_int8_bundle_serves_without_calibration(tmp_path):
     """Calibrate → export → read → quantized='static' apply works from
     the bundle alone (the frozen scales ride in it)."""

@@ -308,6 +308,7 @@ def test_cli_train_sampled_pfc(tmp_path):
     assert "done: step=2" in out
 
 
+@pytest.mark.mid
 def test_cli_train_adaptive_losses_balanced(tmp_path):
     """--margin=adaface + center/triplet aux losses + the P×K balanced
     sampler through the real train CLI (r3 adaptive-loss family)."""
@@ -336,6 +337,7 @@ def test_cli_train_adaptive_losses_balanced(tmp_path):
     assert "done: step=2" in out
 
 
+@pytest.mark.mid
 def test_cli_train_magface(tmp_path):
     from PIL import Image
 

@@ -284,6 +284,7 @@ def test_dct_stem_verification_parity_with_face_stem():
     assert acc_dct >= acc_face - 0.05, (acc_face, acc_dct)
 
 
+@pytest.mark.mid
 def test_dct_net_int8_static_and_qat_modes():
     """int8 serving modes compose with the dct stem: the stem itself
     stays fp (frequency BN + 1x1), the bottleneck stages run the

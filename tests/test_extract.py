@@ -4,6 +4,7 @@ Covers BASELINE configs 1-3: embeddings under the same extraction API
 for every backbone, flip-averaged and L2-normalized.
 """
 
+import pytest
 import functools
 
 import jax
@@ -95,6 +96,7 @@ def test_e2e_extract_then_verify_untrained_sanity():
     assert r["accuracy_mean"] > 0.9
 
 
+@pytest.mark.mid
 def test_all_backbones_share_extraction_api():
     """BASELINE config 3: every zoo entry works under the same API."""
     for name in ["resnet_v1_50", "se_resnet_50", "densenet_121"]:

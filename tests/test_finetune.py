@@ -150,6 +150,7 @@ def test_load_pretrained_from_npz(tmp_path):
         load_pretrained_variables(path, use_ema=True)
 
 
+@pytest.mark.mid
 def test_load_pretrained_from_train_dir_and_full_cycle(tmp_path):
     """Pretrain 2 steps → checkpoint → fine-tune run with a DIFFERENT
     identity count warm-starts from it: backbone equals the
@@ -195,6 +196,7 @@ def test_load_pretrained_from_train_dir_and_full_cycle(tmp_path):
         load_pretrained_variables(str(tmp_path / "pre"), use_ema=True)
 
 
+@pytest.mark.mid
 def test_train_loop_resume_beats_warm_start(tmp_path):
     """warm_start must NOT fire when train_dir already holds a
     checkpoint: a preempted fine-tune run resumes its own progress."""

@@ -68,6 +68,7 @@ def test_cmc_all_probes_absent():
     assert np.isnan(report["cmc"][1])
 
 
+@pytest.mark.mid
 def test_cli_eval_identification(tmp_path):
     rng = np.random.default_rng(1)
     ids = np.arange(6)
@@ -94,6 +95,7 @@ def test_cli_eval_identification(tmp_path):
     assert report["probes"] == 6 and report["skipped"] == 0
 
 
+@pytest.mark.mid
 def test_cli_length_mismatch_exits(tmp_path):
     np.save(tmp_path / "gal.npy", np.eye(3, dtype=np.float32))
     np.save(tmp_path / "probe.npy", np.eye(3, dtype=np.float32))
@@ -146,6 +148,7 @@ def test_top_k_matches_oracle():
         top_k_matches(g, p, k=51)
 
 
+@pytest.mark.mid
 def test_cli_search_end_to_end(tmp_path):
     """Search CLI: top-1 label recovers the gallery identity for
     near-duplicate probes; below-threshold probes come back unknown."""
@@ -275,6 +278,7 @@ def test_dir_at_far_all_mated_warns_nan():
     assert out["dir_closed_set"] == 1.0
 
 
+@pytest.mark.mid
 def test_cli_open_set_report(tmp_path):
     rng = np.random.default_rng(3)
     proto = rng.normal(size=(6, 8)).astype(np.float32)

@@ -208,6 +208,7 @@ def test_factory_and_embedding_contract():
             variables, jnp.ones((1, SIZE, SIZE, 3)), train=False)
 
 
+@pytest.mark.mid
 def test_train_mode_updates_stats_and_grads_flow():
     net = _flax_net()
     variables = init_variables(net, jax.random.key(1),

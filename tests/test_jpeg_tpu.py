@@ -165,6 +165,7 @@ def test_extract_shard_dct_loader_matches_native(tmp_path):
                       loader="native_dct", **kw)
 
 
+@pytest.mark.mid
 def test_train_step_dct_input_matches_u8(tmp_path):
     """make_train_step(input_format='dct') runs the SPMD step off
     (coef, qtab) batches and lands within decode tolerance of the

@@ -72,6 +72,7 @@ def test_margin_decreases_target_logit():
     assert l_cos > l_soft
 
 
+@pytest.mark.mid
 def test_gradients_finite_at_extreme_cosines():
     # Embedding aligned exactly with its class weight: cos=1 edge. The
     # clip keeps arccos' gradient finite.
@@ -96,6 +97,7 @@ def test_loss_under_jit_and_bf16_embeddings():
     assert np.isfinite(l16)
 
 
+@pytest.mark.mid
 def test_stability_at_large_class_count():
     """SURVEY §7 hard part: margin-softmax stability at big identity
     counts — f32 logits over a bf16 GEMM, 50k classes."""

@@ -21,6 +21,7 @@ def _tiny():
     return create_network("mobilefacenet_tiny", embedding_dim=DIM)
 
 
+@pytest.mark.mid
 def test_factory_and_embedding_contract():
     net = _tiny()
     variables = init_variables(net, jax.random.key(0),
@@ -74,6 +75,7 @@ def test_bottleneck_residual_only_on_matching_stride1():
                                atol=1e-6)
 
 
+@pytest.mark.mid
 def test_full_geometry_and_param_count():
     """The paper net at 112²: FMap-end 7², ~1.2M params at D=512
     (0.99M at the paper's D=128 + the wider linear)."""
@@ -89,6 +91,7 @@ def test_full_geometry_and_param_count():
     assert out.shape == (1, 512)
 
 
+@pytest.mark.mid
 def test_train_mode_updates_stats_and_grads_flow():
     net = _tiny()
     variables = init_variables(net, jax.random.key(1),
@@ -112,6 +115,7 @@ def test_train_mode_updates_stats_and_grads_flow():
     assert all(np.isfinite(gnorms)) and max(gnorms) > 0
 
 
+@pytest.mark.mid
 def test_trains_through_the_trainer():
     """Two SPMD train steps on the tiny variant: loss finite and
     params move (the zoo integration contract)."""

@@ -16,9 +16,15 @@ SMALL = 32
 FAST_ZOO = ["resnet_v1_50", "se_resnet_50", "resnext_50", "se_resnext_50",
             "densenet_121"]
 DEEP_ZOO = [n for n in list_networks() if n not in FAST_ZOO]
+# Default gate keeps ONE full backbone shape smoke (resnet_v1_50);
+# the other full-size variants compile 15-20 s each on this 1-CPU box
+# and gate in the mid tier (make test-mid).
+FAST_ZOO_PARAMS = [n if n == "resnet_v1_50"
+                   else pytest.param(n, marks=pytest.mark.mid)
+                   for n in FAST_ZOO]
 
 
-@pytest.mark.parametrize("name", FAST_ZOO)
+@pytest.mark.parametrize("name", FAST_ZOO_PARAMS)
 def test_backbone_shapes(name):
     net = create_network(name, embedding_dim=64)
     variables = init_variables(net, jax.random.key(0), (2, SMALL, SMALL, 3))
@@ -42,6 +48,7 @@ def test_factory_unknown_name():
         create_network("vgg_16")
 
 
+@pytest.mark.mid
 def test_resnet50_train_mode_updates_batch_stats():
     net = create_network("resnet_v1_50", embedding_dim=32)
     x = jax.random.normal(jax.random.key(1), (2, SMALL, SMALL, 3))
@@ -56,6 +63,7 @@ def test_resnet50_train_mode_updates_batch_stats():
     assert any(not np.allclose(o, n) for o, n in zip(old, new))
 
 
+@pytest.mark.mid
 def test_bfloat16_compute_f32_params_f32_embedding():
     net = create_network("resnet_v1_50", embedding_dim=32, dtype=jnp.bfloat16)
     variables = init_variables(net, jax.random.key(0), (2, SMALL, SMALL, 3))
@@ -65,6 +73,7 @@ def test_bfloat16_compute_f32_params_f32_embedding():
     assert emb.dtype == jnp.float32
 
 
+@pytest.mark.mid
 def test_deterministic_eval():
     net = create_network("se_resnet_50", embedding_dim=32)
     x = jax.random.normal(jax.random.key(2), (2, SMALL, SMALL, 3))
@@ -84,6 +93,7 @@ def test_resnext_grouped_conv_param_shape():
     assert (3, 3, 4, 128) in shapes
 
 
+@pytest.mark.mid
 def test_space2depth_stem():
     """TResNet-style s2d stem: same stage resolutions as the face stem
     (final 7x7 map at 112 input → identical embedding pipeline), +11%
@@ -99,6 +109,7 @@ def test_space2depth_stem():
     assert (3, 3, 12, 64) in shapes
 
 
+@pytest.mark.mid
 def test_save_convs_remat_grads_match():
     """remat='save_convs' (save only conv outputs, recompute BN/ReLU in
     backward) must be a pure scheduling change: identical grads."""

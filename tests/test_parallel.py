@@ -142,6 +142,7 @@ def _sampled_f(mesh, cfg, budget, total_classes=None):
         out_specs=P()))
 
 
+@pytest.mark.mid
 def test_sampled_pfc_full_budget_is_exact():
     """budget == C_local ⇒ identical to the exact sharded softmax
     (q == 1): loss AND gradients."""

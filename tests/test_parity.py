@@ -6,6 +6,7 @@ jit vs eager, bf16 vs f32 compute, and fused-Pallas vs XLA preprocessing
 must all stay within the 0.999-cosine gate on the SAME weights.
 """
 
+import pytest
 import functools
 
 import jax
@@ -31,6 +32,7 @@ def _extract(net, variables, x, jit=True):
     return jax.jit(fn)(variables, x) if jit else fn(variables, x)
 
 
+@pytest.mark.mid
 def test_jit_vs_eager_cosine():
     net = create_network("resnet_v1_50", embedding_dim=64)
     variables = init_variables(net, jax.random.key(0), (1, 32, 32, 3))
@@ -40,6 +42,7 @@ def test_jit_vs_eager_cosine():
     assert _cos(e_jit, e_eager).min() >= 0.999
 
 
+@pytest.mark.mid
 def test_bf16_vs_f32_cosine():
     """bf16 compute must stay within the 0.999 gate of f32 compute."""
     net32 = create_network("resnet_v1_50", embedding_dim=64)
@@ -52,6 +55,7 @@ def test_bf16_vs_f32_cosine():
     assert _cos(e32, e16).min() >= 0.999
 
 
+@pytest.mark.mid
 def test_pallas_vs_xla_preprocess_cosine():
     """Fused input kernel must not move embeddings past the gate."""
     from tf_face_toolbox_tpu.ops import preprocess as pp
@@ -69,6 +73,7 @@ def test_pallas_vs_xla_preprocess_cosine():
     assert _cos(e1, e2).min() >= 0.999
 
 
+@pytest.mark.mid
 def test_bf16_weights_cosine():
     """Serving config (bench.py): bf16-stored weights must stay within
     the 0.999 gate of the f32 checkpoint weights."""
@@ -84,6 +89,7 @@ def test_bf16_weights_cosine():
     assert _cos(e32, e16).min() >= 0.999
 
 
+@pytest.mark.mid
 def test_int8_quantized_serving_cosine():
     """Dynamic W8A8 serving mode: same checkpoint tree as fp; embedding
     cosine vs the bf16 path stays high (documented: PTQ sits below the
@@ -104,6 +110,7 @@ def test_int8_quantized_serving_cosine():
 # static-calibration int8 (round 2)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.mid
 def test_int8_static_calibrated_cosine():
     """Calibrate → quantized='static' serving: frozen per-tensor scales,
     cosine vs fp stays within the PTQ gate and the checkpoint tree
@@ -144,6 +151,7 @@ def test_int8_static_requires_calibration():
         _extract(net8, variables, x)
 
 
+@pytest.mark.mid
 def test_int8_static_batch_independent_embeddings():
     """Frozen scales ⇒ an image's embedding can't depend on what it was
     batched with (the property dynamic per-sample scales also have, and
@@ -165,6 +173,7 @@ def test_int8_static_batch_independent_embeddings():
     np.testing.assert_allclose(e_full[:1], e_solo, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.mid
 def test_calibration_stats_monotone():
     """act_max only grows as more batches are seen."""
     from tf_face_toolbox_tpu.models import calibrate_quant_stats
@@ -185,6 +194,7 @@ def test_calibration_stats_monotone():
     assert any(float(b) > float(a) for a, b in zip(l1, l2))
 
 
+@pytest.mark.mid
 def test_int8_static_composes_with_se_and_groups():
     """The int8 residual carry must compose with SE gating and grouped
     convs (se_resnext family), not just plain ResNet."""
@@ -206,6 +216,7 @@ def test_int8_static_composes_with_se_and_groups():
     assert c.min() >= 0.98, c
 
 
+@pytest.mark.mid
 def test_densenet_int8_static_calibrated_cosine():
     """DenseNet static-int8 (VERDICT r2 #5): per-conv calibrated W8A8
     through the concat topology — same checkpoint tree, PTQ-gated
@@ -241,6 +252,7 @@ def test_densenet_int8_static_calibrated_cosine():
                                 **kw), variables, x)
 
 
+@pytest.mark.mid
 def test_resnext_int8_static_dense_mode():
     """static_dense: grouped 3x3s stay fp (their per-group MXU shapes
     can't profit from int8 — r3 ResNeXt finding), dense convs + the

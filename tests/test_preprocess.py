@@ -154,6 +154,7 @@ class TestRandomErase:
         return jnp.asarray(np.random.default_rng(0).normal(
             size=(n, h, w, 3)).astype(np.float32))
 
+    @pytest.mark.mid
     def test_prob_zero_is_identity(self):
         import numpy as np
         x = self._x()

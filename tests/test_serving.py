@@ -46,6 +46,7 @@ _NET_KW = dict(stage_sizes=(2, 2), width_per_group=32, embedding_dim=32)
 
 
 @pytest.mark.parametrize("use_pallas", [False, True])
+@pytest.mark.mid
 def test_engine_matches_flax_f32(use_pallas):
     net = create_network("resnet_tiny", **_NET_KW, stem="imagenet")
     variables = _warm_variables(net, jax.random.key(0), (4, 32, 32, 3))
@@ -59,6 +60,7 @@ def test_engine_matches_flax_f32(use_pallas):
 
 
 @pytest.mark.parametrize("stem", ["face", "space2depth"])
+@pytest.mark.mid
 def test_engine_stems(stem):
     net = create_network("resnet_tiny", **_NET_KW, stem=stem)
     variables = _warm_variables(net, jax.random.key(0), (2, 16, 16, 3))
@@ -69,6 +71,7 @@ def test_engine_stems(stem):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.mid
 def test_engine_bf16_cosine():
     net = create_network("resnet_tiny", **_NET_KW, stem="imagenet",
                          dtype=jnp.bfloat16)
@@ -92,6 +95,7 @@ def test_engine_flatten_head_and_se():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.mid
 def test_engine_resnet50_slice():
     """Full-size stage shapes (one imagenet-stem r50 at tiny spatial
     input) — catches stacking/reshape bugs that tiny widths can hide."""

@@ -103,6 +103,7 @@ def test_stats_must_come_in_pairs():
                       probe_stats=(np.zeros(3), np.ones(3)))
 
 
+@pytest.mark.mid
 def test_cli_search_with_cohort(tmp_path):
     rng = np.random.default_rng(5)
     np.save(tmp_path / "gal.npy", _unit(rng, 12, 8))

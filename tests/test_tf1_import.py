@@ -191,6 +191,7 @@ def test_dense_stored_as_1x1_conv_coerced():
         _coerce(w, (4, 3))
 
 
+@pytest.mark.mid
 def test_cli_import_then_extract_serves(tmp_path):
     """e2e: Saver ckpt -> import_tf1 CLI -> npz -> extract serves it
     (embedding equality against direct apply of the imported tree)."""

@@ -123,6 +123,7 @@ def test_dp_tp_mesh_matches_single_device():
     np.testing.assert_allclose(c24, c1, atol=2e-4)
 
 
+@pytest.mark.mid
 def test_qat_trains_and_serves_static_int8():
     """QAT fake-quant training: loss decreases, eval forward is fp, and
     the checkpoint serves through calibrate -> static int8 with HIGHER
@@ -392,6 +393,7 @@ def test_remat_blocks_train_and_match():
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.mid
 def test_flatten_head_dropout_trains_and_is_deterministic_at_eval():
     """VERDICT r2 weak #1: a flatten head with dropout_rate>0 must
     actually train (needs the 'dropout' PRNG stream wired through
@@ -515,6 +517,7 @@ def test_cosine_schedule_shape_and_training():
     assert all(np.isfinite(l) for l in losses)
 
 
+@pytest.mark.mid
 def test_grad_clip_bounds_update_and_is_exact():
     """grad_clip_norm caps the global update: with wd=0, momentum=0
     SGD, the first step's param+classifier delta norm is exactly
@@ -710,6 +713,7 @@ def test_nonfinite_unguarded_corrupts_params():
     assert any(not np.isfinite(l).all() for l in leaves)
 
 
+@pytest.mark.mid
 def test_keep_best_checkpoint(tmp_path):
     """--keep_best: the best-eval checkpoint survives in
     <train_dir>/best with its bar recorded, GC-immune, and the bar

@@ -1,5 +1,6 @@
 """utils: profiling timer and metric logger."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,6 +49,7 @@ def test_metric_logger_writes_files(tmp_path):
                for p in tmp_path.iterdir())
 
 
+@pytest.mark.mid
 def test_zoo_report_tool_smoke():
     """tools/zoo_report.py emits params + compiled-cost rows."""
     import json

@@ -32,6 +32,7 @@ def _pixels(n=2, size=SIZE, seed=0):
                               0, 256).astype(jnp.float32)
 
 
+@pytest.mark.mid
 def test_factory_and_embedding_contract():
     net = _tiny()
     variables = init_variables(net, jax.random.key(0),
@@ -116,6 +117,7 @@ def test_attention_matches_naive_oracle():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.mid
 def test_geometry_and_param_count_small():
     """dct_vit_small at 112²: 196 tokens, ViT-S-class ~22M params."""
     net = create_network("dct_vit_small")
@@ -161,6 +163,7 @@ def test_extraction_flip_average_on_coefficients():
                                atol=1e-5)
 
 
+@pytest.mark.mid
 def test_drop_path_train_stochastic_eval_deterministic():
     """Stochastic depth: train mode varies with the dropout rng and
     differs from the rate-0 forward; eval mode is deterministic and
