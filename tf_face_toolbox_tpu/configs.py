@@ -91,6 +91,15 @@ CONFIG_5_V5E8_DATA_PARALLEL = TrainConfig(
 # JPEG-domain backbone, zero-decode input, no quantization. 11.9k
 # faces/sec/chip measured (min 11.4k, b256 v5e-1) — over the 10k
 # north-star with no int8 anywhere.
+#
+# ACCURACY RISK (open until real data lands): dct_resnet_50's
+# "accuracy-class" label rests on 1k-identity synthetic parity with
+# the face stem (preflight verification 0.9983 vs 0.9967; design.md)
+# plus literature (Gueguen 2018) — NOT on a real-pair benchmark.
+# tools/acceptance.py gates this net against the face stem on real
+# pairs the day a dataset is available; until it passes, risk-averse
+# deployments should use the space2depth static-int8 preset (11.0k
+# faces/sec, pixel-domain, PTQ-gated on trained checkpoints).
 CONFIG_6_ACCURACY_SERVING_BF16: dict[str, Any] = dict(
     network="dct_resnet_50",
     embedding_dim=512,

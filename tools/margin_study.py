@@ -42,12 +42,19 @@ templates = (templates - templates.mean()) / (templates.std() + 1e-6)
 NOISE = 3.5   # harder than the demo so variants separate
 
 def run_variant(tag, m2, m3, **cfg_kw):
-    cfg = TrainConfig(network='resnet_v1_50', num_classes=NUM_IDS, image_size=SIZE,
-                      global_batch=B, dtype=jnp.bfloat16, augment=False,
-                      base_lr=0.05, warmup_steps=50, weight_decay=5e-4,
-                      margin_scale=32.0, margin_m2=m2, margin_m3=m3,
-                      lr_boundaries=(250, 350), **cfg_kw)
+    # every default is overridable — tools/zoo_accuracy.py reuses this
+    # harness with network=<zoo entry> (+ lr/warmup tweaks)
+    defaults = dict(network='resnet_v1_50', num_classes=NUM_IDS,
+                    image_size=SIZE, global_batch=B, dtype=jnp.bfloat16,
+                    augment=False, base_lr=0.05, warmup_steps=50,
+                    weight_decay=5e-4, margin_scale=32.0,
+                    lr_boundaries=(250, 350))
+    cfg = TrainConfig(margin_m2=m2, margin_m3=m3,
+                      **{**defaults, **cfg_kw})
     mesh = create_mesh()
+    # stem='imagenet' keeps the r50 baseline comparable; nets with a
+    # structural pin (iresnet/mobilefacenet/dct_vit) override it with
+    # a warning inside create_network
     net = create_network(cfg.network, embedding_dim=cfg.embedding_dim,
                          dtype=cfg.dtype, stem='imagenet')
     state, net = create_train_state(cfg, jax.random.key(0), mesh, net=net)
