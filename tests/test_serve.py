@@ -1436,6 +1436,65 @@ def test_device_gallery_capacity_refusal():
     assert len(g0) == 16
 
 
+def test_device_gallery_streaming_overflow_exact():
+    """overflow='stream': past the bound the gallery keeps enrolling
+    and searches by streaming slabs through the device — results must
+    EQUAL the resident path's (same compiled program per slab, exact
+    host merge), and removals that shrink under the bound must resume
+    residency."""
+    from tf_face_toolbox_tpu.serving.gallery import (
+        DeviceGallery,
+        GalleryCapacityError,
+    )
+
+    rng = np.random.default_rng(9)
+    e = rng.normal(size=(40, DIM)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+
+    limit_gb = 8 * DIM * 4 / 1e9               # one 8-row block
+    g = DeviceGallery(DIM, block=8, hbm_limit_gb=limit_gb,
+                      overflow="stream")
+    g.stream_slab_bytes = 8 * DIM * 4          # 8-row slabs → 5 slabs
+    ref = DeviceGallery(DIM, block=8, hbm_limit_gb=0)
+
+    g.enroll(e[:8], np.arange(8))
+    assert not g.streaming
+    g.enroll(e[8:], np.arange(8, 40))          # overflows → streams
+    assert g.streaming and len(g) == 40
+    ref.enroll(e, np.arange(40))
+
+    for probe in (e[0], e[19], e[39], e[:6]):
+        ls, ss = g.search(probe, k=5)
+        lr, sr = ref.search(probe, k=5)
+        np.testing.assert_array_equal(ls, lr)
+        np.testing.assert_allclose(ss, sr, atol=1e-6)
+        assert np.all(np.diff(ss, axis=1) <= 1e-6)    # sorted desc
+
+    # enroll while streaming is host-append only; still exact
+    extra = rng.normal(size=(3, DIM)).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    g.enroll(extra, [100, 101, 102])
+    labs, _ = g.search(extra[1], k=1)
+    assert labs[0, 0] == 101
+
+    # shrink back under the bound → residency resumes, results exact
+    for lab in range(8, 40):
+        g.remove(lab)
+    g.remove(100), g.remove(101), g.remove(102)
+    assert not g.streaming and len(g) == 8
+    labs, scores = g.search(e[3], k=1)
+    assert labs[0, 0] == 3
+    assert scores[0, 0] == pytest.approx(1.0, abs=1e-5)
+
+    # refuse mode is untouched by the new machinery
+    r = DeviceGallery(DIM, block=8, hbm_limit_gb=limit_gb)
+    r.enroll(e[:8], np.arange(8))
+    with pytest.raises(GalleryCapacityError, match="stream"):
+        r.enroll(e[8:9], [8])
+    with pytest.raises(ValueError, match="overflow"):
+        DeviceGallery(DIM, overflow="spill")
+
+
 def test_device_gallery_save_load_roundtrip(tmp_path):
     from tf_face_toolbox_tpu.serving.gallery import DeviceGallery
 

@@ -83,11 +83,16 @@ flags.DEFINE_float("enroll_min_quality", 0.0,
                    "&min_quality=)")
 flags.DEFINE_enum("gallery_dtype", "float32", ["float32", "bfloat16"],
                   "device store dtype for the gallery: bfloat16 halves "
-                  "HBM (2x capacity) at <2e-3 score delta "
+                  "HBM (2x capacity), measured bit-identical scores "
                   "(docs/design.md gallery table)")
 flags.DEFINE_float("gallery_hbm_gb", 8.0,
                    "gallery device-store budget; enrollments past it "
                    "are refused with HTTP 507 (0 = unbounded)")
+flags.DEFINE_enum("gallery_overflow", "refuse", ["refuse", "stream"],
+                  "past --gallery_hbm_gb: 'refuse' enrollments (507) "
+                  "or 'stream' — keep enrolling and serve /identify "
+                  "via exact slab-streamed search (latency degrades "
+                  "to O(gallery bytes / PCIe), HBM stays bounded)")
 flags.DEFINE_integer("max_batch", 64, "device batch (pad-to-batch)")
 flags.DEFINE_float("max_wait_ms", 5.0,
                    "straggler wait after the first request of a batch")
@@ -335,7 +340,8 @@ def _serve_front_end(batcher, all_batchers, watcher):
                 (1, first.service.crop_from, first.service.crop_from, 3),
                 "uint8")).shape[1]
         gkw = dict(dtype=FLAGS.gallery_dtype,
-                   hbm_limit_gb=FLAGS.gallery_hbm_gb)
+                   hbm_limit_gb=FLAGS.gallery_hbm_gb,
+                   overflow=FLAGS.gallery_overflow)
         if os.path.exists(FLAGS.gallery):
             gallery = DeviceGallery.load(FLAGS.gallery, **gkw)
             if gallery.dim != dim:

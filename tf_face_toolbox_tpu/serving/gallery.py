@@ -19,15 +19,29 @@ Scale design (r4, VERDICT r3 #5):
   a doubling-capacity buffer so the host-side append is amortized O(1)
   too (a per-enroll ``np.concatenate`` is a 20 GB memcpy at 10^7 rows).
 - **bf16 store.** ``dtype="bfloat16"`` halves HBM and doubles matmul
-  rate; scores still accumulate in f32 (preferred_element_type). The
-  measured score delta vs f32 is <2e-3 on unit vectors — far below any
-  sane open-set threshold (tools/gallery_bench.py records it).
+  rate; scores still accumulate in f32 (preferred_element_type).
+  Measured on v5e (tools/gallery_bench.py): the bf16 store returns
+  BIT-IDENTICAL scores to the f32 store — TPU matmuls run bf16×bf16
+  passes at JAX's default precision either way, so f32 storage buys
+  no numerics here, only 2× the HBM. (An f32 store would only differ
+  under ``jax.default_matmul_precision('highest')``.)
 - **Loud capacity bound.** ``hbm_limit_gb`` (default 8 — half a v5e
   chip, leaving room for the model and batches) refuses enrollments
   whose grown store would exceed it with :class:`GalleryCapacityError`
   (HTTP 507 at the daemon) instead of dying in the allocator mid-step.
-  Past the bound: bf16 store (2x), or the sharded offline
-  ``cli.search`` path, which scales over a mesh.
+  Past the bound: bf16 store (2x), ``overflow="stream"`` (below), or
+  the sharded offline ``cli.search`` path, which scales over a mesh.
+- **Streamed overflow (r4).** ``overflow="stream"`` turns the refusal
+  into a mode switch: past ``hbm_limit_gb`` the device store is freed
+  and /identify streams the host master through the chip in fixed
+  ~0.5 GB slabs — per-slab MXU top-k (the same compiled program as the
+  resident path, one compile total), exact global merge on host. HBM
+  use drops to one slab; latency degrades from O(1) matmul to
+  O(gallery bytes / PCIe bandwidth) per search — on directly-attached
+  v5e (~100 GB/s DMA) that is ~0.2 s for a 20 GB f32 10^7-row store.
+  Enroll in this mode is a pure host append (amortized O(1)); the
+  store drops back to device residency when removals shrink it under
+  the bound. Searches stay EXACT in every mode (tested equal).
 
 Thread-safe (the HTTP front-end is threaded); snapshots are ordinary
 ``.npz`` (atomic tmp+rename) — the persistence model of the reference
@@ -56,8 +70,13 @@ def _search_fn(k: int):
 
     @jax.jit
     def run(g, p, n_valid):
-        sims = jnp.dot(p.astype(g.dtype), g.T,
-                       preferred_element_type=jnp.float32)
+        # contract on dim 1 of BOTH operands (p @ g.T) via dot_general:
+        # writing jnp.dot(p, g.T) materializes a full transpose copy of
+        # the store at XLA's whim — a 2x-HBM spike that OOMs a 10 GB
+        # gallery; the MXU contracts either layout natively
+        sims = jax.lax.dot_general(
+            p.astype(g.dtype), g, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         row = jnp.arange(g.shape[0])
         sims = jnp.where(row[None, :] < n_valid, sims, -2e9)
         return jax.lax.top_k(sims, k)
@@ -103,26 +122,37 @@ class DeviceGallery:
     ``block``: device capacity granularity (rows). Searches mask the
     padded tail with −2e9, so scores are exact at any fill level.
     ``dtype``: "float32" | "bfloat16" device store (host master stays
-    f32). ``hbm_limit_gb``: loud enrollment refusal past this device
-    footprint (0 = unbounded).
+    f32). ``hbm_limit_gb``: device-footprint bound (0 = unbounded) —
+    enrollments past it either refuse loudly (``overflow="refuse"``)
+    or flip the gallery into streamed-search mode
+    (``overflow="stream"``, see module docstring).
     """
 
     def __init__(self, dim: int, *, block: int = 1024,
-                 dtype: str = "float32", hbm_limit_gb: float = 8.0):
+                 dtype: str = "float32", hbm_limit_gb: float = 8.0,
+                 overflow: str = "refuse"):
         if dim < 1 or block < 1:
             raise ValueError(f"bad dim={dim} / block={block}")
         if dtype not in ("float32", "bfloat16"):
             raise ValueError(f"dtype must be float32|bfloat16, "
                              f"got {dtype!r}")
+        if overflow not in ("refuse", "stream"):
+            raise ValueError(f"overflow must be refuse|stream, "
+                             f"got {overflow!r}")
         self.dim = int(dim)
         self.block = int(block)
         self.dtype = dtype
         self.itemsize = 2 if dtype == "bfloat16" else 4
         self.hbm_limit_gb = float(hbm_limit_gb)
+        self.overflow = overflow
+        self._streaming = False
         # past this store size, block-boundary growth re-uploads from
         # host instead of copying on device (2x-HBM-peak avoidance;
         # see _sync_locked)
         self.grow_on_device_max = 2_000_000_000
+        # streamed-search slab footprint (bytes of store dtype);
+        # tests shrink it to exercise the multi-slab merge
+        self.stream_slab_bytes = 1 << 29
         self._lock = threading.Lock()
         # host master: doubling-capacity buffers + fill count, so the
         # per-enroll host cost is the new rows (amortized), not a full
@@ -162,13 +192,20 @@ class DeviceGallery:
             new_n = self._n + embeddings.shape[0]
             need = self._capacity_for(new_n) * self.dim * self.itemsize
             if self.hbm_limit_gb and need > self.hbm_limit_gb * 1e9:
-                raise GalleryCapacityError(
-                    f"enrolling {embeddings.shape[0]} rows would grow "
-                    f"the device store to {need / 1e9:.2f} GB > "
-                    f"hbm_limit_gb={self.hbm_limit_gb:g} at "
-                    f"dtype={self.dtype}. Options: dtype='bfloat16' "
-                    f"(2x rows), raise hbm_limit_gb, or shard offline "
-                    f"with cli.search")
+                if self.overflow == "stream":
+                    if not self._streaming:
+                        self._streaming = True
+                        self._dev = None    # free the resident store
+                else:
+                    raise GalleryCapacityError(
+                        f"enrolling {embeddings.shape[0]} rows would "
+                        f"grow the device store to {need / 1e9:.2f} GB "
+                        f"> hbm_limit_gb={self.hbm_limit_gb:g} at "
+                        f"dtype={self.dtype}. Options: "
+                        f"dtype='bfloat16' (2x rows), "
+                        f"overflow='stream' (exact streamed search), "
+                        f"raise hbm_limit_gb, or shard offline with "
+                        f"cli.search")
             if new_n > self._host.shape[0]:
                 new_cap = max(self.block, 2 * self._host.shape[0], new_n)
                 grown = np.zeros((new_cap, self.dim), np.float32)
@@ -181,8 +218,15 @@ class DeviceGallery:
             self._host[offset:new_n] = embeddings
             self._lab[offset:new_n] = labels
             self._n = new_n
-            self._sync_locked(new_rows=embeddings, offset=offset)
+            if not self._streaming:
+                self._sync_locked(new_rows=embeddings, offset=offset)
             return new_n
+
+    @property
+    def streaming(self) -> bool:
+        """True once the store has overflowed into streamed search."""
+        with self._lock:
+            return self._streaming
 
     def _np_dtype(self):
         import jax.numpy as jnp
@@ -218,9 +262,21 @@ class DeviceGallery:
                                           np.int32(offset), dt=dt)
                 return
             self._dev = None            # free before the big alloc
-        padded = np.zeros((cap, self.dim), np.float32)
-        padded[:n] = self._host[:n]
-        self._dev = jax.device_put(jnp.asarray(padded, dt))
+        # Full sync streams the host master up in ~0.5 GB slabs into a
+        # buffer allocated ON DEVICE (donated in-place appends): peak
+        # HBM = cap + one slab. The obvious one-shot
+        # device_put(asarray(padded, bf16)) of a 10^7-row store uploads
+        # a 20 GB f32 mirror and converts on device — measured OOM on
+        # a 16 GB v5e (r4); the slab path loads the same store in-cap.
+        dev = jnp.zeros((cap, self.dim), dt)
+        slab = max(self.block, (1 << 29) // (self.dim * 4))
+        for i in range(0, n, slab):
+            j = min(i + slab, n)
+            # cast on host: a bf16 store moves half the bytes over PCIe
+            dev = _append_fn()(dev,
+                               jnp.asarray(self._host[i:j].astype(dt)),
+                               np.int32(i))
+        self._dev = dev
 
     def search(self, embeddings: np.ndarray, k: int = 5):
         """Top-``k`` matches per probe → (labels (B,k) int64,
@@ -232,9 +288,11 @@ class DeviceGallery:
         with self._lock:
             n = self._n
             dev = self._dev
-            # a view is safe: growth swaps in a NEW buffer, so this
-            # captured one stays consistent for rows < n
+            streaming = self._streaming
+            # views/references are safe: growth swaps in NEW buffers,
+            # so captured ones stay consistent for rows < n
             labels = self._lab[:n]
+            host = self._host
         if n == 0:
             raise ValueError("gallery is empty — enroll first")
         k = min(int(k), n)
@@ -245,9 +303,55 @@ class DeviceGallery:
             e = e[None]
         if e.shape[1] != self.dim:
             raise ValueError(f"probe dim {e.shape[1]} != {self.dim}")
-        scores, idx = _search_fn(k)(dev, jnp.asarray(e), jnp.int32(n))
-        idx = np.asarray(idx)
+        if streaming:
+            idx, scores = self._stream_search(host, n, e, k)
+        else:
+            scores, idx = _search_fn(k)(dev, jnp.asarray(e),
+                                        jnp.int32(n))
+            idx = np.asarray(idx)
         return labels[idx], np.asarray(scores)
+
+    def _slab_rows(self) -> int:
+        """Streaming slab size: ~0.5 GB of store dtype, block-aligned
+        (one shape → one compiled per-slab program per probe batch)."""
+        r = max(self.block,
+                self.stream_slab_bytes // (self.dim * self.itemsize))
+        return -(-r // self.block) * self.block
+
+    def _stream_search(self, host: np.ndarray, n: int,
+                       probes: np.ndarray, k: int):
+        """Exact top-k over a store larger than the device bound:
+        stream fixed slabs through the chip (same compiled program as
+        the resident path), merge the per-slab winners on host. Device
+        HBM peak = one slab + (B, slab) scores; every slab contributes
+        its own top-k, so the merged result equals the resident
+        search's bit for bit (tests/test_gallery.py)."""
+        import jax.numpy as jnp
+
+        slab = self._slab_rows()
+        if k > slab:        # unreachable in practice (slab >= 2^20)
+            raise ValueError(f"streaming k={k} > slab={slab}")
+        fn = _search_fn(k)
+        dt = self._np_dtype()
+        p = jnp.asarray(probes)
+        parts_s, parts_i = [], []
+        for i in range(0, n, slab):
+            j = min(i + slab, n)
+            chunk = host[i:j].astype(dt)
+            if j - i < slab:            # pad the tail: shape-stable jit
+                pad = np.zeros((slab, self.dim), dt)
+                pad[:j - i] = chunk
+                chunk = pad
+            s, ix = fn(jnp.asarray(chunk), p, jnp.int32(j - i))
+            parts_s.append(np.asarray(s))
+            parts_i.append(np.asarray(ix) + i)
+        all_s = np.concatenate(parts_s, axis=1)
+        all_i = np.concatenate(parts_i, axis=1)
+        top = np.argpartition(-all_s, k - 1, axis=1)[:, :k]
+        rows = np.arange(all_s.shape[0])[:, None]
+        sel_s = all_s[rows, top]
+        order = np.argsort(-sel_s, axis=1, kind="stable")
+        return all_i[rows, top][rows, order], sel_s[rows, order]
 
     def remove(self, label: int) -> int:
         """Drop every enrollment of ``label``; → rows removed. The
@@ -262,7 +366,16 @@ class DeviceGallery:
                 self._n = kept_e.shape[0]
                 self._host[:self._n] = kept_e
                 self._lab[:self._n] = kept_l
-                self._sync_locked()
+                if self._streaming:
+                    need = (self._capacity_for(self._n) * self.dim
+                            * self.itemsize)
+                    if (not self.hbm_limit_gb
+                            or need <= self.hbm_limit_gb * 1e9):
+                        # shrunk back under the bound: resume residency
+                        self._streaming = False
+                        self._sync_locked()
+                else:
+                    self._sync_locked()
             return removed
 
     # ------------------------------------------------------ persistence
@@ -279,12 +392,12 @@ class DeviceGallery:
 
     @classmethod
     def load(cls, path: str, *, block: int = 1024,
-             dtype: str = "float32",
-             hbm_limit_gb: float = 8.0) -> "DeviceGallery":
+             dtype: str = "float32", hbm_limit_gb: float = 8.0,
+             overflow: str = "refuse") -> "DeviceGallery":
         data = np.load(path, allow_pickle=False)
         emb = np.asarray(data["embeddings"], np.float32)
         g = cls(emb.shape[1], block=block, dtype=dtype,
-                hbm_limit_gb=hbm_limit_gb)
+                hbm_limit_gb=hbm_limit_gb, overflow=overflow)
         if emb.shape[0]:
             g.enroll(emb, data["labels"])
         return g

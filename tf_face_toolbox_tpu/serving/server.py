@@ -601,7 +601,9 @@ def serve(batcher: "DynamicBatcher | dict[str, DynamicBatcher]", *,
                         "dtype": gallery.dtype,
                         "device_mb": round(
                             gallery.device_bytes() / 1e6, 1),
-                        "hbm_limit_gb": gallery.hbm_limit_gb})
+                        "hbm_limit_gb": gallery.hbm_limit_gb,
+                        "overflow": gallery.overflow,
+                        "streaming": gallery.streaming})
                 return
             if path not in ("/healthz", "/stats"):
                 self._reply(404, {"error": "unknown path"})
