@@ -1495,6 +1495,53 @@ def test_device_gallery_streaming_overflow_exact():
         DeviceGallery(DIM, overflow="spill")
 
 
+def test_device_gallery_int8_two_stage_exact():
+    """int8 store: coarse s8 device pass + exact f32 rescore. Final
+    labels AND scores must match the f32 gallery on well-separated
+    data, through enroll-growth, streaming overflow, and remove."""
+    from tf_face_toolbox_tpu.serving.gallery import DeviceGallery
+
+    rng = np.random.default_rng(11)
+    e = rng.normal(size=(50, DIM)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+
+    ref = DeviceGallery(DIM, block=8)
+    g8 = DeviceGallery(DIM, block=8, dtype="int8")
+    ref.enroll(e[:30], np.arange(30))
+    g8.enroll(e[:20], np.arange(20))
+    g8.enroll(e[20:30], np.arange(20, 30))     # growth path
+    assert g8.device_bytes() == 32 * (DIM + 4)  # int8 rows + f32 scale
+    for probe in (e[0], e[17], e[:5]):
+        lr, sr = ref.search(probe, k=4)
+        l8, s8 = g8.search(probe, k=4)
+        np.testing.assert_array_equal(l8, lr)
+        # rescore is exact f32 host math; the f32 device path matmuls
+        # at default (bf16-pass) precision — allow that gap only
+        np.testing.assert_allclose(s8, sr, atol=5e-3)
+        assert s8[0 if probe.ndim == 1 else 0, 0] == pytest.approx(
+            1.0, abs=1e-6)                     # self-match exact 1.0
+
+    # streaming overflow keeps the two-stage contract
+    gs = DeviceGallery(DIM, block=8, dtype="int8",
+                       hbm_limit_gb=8 * (DIM + 4) / 1e9,
+                       overflow="stream")
+    gs.stream_slab_bytes = 8 * DIM             # 8-row slabs
+    gs.enroll(e, np.arange(50))
+    assert gs.streaming
+    full = DeviceGallery(DIM, block=8)
+    full.enroll(e, np.arange(50))
+    for probe in (e[3], e[49], e[:7]):
+        lf, sf = full.search(probe, k=5)
+        l8, s8 = gs.search(probe, k=5)
+        np.testing.assert_array_equal(l8, lf)
+        np.testing.assert_allclose(s8, sf, atol=5e-3)
+
+    # remove re-syncs through the quantizing full-upload path
+    g8.remove(17)
+    labs, _ = g8.search(e[18], k=1)
+    assert labs[0, 0] == 18
+
+
 def test_device_gallery_save_load_roundtrip(tmp_path):
     from tf_face_toolbox_tpu.serving.gallery import DeviceGallery
 

@@ -81,10 +81,13 @@ flags.DEFINE_float("enroll_min_quality", 0.0,
                    "default feature-norm quality floor for /enroll "
                    "(0 = accept all; override per request with "
                    "&min_quality=)")
-flags.DEFINE_enum("gallery_dtype", "float32", ["float32", "bfloat16"],
+flags.DEFINE_enum("gallery_dtype", "float32",
+                  ["float32", "bfloat16", "int8"],
                   "device store dtype for the gallery: bfloat16 halves "
-                  "HBM (2x capacity), measured bit-identical scores "
-                  "(docs/design.md gallery table)")
+                  "HBM (2x capacity, measured bit-identical scores); "
+                  "int8 quarters it (4x capacity, two-stage search — "
+                  "s8 MXU coarse pass + exact f32 rescore of the "
+                  "candidates; docs/design.md gallery table)")
 flags.DEFINE_float("gallery_hbm_gb", 8.0,
                    "gallery device-store budget; enrollments past it "
                    "are refused with HTTP 507 (0 = unbounded)")

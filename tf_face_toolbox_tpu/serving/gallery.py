@@ -25,6 +25,16 @@ Scale design (r4, VERDICT r3 #5):
   passes at JAX's default precision either way, so f32 storage buys
   no numerics here, only 2× the HBM. (An f32 store would only differ
   under ``jax.default_matmul_precision('highest')``.)
+- **int8 store (r4).** ``dtype="int8"`` quarters HBM vs f32 (a 10^7-row
+  512-d gallery in 5.2 GB) and halves the bandwidth-bound search time
+  vs bf16. Search is TWO-STAGE so accuracy is not traded away: the
+  device runs an s8×s8 MXU coarse pass over the quantized store
+  (per-row symmetric scales) keeping k×``rescore_expand`` candidates,
+  then the host rescores ONLY those rows against the f32 master —
+  final scores are exact f32 cosines, and the coarse stage only has to
+  get the true top-k into a 4× candidate set (per-row int8 on unit
+  vectors carries ~1e-2 worst-case cosine error vs typical top-1
+  margins of ~0.3+).
 - **Loud capacity bound.** ``hbm_limit_gb`` (default 8 — half a v5e
   chip, leaving room for the model and batches) refuses enrollments
   whose grown store would exceed it with :class:`GalleryCapacityError`
@@ -84,6 +94,53 @@ def _search_fn(k: int):
     return run
 
 
+def _rescore(host: np.ndarray, n: int, probes: np.ndarray,
+             cand: np.ndarray, k: int):
+    """Exact f32 rescore of the int8 coarse candidates: gather the
+    (B, kc) candidate rows from the host master, one small einsum,
+    keep the true top-k. Final scores are exact f32 cosines."""
+    invalid = (cand < 0) | (cand >= n)     # belt-and-braces: masked
+    cidx = np.clip(cand, 0, n - 1)         # winners can't surface, but
+    gathered = host[cidx]                  # never index past the fill
+    exact = np.einsum("bd,bkd->bk", probes, gathered,
+                      optimize=True).astype(np.float32)
+    exact[invalid] = -2e9
+    rows = np.arange(exact.shape[0])[:, None]
+    order = np.argsort(-exact, axis=1, kind="stable")[:, :k]
+    return cidx[rows, order], exact[rows, order]
+
+
+def _quantize_rows(rows: np.ndarray):
+    """Per-row symmetric int8: scale = max|x|/127 (f32), q = x/scale.
+    Unit embeddings quantize at ~1e-2 worst-case cosine error — the
+    coarse stage of the int8 store; exactness comes from the f32
+    rescore of the candidates (see DeviceGallery docstring)."""
+    scale = np.abs(rows).max(axis=1) / 127.0
+    scale = np.maximum(scale, 1e-12).astype(np.float32)
+    q = np.clip(np.rint(rows / scale[:, None]), -127, 127)
+    return q.astype(np.int8), scale
+
+
+@functools.lru_cache(maxsize=None)
+def _search_q_fn(kc: int):
+    """int8 coarse search: s8×s8 MXU dot → int32, column-rescaled by
+    the per-row gallery scales × the per-probe scale, masked top-kc."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(gq, gs, pq, ps, n_valid):
+        acc = jax.lax.dot_general(
+            pq, gq, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        sims = acc.astype(jnp.float32) * ps[:, None] * gs[None, :]
+        row = jnp.arange(gq.shape[0])
+        sims = jnp.where(row[None, :] < n_valid, sims, -2e9)
+        return jax.lax.top_k(sims, kc)
+
+    return run
+
+
 @functools.lru_cache(maxsize=None)
 def _append_fn():
     """In-place (donated) row append inside the current capacity."""
@@ -116,13 +173,42 @@ def _grow_fn(cap: int):
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _append1_fn():
+    """1-D twin of _append_fn, for the int8 store's per-row scales."""
+    import jax
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(dev, vals, offset):
+        return jax.lax.dynamic_update_slice(
+            dev, vals.astype(dev.dtype), (offset,))
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _grow1_fn(cap: int):
+    """1-D twin of _grow_fn, for the int8 store's per-row scales."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(old, vals, offset):
+        out = jnp.zeros((cap,), old.dtype)
+        out = jax.lax.dynamic_update_slice(out, old, (0,))
+        return jax.lax.dynamic_update_slice(out, vals, (offset,))
+
+    return run
+
+
 class DeviceGallery:
     """Enroll/identify store over L2-normalized embeddings.
 
     ``block``: device capacity granularity (rows). Searches mask the
     padded tail with −2e9, so scores are exact at any fill level.
-    ``dtype``: "float32" | "bfloat16" device store (host master stays
-    f32). ``hbm_limit_gb``: device-footprint bound (0 = unbounded) —
+    ``dtype``: "float32" | "bfloat16" | "int8" device store (host
+    master stays f32; int8 searches are two-stage exact-rescored).
+    ``hbm_limit_gb``: device-footprint bound (0 = unbounded) —
     enrollments past it either refuse loudly (``overflow="refuse"``)
     or flip the gallery into streamed-search mode
     (``overflow="stream"``, see module docstring).
@@ -133,8 +219,8 @@ class DeviceGallery:
                  overflow: str = "refuse"):
         if dim < 1 or block < 1:
             raise ValueError(f"bad dim={dim} / block={block}")
-        if dtype not in ("float32", "bfloat16"):
-            raise ValueError(f"dtype must be float32|bfloat16, "
+        if dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(f"dtype must be float32|bfloat16|int8, "
                              f"got {dtype!r}")
         if overflow not in ("refuse", "stream"):
             raise ValueError(f"overflow must be refuse|stream, "
@@ -142,7 +228,11 @@ class DeviceGallery:
         self.dim = int(dim)
         self.block = int(block)
         self.dtype = dtype
-        self.itemsize = 2 if dtype == "bfloat16" else 4
+        self.itemsize = {"float32": 4, "bfloat16": 2, "int8": 1}[dtype]
+        # int8 search is two-stage: device coarse top-(k*rescore_expand)
+        # on the quantized store, then exact f32 rescore of only those
+        # candidates from the host master — final scores are exact
+        self.rescore_expand = 4
         self.hbm_limit_gb = float(hbm_limit_gb)
         self.overflow = overflow
         self._streaming = False
@@ -161,6 +251,7 @@ class DeviceGallery:
         self._lab = np.zeros((0,), np.int64)
         self._n = 0
         self._dev = None            # (capacity, D) device array
+        self._dev_scale = None      # (capacity,) f32, int8 store only
 
     def __len__(self) -> int:
         with self._lock:
@@ -173,7 +264,13 @@ class DeviceGallery:
         """Device footprint at ``rows`` (default: current) enrollment."""
         with self._lock:
             n = self._n if rows is None else rows
-        return self._capacity_for(n) * self.dim * self.itemsize
+        return self._bytes_for(n)
+
+    def _bytes_for(self, n: int) -> int:
+        per_row = self.dim * self.itemsize
+        if self.dtype == "int8":
+            per_row += 4                    # the f32 per-row scale
+        return self._capacity_for(n) * per_row
 
     def enroll(self, embeddings: np.ndarray, labels) -> int:
         """Append embeddings (N, D) with int labels (N,); → new size.
@@ -190,22 +287,23 @@ class DeviceGallery:
                 f"{labels.shape} / dim {self.dim}")
         with self._lock:
             new_n = self._n + embeddings.shape[0]
-            need = self._capacity_for(new_n) * self.dim * self.itemsize
+            need = self._bytes_for(new_n)
             if self.hbm_limit_gb and need > self.hbm_limit_gb * 1e9:
                 if self.overflow == "stream":
                     if not self._streaming:
                         self._streaming = True
                         self._dev = None    # free the resident store
+                        self._dev_scale = None
                 else:
                     raise GalleryCapacityError(
                         f"enrolling {embeddings.shape[0]} rows would "
                         f"grow the device store to {need / 1e9:.2f} GB "
                         f"> hbm_limit_gb={self.hbm_limit_gb:g} at "
                         f"dtype={self.dtype}. Options: "
-                        f"dtype='bfloat16' (2x rows), "
-                        f"overflow='stream' (exact streamed search), "
-                        f"raise hbm_limit_gb, or shard offline with "
-                        f"cli.search")
+                        f"dtype='bfloat16' (2x rows) or 'int8' (~4x, "
+                        f"exact-rescored), overflow='stream' (exact "
+                        f"streamed search), raise hbm_limit_gb, or "
+                        f"shard offline with cli.search")
             if new_n > self._host.shape[0]:
                 new_cap = max(self.block, 2 * self._host.shape[0], new_n)
                 grown = np.zeros((new_cap, self.dim), np.float32)
@@ -231,7 +329,8 @@ class DeviceGallery:
     def _np_dtype(self):
         import jax.numpy as jnp
 
-        return jnp.bfloat16 if self.dtype == "bfloat16" else np.float32
+        return {"bfloat16": jnp.bfloat16, "int8": np.int8,
+                "float32": np.float32}[self.dtype]
 
     def _sync_locked(self, new_rows: np.ndarray | None = None,
                      offset: int = 0) -> None:
@@ -242,15 +341,24 @@ class DeviceGallery:
         import jax.numpy as jnp
 
         dt = self._np_dtype()
+        q8 = self.dtype == "int8"
         n = self._n
         cap = self._capacity_for(n)
         cap_bytes = cap * self.dim * self.itemsize
         cur_cap = self._dev.shape[0] if self._dev is not None else -1
         if new_rows is not None and self._dev is not None:
-            rows = jax.device_put(jnp.asarray(new_rows))
+            if q8:      # quantize on host; int8 rows move 1/4 the bytes
+                qrows, qscale = _quantize_rows(new_rows)
+                rows = jax.device_put(jnp.asarray(qrows))
+                scale = jax.device_put(jnp.asarray(qscale))
+            else:
+                rows = jax.device_put(jnp.asarray(new_rows))
             if cap == cur_cap:          # in-place donated update
                 self._dev = _append_fn()(self._dev, rows,
                                          np.int32(offset))
+                if q8:
+                    self._dev_scale = _append1_fn()(
+                        self._dev_scale, scale, np.int32(offset))
                 return
             # Growing on device holds old + new stores concurrently
             # (~2x cap transient). Fine for small stores; past the
@@ -260,8 +368,12 @@ class DeviceGallery:
             if cap > cur_cap and cap_bytes <= self.grow_on_device_max:
                 self._dev = _grow_fn(cap)(self._dev, rows,
                                           np.int32(offset), dt=dt)
+                if q8:
+                    self._dev_scale = _grow1_fn(cap)(
+                        self._dev_scale, scale, np.int32(offset))
                 return
             self._dev = None            # free before the big alloc
+            self._dev_scale = None
         # Full sync streams the host master up in ~0.5 GB slabs into a
         # buffer allocated ON DEVICE (donated in-place appends): peak
         # HBM = cap + one slab. The obvious one-shot
@@ -269,14 +381,22 @@ class DeviceGallery:
         # a 20 GB f32 mirror and converts on device — measured OOM on
         # a 16 GB v5e (r4); the slab path loads the same store in-cap.
         dev = jnp.zeros((cap, self.dim), dt)
+        dscale = jnp.zeros((cap,), np.float32) if q8 else None
         slab = max(self.block, (1 << 29) // (self.dim * 4))
         for i in range(0, n, slab):
             j = min(i + slab, n)
-            # cast on host: a bf16 store moves half the bytes over PCIe
-            dev = _append_fn()(dev,
-                               jnp.asarray(self._host[i:j].astype(dt)),
-                               np.int32(i))
+            if q8:      # quantize, never cast: astype(int8) truncates
+                qrows, qscale = _quantize_rows(self._host[i:j])
+                dev = _append_fn()(dev, jnp.asarray(qrows), np.int32(i))
+                dscale = _append1_fn()(dscale, jnp.asarray(qscale),
+                                       np.int32(i))
+            else:
+                # cast on host: bf16 moves half the bytes over PCIe
+                dev = _append_fn()(
+                    dev, jnp.asarray(self._host[i:j].astype(dt)),
+                    np.int32(i))
         self._dev = dev
+        self._dev_scale = dscale
 
     def search(self, embeddings: np.ndarray, k: int = 5):
         """Top-``k`` matches per probe → (labels (B,k) int64,
@@ -288,6 +408,7 @@ class DeviceGallery:
         with self._lock:
             n = self._n
             dev = self._dev
+            dev_scale = self._dev_scale
             streaming = self._streaming
             # views/references are safe: growth swaps in NEW buffers,
             # so captured ones stay consistent for rows < n
@@ -303,7 +424,21 @@ class DeviceGallery:
             e = e[None]
         if e.shape[1] != self.dim:
             raise ValueError(f"probe dim {e.shape[1]} != {self.dim}")
-        if streaming:
+        if self.dtype == "int8":
+            # two-stage: device coarse over the quantized store, then
+            # exact f32 rescore of only the candidate rows — final
+            # scores carry no quantization error
+            kc = min(k * self.rescore_expand, n)
+            if streaming:
+                cand, _ = self._stream_search(host, n, e, kc)
+            else:
+                pq, ps = _quantize_rows(e)
+                _, ci = _search_q_fn(kc)(
+                    dev, dev_scale, jnp.asarray(pq), jnp.asarray(ps),
+                    jnp.int32(n))
+                cand = np.asarray(ci)
+            idx, scores = _rescore(host, n, e, cand, k)
+        elif streaming:
             idx, scores = self._stream_search(host, n, e, k)
         else:
             scores, idx = _search_fn(k)(dev, jnp.asarray(e),
@@ -329,20 +464,38 @@ class DeviceGallery:
         import jax.numpy as jnp
 
         slab = self._slab_rows()
-        if k > slab:        # unreachable in practice (slab >= 2^20)
-            raise ValueError(f"streaming k={k} > slab={slab}")
-        fn = _search_fn(k)
+        # a slab can't contribute more rows than it has, so per-slab
+        # top-min(k, slab) still merges to the exact global top-k
+        ks = min(k, slab)
         dt = self._np_dtype()
-        p = jnp.asarray(probes)
+        q8 = self.dtype == "int8"
+        if q8:
+            fn = _search_q_fn(ks)
+            pq, ps = _quantize_rows(probes)
+            p, p_s = jnp.asarray(pq), jnp.asarray(ps)
+        else:
+            fn = _search_fn(ks)
+            p = jnp.asarray(probes)
         parts_s, parts_i = [], []
         for i in range(0, n, slab):
             j = min(i + slab, n)
-            chunk = host[i:j].astype(dt)
+            if q8:
+                chunk, cscale = _quantize_rows(host[i:j])
+            else:
+                chunk = host[i:j].astype(dt)
             if j - i < slab:            # pad the tail: shape-stable jit
                 pad = np.zeros((slab, self.dim), dt)
                 pad[:j - i] = chunk
                 chunk = pad
-            s, ix = fn(jnp.asarray(chunk), p, jnp.int32(j - i))
+                if q8:
+                    spad = np.zeros((slab,), np.float32)
+                    spad[:j - i] = cscale
+                    cscale = spad
+            if q8:
+                s, ix = fn(jnp.asarray(chunk), jnp.asarray(cscale),
+                           p, p_s, jnp.int32(j - i))
+            else:
+                s, ix = fn(jnp.asarray(chunk), p, jnp.int32(j - i))
             parts_s.append(np.asarray(s))
             parts_i.append(np.asarray(ix) + i)
         all_s = np.concatenate(parts_s, axis=1)
@@ -367,8 +520,7 @@ class DeviceGallery:
                 self._host[:self._n] = kept_e
                 self._lab[:self._n] = kept_l
                 if self._streaming:
-                    need = (self._capacity_for(self._n) * self.dim
-                            * self.itemsize)
+                    need = self._bytes_for(self._n)
                     if (not self.hbm_limit_gb
                             or need <= self.hbm_limit_gb * 1e9):
                         # shrunk back under the bound: resume residency

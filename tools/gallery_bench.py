@@ -58,17 +58,37 @@ def device_search_ms(g: DeviceGallery, probes: np.ndarray) -> float:
     import jax
     import jax.numpy as jnp
 
-    from tf_face_toolbox_tpu.serving.gallery import _search_fn
+    from tf_face_toolbox_tpu.serving.gallery import (
+        _quantize_rows,
+        _search_fn,
+        _search_q_fn,
+    )
     from tf_face_toolbox_tpu.utils.profiling import chained_seconds_per_call
+
+    with g._lock:
+        dev, dev_scale, n = g._dev, g._dev_scale, g._n
+
+    if g.dtype == "int8":
+        # device side of the two-stage search: the s8 coarse pass at
+        # kc = 5*rescore_expand (the host f32 rescore of B*kc rows is
+        # ~µs and excluded, matching what a pipelined daemon overlaps)
+        fn = _search_q_fn(5 * g.rescore_expand)
+        pq, ps = _quantize_rows(probes)
+
+        def call(p, p_s, dv, sc, nn):
+            s, i = fn(dv, sc, p, p_s, nn)
+            return s, i.astype(jnp.float32)
+
+        return chained_seconds_per_call(
+            call, jnp.asarray(pq), jnp.asarray(ps), dev, dev_scale,
+            jnp.int32(n)) * 1e3
 
     fn = _search_fn(5)
 
-    def call(p, dev, n):
-        s, i = fn(dev, p, n)
+    def call(p, dv, nn):
+        s, i = fn(dv, p, nn)
         return s, i.astype(jnp.float32)
 
-    with g._lock:
-        dev, n = g._dev, g._n
     return chained_seconds_per_call(
         call, jnp.asarray(probes), dev, jnp.int32(n)) * 1e3
 
@@ -156,6 +176,8 @@ def main():
     ap.add_argument("--stream_rows", type=int, default=0,
                     help="also bench overflow='stream' at this many "
                          "f32 rows (0 = skip)")
+    ap.add_argument("--dtypes", default="float32,bfloat16,int8",
+                    help="store dtypes to sweep")
     args = ap.parse_args()
     sizes = [int(s) for s in args.rows.split(",")]
 
@@ -178,9 +200,25 @@ def main():
     del g32, g16
     gc.collect()
 
+    # int8 two-stage gate: labels must agree with exact host search
+    # (final scores ARE exact f32 — rescored — so compare recall)
+    g8 = DeviceGallery(DIM, dtype="int8")
+    g8.enroll(sub, np.arange(sub.shape[0]))
+    l8, s8 = g8.search(sub[:256], k=5)
+    exact = sub[:256] @ sub.T
+    etop = np.argsort(-exact, axis=1)[:, :5]
+    top1 = float((l8[:, 0] == etop[:, 0]).mean())
+    rec5 = float(np.mean([len(set(a) & set(b)) / 5.0
+                          for a, b in zip(l8, etop)]))
+    print(f"int8-vs-exact @100k: top1 agreement {top1:.4f}, "
+          f"recall@5 {rec5:.4f}, self-score "
+          f"{float(s8[0, 0]):.6f}", flush=True)
+    del g8
+    gc.collect()
+
     results = []
     for n in sizes:
-        for dtype in ("float32", "bfloat16"):
+        for dtype in args.dtypes.split(","):
             need_gb = DeviceGallery(DIM, dtype=dtype).device_bytes(n) / 1e9
             if need_gb > 12.0:
                 print(f"-- {n:,} {dtype}: {need_gb:.1f} GB store does "
