@@ -1542,6 +1542,31 @@ def test_device_gallery_int8_two_stage_exact():
     assert labs[0, 0] == 18
 
 
+def test_device_gallery_scan_search_equals_plain():
+    """The lax.scan large-batch search (bounded intermediates) must
+    return exactly what the plain full-sims program returns, for both
+    f32 and int8 stores, including the non-divisible tail chunk."""
+    from tf_face_toolbox_tpu.serving.gallery import DeviceGallery
+
+    rng = np.random.default_rng(13)
+    e = rng.normal(size=(37, DIM)).astype(np.float32)  # cap 40, tail 5
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+
+    for dtype in ("float32", "int8"):
+        plain = DeviceGallery(DIM, block=8, dtype=dtype)
+        scan = DeviceGallery(DIM, block=8, dtype=dtype)
+        scan.scan_sims_bytes = 8 * 4        # chunk = one 8-row block
+        plain.enroll(e, np.arange(37))
+        scan.enroll(e, np.arange(37))
+        assert scan._scan_chunk(4, 40) == 8
+        assert plain._scan_chunk(4, 40) == 0
+        for probe in (e[0], e[:6], e[13:14]):
+            lp, sp = plain.search(probe, k=5)
+            ls, ss = scan.search(probe, k=5)
+            np.testing.assert_array_equal(ls, lp)
+            np.testing.assert_allclose(ss, sp, atol=1e-6)
+
+
 def test_device_gallery_save_load_roundtrip(tmp_path):
     from tf_face_toolbox_tpu.serving.gallery import DeviceGallery
 

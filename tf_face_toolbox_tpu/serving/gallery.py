@@ -142,6 +142,71 @@ def _search_q_fn(kc: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _search_scan_fn(k: int, chunk: int, quantized: bool):
+    """Huge-batch OOM guard: lax.scan over ``chunk``-row gallery
+    slices with a carried running top-k, bounding intermediates at
+    (B, chunk) while the exact merge of per-chunk top-ks keeps results
+    identical to the plain program (tests assert equality). Engaged
+    only past ``scan_sims_bytes`` — measured at 10^7 rows it is NOT
+    faster than the plain program (the search is top-k-bound, see
+    DeviceGallery.__init__), but a (B, capacity) sims matrix at
+    B=256 × 10^7 rows is 10 GB and would OOM without it."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(g, gs, p, ps, n_valid):
+        cap, d = g.shape
+        nblk = cap // chunk
+
+        def sims_of(rows, scale, start):
+            if quantized:
+                acc = jax.lax.dot_general(
+                    p, rows, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                s = acc.astype(jnp.float32) * ps[:, None] * scale[None, :]
+            else:
+                s = jax.lax.dot_general(
+                    p.astype(g.dtype), rows, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            row = start + jnp.arange(rows.shape[0])
+            return jnp.where(row[None, :] < n_valid, s, -2e9)
+
+        def merge(carry, s, idx):
+            bs, bi = carry
+            ms, pos = jax.lax.top_k(
+                jnp.concatenate([bs, s], axis=1), k)
+            return ms, jnp.take_along_axis(
+                jnp.concatenate([bi, idx], axis=1), pos, axis=1)
+
+        bsz = p.shape[0]
+        init = (jnp.full((bsz, k), -3e9, jnp.float32),
+                jnp.zeros((bsz, k), jnp.int32))
+
+        def step(carry, start):
+            rows = jax.lax.dynamic_slice(g, (start, 0), (chunk, d))
+            scale = (jax.lax.dynamic_slice(gs, (start,), (chunk,))
+                     if quantized else None)
+            ts, ti = jax.lax.top_k(sims_of(rows, scale, start),
+                                   min(k, chunk))
+            return merge(carry, ts, start + ti), None
+
+        starts = jnp.arange(nblk, dtype=jnp.int32) * chunk
+        carry, _ = jax.lax.scan(step, init, starts)
+        tail = cap - nblk * chunk
+        if tail:                        # static remainder block
+            rows = jax.lax.slice(g, (nblk * chunk, 0), (cap, d))
+            scale = (jax.lax.slice(gs, (nblk * chunk,), (cap,))
+                     if quantized else None)
+            ts, ti = jax.lax.top_k(
+                sims_of(rows, scale, nblk * chunk), min(k, tail))
+            carry = merge(carry, ts, nblk * chunk + ti)
+        return carry
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
 def _append_fn():
     """In-place (donated) row append inside the current capacity."""
     import jax
@@ -243,6 +308,15 @@ class DeviceGallery:
         # streamed-search slab footprint (bytes of store dtype);
         # tests shrink it to exercise the multi-slab merge
         self.stream_slab_bytes = 1 << 29
+        # past this (B, capacity) f32 sims footprint, resident searches
+        # switch to the lax.scan program (bounded intermediates, exact
+        # merge). This is an OOM GUARD, not a speedup — measured at
+        # 10^7 rows, B=64 (v5e): scan 54.2 ms vs plain 32.5 (bf16) and
+        # 52.6 vs 52.7 (int8); the plain program is top-k-bound, not
+        # intermediate-bound, so chunking only pays once the sims
+        # matrix itself would exhaust HBM (e.g. B=256 x 10^7 = 10 GB).
+        # Tests shrink it to exercise the chunked path.
+        self.scan_sims_bytes = 3 << 30
         self._lock = threading.Lock()
         # host master: doubling-capacity buffers + fill count, so the
         # per-enroll host cost is the new rows (amortized), not a full
@@ -433,18 +507,42 @@ class DeviceGallery:
                 cand, _ = self._stream_search(host, n, e, kc)
             else:
                 pq, ps = _quantize_rows(e)
-                _, ci = _search_q_fn(kc)(
-                    dev, dev_scale, jnp.asarray(pq), jnp.asarray(ps),
-                    jnp.int32(n))
+                chunk = self._scan_chunk(e.shape[0], dev.shape[0])
+                if chunk:
+                    _, ci = _search_scan_fn(kc, chunk, True)(
+                        dev, dev_scale, jnp.asarray(pq),
+                        jnp.asarray(ps), jnp.int32(n))
+                else:
+                    _, ci = _search_q_fn(kc)(
+                        dev, dev_scale, jnp.asarray(pq),
+                        jnp.asarray(ps), jnp.int32(n))
                 cand = np.asarray(ci)
             idx, scores = _rescore(host, n, e, cand, k)
         elif streaming:
             idx, scores = self._stream_search(host, n, e, k)
         else:
-            scores, idx = _search_fn(k)(dev, jnp.asarray(e),
-                                        jnp.int32(n))
+            chunk = self._scan_chunk(e.shape[0], dev.shape[0])
+            if chunk:
+                dummy = jnp.zeros((1,), np.float32)
+                scores, idx = _search_scan_fn(k, chunk, False)(
+                    dev, dummy, jnp.asarray(e), dummy, jnp.int32(n))
+            else:
+                scores, idx = _search_fn(k)(dev, jnp.asarray(e),
+                                            jnp.int32(n))
             idx = np.asarray(idx)
         return labels[idx], np.asarray(scores)
+
+    def _scan_chunk(self, batch: int, cap: int) -> int:
+        """Chunk rows for the scanned search, or 0 for the plain
+        program. Chunk size keeps the per-step (B, chunk) sims near
+        ``scan_sims_bytes``; scanning only pays off once the full
+        (B, cap) sims would exceed that budget."""
+        if batch * cap * 4 <= self.scan_sims_bytes:
+            return 0
+        r = max(self.block,
+                min(self.scan_sims_bytes // (4 * batch), 1 << 21))
+        r = (r // self.block) * self.block
+        return r if cap > r else 0
 
     def _slab_rows(self) -> int:
         """Streaming slab size: ~0.5 GB of store dtype, block-aligned

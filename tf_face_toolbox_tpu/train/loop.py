@@ -215,9 +215,18 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
                     keep_best_warned = True
                 if jax.process_count() > 1:
                     from jax.experimental import multihost_utils
-                    val = float(multihost_utils.broadcast_one_to_all(
-                        np.asarray(np.nan if val is None else val,
-                                   np.float64)))
+
+                    # broadcast the f64 as raw uint32 bits:
+                    # broadcast_one_to_all routes through jnp arrays,
+                    # which silently downcast f64→f32 while x64 is off
+                    # — the recorded bar 0.9 came back 0.89999997
+                    bits = np.frombuffer(
+                        np.float64(np.nan if val is None else val)
+                        .tobytes(), np.uint32)
+                    bits = np.asarray(
+                        multihost_utils.broadcast_one_to_all(bits))
+                    val = float(np.frombuffer(bits.tobytes(),
+                                              np.float64)[0])
                 if val is not None and np.isfinite(val):
                     mgr.save_best(state, step=step, metric=float(val),
                                   name=keep_best)

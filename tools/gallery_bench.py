@@ -62,17 +62,21 @@ def device_search_ms(g: DeviceGallery, probes: np.ndarray) -> float:
         _quantize_rows,
         _search_fn,
         _search_q_fn,
+        _search_scan_fn,
     )
     from tf_face_toolbox_tpu.utils.profiling import chained_seconds_per_call
 
     with g._lock:
         dev, dev_scale, n = g._dev, g._dev_scale, g._n
+    chunk = g._scan_chunk(probes.shape[0], dev.shape[0])
 
     if g.dtype == "int8":
         # device side of the two-stage search: the s8 coarse pass at
         # kc = 5*rescore_expand (the host f32 rescore of B*kc rows is
         # ~µs and excluded, matching what a pipelined daemon overlaps)
-        fn = _search_q_fn(5 * g.rescore_expand)
+        kc = 5 * g.rescore_expand
+        fn = (_search_scan_fn(kc, chunk, True) if chunk
+              else _search_q_fn(kc))
         pq, ps = _quantize_rows(probes)
 
         def call(p, p_s, dv, sc, nn):
@@ -83,11 +87,19 @@ def device_search_ms(g: DeviceGallery, probes: np.ndarray) -> float:
             call, jnp.asarray(pq), jnp.asarray(ps), dev, dev_scale,
             jnp.int32(n)) * 1e3
 
-    fn = _search_fn(5)
+    if chunk:
+        sfn = _search_scan_fn(5, chunk, False)
+        dummy = jnp.zeros((1,), np.float32)
 
-    def call(p, dv, nn):
-        s, i = fn(dv, p, nn)
-        return s, i.astype(jnp.float32)
+        def call(p, dv, nn):
+            s, i = sfn(dv, dummy, p, dummy, nn)
+            return s, i.astype(jnp.float32)
+    else:
+        fn = _search_fn(5)
+
+        def call(p, dv, nn):
+            s, i = fn(dv, p, nn)
+            return s, i.astype(jnp.float32)
 
     return chained_seconds_per_call(
         call, jnp.asarray(probes), dev, jnp.int32(n)) * 1e3
