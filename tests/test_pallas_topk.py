@@ -1,0 +1,131 @@
+"""Pallas fused cosine+top-k kernel vs the XLA search program.
+
+Runs the Mosaic interpreter on the CPU backend (conftest pins cpu);
+the real-hardware equality + bandwidth numbers live in
+docs/design.md's gallery section (measured via tools/gallery_bench.py
+and the kernel's TPU probe).
+"""
+
+import numpy as np
+import pytest
+
+DIM = 512
+
+
+def _unit(rng, n):
+    e = rng.normal(size=(n, DIM)).astype(np.float32)
+    return e / np.linalg.norm(e, axis=1, keepdims=True)
+
+
+@pytest.mark.parametrize("batch", [1, 7, 64])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_cosine_topk_matches_reference(batch, dtype):
+    import jax.numpy as jnp
+
+    from tf_face_toolbox_tpu.ops.pallas_topk import cosine_topk_impl
+
+    rng = np.random.default_rng(3)
+    cap, n, k = 3072, 2500, 5
+    g = np.zeros((cap, DIM), np.float32)
+    g[:n] = _unit(rng, n)
+    gd = jnp.asarray(g, jnp.bfloat16 if dtype == "bfloat16"
+                     else jnp.float32)
+    p = g[:n][rng.integers(0, n, batch)]
+    s, i = cosine_topk_impl(gd, jnp.asarray(p), n, k, interpret=True)
+    s, i = np.asarray(s), np.asarray(i)
+
+    ref = p.astype(np.float32) @ np.asarray(
+        gd[:n], np.float32).T            # same quantized store values
+    ri = np.argsort(-ref, axis=1)[:, :k]
+    rs = np.take_along_axis(ref, ri, axis=1)
+    if dtype == "float32":
+        np.testing.assert_array_equal(i, ri)
+        np.testing.assert_allclose(s, rs, atol=1e-5)
+    else:
+        # bf16 scoring legitimately reorders near-ties vs the f32
+        # oracle (last-mantissa-bit gaps); the contract is score
+        # QUALITY: the rows the kernel picked must score within the
+        # bf16 bar of the oracle's true top-k, in descending order
+        picked = np.take_along_axis(ref, i, axis=1)
+        np.testing.assert_allclose(picked, rs, atol=5e-3)
+        np.testing.assert_allclose(s, picked, atol=5e-3)
+    assert np.all(np.diff(s, axis=1) <= 1e-6)       # descending
+
+
+def test_cosine_topk_masks_partial_fill_and_ties():
+    import jax.numpy as jnp
+
+    from tf_face_toolbox_tpu.ops.pallas_topk import cosine_topk_impl
+
+    rng = np.random.default_rng(4)
+    cap, n = 2048, 1100                  # tail block half-masked
+    g = np.zeros((cap, DIM), np.float32)
+    g[:n] = _unit(rng, n)
+    g[7] = g[1040]                       # exact tie across blocks
+    p = g[7:8]
+    s, i = cosine_topk_impl(jnp.asarray(g), jnp.asarray(p), n, 3,
+                            interpret=True)
+    # tie resolves to the smallest index, like lax.top_k
+    assert np.asarray(i)[0, 0] == 7 and np.asarray(i)[0, 1] == 1040
+    np.testing.assert_allclose(np.asarray(s)[0, :2], 1.0, atol=1e-5)
+    # masked rows (>= n) can never surface even with k > n - they
+    # carry -2e9; all returned indices are in-range
+    s, i = cosine_topk_impl(jnp.asarray(g), jnp.asarray(p), n, 5,
+                            interpret=True)
+    assert np.asarray(i).max() < n
+
+    with pytest.raises(ValueError, match="multiple"):
+        cosine_topk_impl(jnp.asarray(g[:100]), jnp.asarray(p), 50, 3,
+                         interpret=True)
+
+
+def test_cosine_topk_q_matches_xla_coarse():
+    """The int8 kernel's coarse candidates must match the XLA int8
+    coarse program exactly (identical quantized math both ways)."""
+    import jax.numpy as jnp
+
+    from tf_face_toolbox_tpu.ops.pallas_topk import cosine_topk_q_impl
+    from tf_face_toolbox_tpu.serving.gallery import (
+        _quantize_rows,
+        _search_q_fn,
+    )
+
+    rng = np.random.default_rng(6)
+    cap, n, k = 2048, 1900, 7
+    g = np.zeros((cap, DIM), np.float32)
+    g[:n] = _unit(rng, n)
+    gq, gs = _quantize_rows(g)          # padded rows quantize to 0
+    for batch in (1, 16):
+        p = g[:n][rng.integers(0, n, batch)]
+        pq, ps = _quantize_rows(p)
+        s, i = cosine_topk_q_impl(
+            jnp.asarray(gq), jnp.asarray(gs), jnp.asarray(pq),
+            jnp.asarray(ps), n, k, interpret=True)
+        rs, ri = _search_q_fn(k)(
+            jnp.asarray(gq), jnp.asarray(gs), jnp.asarray(pq),
+            jnp.asarray(ps), jnp.int32(n))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(rs),
+                                   atol=1e-5)
+
+
+def test_gallery_pallas_dispatch_equals_xla():
+    """DeviceGallery.use_pallas routes resident searches through the
+    kernel (interpret on CPU) and must agree with the XLA program."""
+    from tf_face_toolbox_tpu.serving.gallery import DeviceGallery
+
+    rng = np.random.default_rng(5)
+    e = _unit(rng, 40)
+    for dtype in ("float32", "int8"):
+        ref = DeviceGallery(DIM, block=1024, dtype=dtype)
+        pal = DeviceGallery(DIM, block=1024, dtype=dtype)
+        pal.use_pallas = True
+        ref.use_pallas = False
+        ref.enroll(e, np.arange(40))
+        pal.enroll(e, np.arange(40))
+        for probe in (e[0], e[:6]):
+            lr, sr = ref.search(probe, k=4)
+            lp, sp = pal.search(probe, k=4)
+            np.testing.assert_array_equal(lp, lr)
+            np.testing.assert_allclose(sp, sr, atol=5e-3)
+        assert not pal._pallas_broken

@@ -1,0 +1,250 @@
+"""Fused cosine + running top-k Pallas kernel for 1:N gallery search.
+
+Why a kernel: the XLA program (`serving/gallery._search_fn`) computes
+the full (B, capacity) similarity matrix and runs `lax.top_k` over
+10^7 columns. Measured at 10^7 rows, B=64 (v5e) it reads the 10.24 GB
+bf16 store in 32.5 ms = 315 GB/s — well under the 819 GB/s HBM roof —
+because XLA's top-k over the huge sims matrix is the serial tail.
+This kernel never materializes the sims matrix: the grid streams
+1024-row gallery blocks through VMEM (Pallas double-buffers the HBM
+reads), the MXU computes one (B, 1024) tile of scores, and a
+(B, k) running best set lives in VMEM scratch across grid steps.
+Selection uses only max/min reductions and elementwise selects — no
+argmax/gather, which Mosaic lowers poorly — at k passes per block,
+~0.1% of the block's MXU+DMA time. The store read is the only HBM
+traffic, so the kernel runs at the bandwidth roofline.
+
+Reference behavior anchored to serving/gallery.py's XLA program
+(exact same masking/order contract); equality is tested in
+tests/test_pallas_topk.py, and DeviceGallery falls back to the XLA
+program on any Mosaic failure (same guard style as
+ops/pallas_preprocess.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLK = 1024          # rows per grid step == DeviceGallery's block default
+_NEG = -2e9         # masked-row score (matches the XLA program)
+_INIT = -3e9        # running-best init; loses to any masked row too
+
+
+def _select_topk(all_s, all_i, k):
+    """Top-k of (B, M) scores by k iterative max-extract passes.
+
+    Ties resolve to the smallest index (via a min reduction over the
+    tied columns), then the winner is knocked out by index equality —
+    only max/min/where, every op Mosaic lowers natively."""
+    picked_s, picked_i = [], []
+    big = jnp.int32(2**31 - 1)
+    for _ in range(k):
+        m = jnp.max(all_s, axis=1, keepdims=True)             # (B, 1)
+        tied = all_s >= m                                      # (B, M)
+        idx = jnp.min(jnp.where(tied, all_i, big), axis=1,
+                      keepdims=True)                           # (B, 1)
+        picked_s.append(m)
+        picked_i.append(idx)
+        all_s = jnp.where(all_i == idx, _INIT, all_s)
+    return (jnp.concatenate(picked_s, axis=1),
+            jnp.concatenate(picked_i, axis=1))
+
+
+def _kernel(n_ref, p_ref, g_ref, s_out, i_out, bs_ref, bi_ref, *, k,
+            blk):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        bs_ref[:] = jnp.full(bs_ref.shape, _INIT, jnp.float32)
+        bi_ref[:] = jnp.zeros(bi_ref.shape, jnp.int32)
+
+    # (B, blk) score tile on the MXU; contract dim 1 of both operands
+    # (p @ g_blk.T) — same layout trick as the XLA program
+    sims = jax.lax.dot_general(
+        p_ref[:], g_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + i * blk
+    sims = jnp.where(col < n_ref[0, 0], sims, _NEG)
+    _update_best(sims, col, bs_ref, bi_ref, k)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        s_out[:] = bs_ref[:]
+        i_out[:] = bi_ref[:]
+
+
+def _update_best(sims, col, bs_ref, bi_ref, k):
+    """Merge a (B, blk) score tile into the running (B, k) best —
+    but ONLY when some probe's block max beats its current kth best.
+    After the first ~k·blk rows the kth bar sits in the far tail of
+    the score distribution, so almost every later block skips the
+    k-pass selection sweep entirely and the kernel's serial tail
+    collapses to one max-reduce per block (the streaming top-k
+    pruning; measured 2x on the int8 kc=20 coarse)."""
+    need = jnp.any(jnp.max(sims, axis=1) > jnp.min(bs_ref[:], axis=1))
+
+    @pl.when(need)
+    def _():
+        all_s = jnp.concatenate([bs_ref[:], sims], axis=1)
+        all_i = jnp.concatenate([bi_ref[:], col], axis=1)
+        bs_ref[:], bi_ref[:] = _select_topk(all_s, all_i, k)
+
+
+def _kernel_q(n_ref, p_ref, ps_ref, g_ref, gs_ref, s_out, i_out,
+              bs_ref, bi_ref, *, k, blk):
+    """int8 twin: s8×s8 MXU dot → int32, rescaled by the per-probe
+    scale (B, 1) × the block's per-row scales. Scales arrive as an
+    (8, blk) tile covering 8 grid steps — Mosaic requires >=8
+    sublanes per block — and the step picks its row."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        bs_ref[:] = jnp.full(bs_ref.shape, _INIT, jnp.float32)
+        bi_ref[:] = jnp.zeros(bi_ref.shape, jnp.int32)
+
+    acc = jax.lax.dot_general(
+        p_ref[:], g_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    gs = gs_ref[pl.ds(i % 8, 1), :]                       # (1, blk)
+    sims = acc.astype(jnp.float32) * ps_ref[:] * gs
+    col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + i * blk
+    sims = jnp.where(col < n_ref[0, 0], sims, _NEG)
+    _update_best(sims, col, bs_ref, bi_ref, k)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        s_out[:] = bs_ref[:]
+        i_out[:] = bi_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def cosine_topk(gallery, probes, n_valid, k: int):
+    """Top-``k`` cosine matches of ``probes`` (B, D) f32 against
+    ``gallery`` (cap, D) f32/bf16 with rows >= ``n_valid`` masked.
+    Returns (scores (B, k) f32, idx (B, k) int32), descending — the
+    drop-in twin of serving/gallery._search_fn's program. Requires
+    cap % 1024 == 0 (DeviceGallery pads in 1024-row blocks)."""
+    return cosine_topk_impl(gallery, probes, n_valid, k)
+
+
+def cosine_topk_impl(gallery, probes, n_valid, k: int,
+                     interpret: bool = False, blk: int | None = None):
+    """Unjitted body; ``interpret=True`` runs the Mosaic interpreter
+    (CPU tests). ``blk`` overrides the rows-per-step (must divide the
+    capacity; the default picks the largest of 4096/2048/1024 that
+    does — bigger steps amortize the per-step selection sweep)."""
+    cap, d = gallery.shape
+    if cap % BLK:
+        raise ValueError(f"capacity {cap} not a multiple of {BLK}")
+    if blk is None:
+        blk = next(b_ for b_ in (4096, 2048, 1024) if cap % b_ == 0)
+    b = probes.shape[0]
+    grid = cap // blk
+    n2 = jnp.asarray(n_valid, jnp.int32).reshape(1, 1)
+    return pl.pallas_call(
+        functools.partial(_kernel, k=k, blk=blk),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * cap,
+            bytes_accessed=cap * d * gallery.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n2, probes.astype(gallery.dtype), gallery)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def cosine_topk_q(gallery_q, gallery_scale, probes_q, probe_scale,
+                  n_valid, k: int):
+    """int8-store twin of :func:`cosine_topk` — the coarse stage of
+    DeviceGallery's two-stage int8 search. ``gallery_q`` (cap, D)
+    int8, ``gallery_scale`` (cap,) f32 per-row scales, ``probes_q``
+    (B, D) int8 with ``probe_scale`` (B,) f32."""
+    return cosine_topk_q_impl(gallery_q, gallery_scale, probes_q,
+                              probe_scale, n_valid, k)
+
+
+def cosine_topk_q_impl(gallery_q, gallery_scale, probes_q, probe_scale,
+                       n_valid, k: int, interpret: bool = False,
+                       blk: int | None = None):
+    cap, d = gallery_q.shape
+    if cap % BLK:
+        raise ValueError(f"capacity {cap} not a multiple of {BLK}")
+    if blk is None:
+        blk = next(b_ for b_ in (4096, 2048, 1024) if cap % b_ == 0)
+    b = probes_q.shape[0]
+    grid = cap // blk
+    n2 = jnp.asarray(n_valid, jnp.int32).reshape(1, 1)
+    # per-row scales blocked as (grid, blk), grid padded to a multiple
+    # of 8 so every block is a full (8, blk) tile (Mosaic's sublane
+    # floor); step i reads tile i//8 and selects row i%8 in-kernel
+    g8 = -(-grid // 8) * 8
+    gs2 = jnp.zeros((g8, blk), jnp.float32)
+    gs2 = jax.lax.dynamic_update_slice(
+        gs2, gallery_scale.reshape(grid, blk), (0, 0))
+    ps2 = probe_scale.reshape(b, 1)
+    return pl.pallas_call(
+        functools.partial(_kernel_q, k=k, blk=blk),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, blk), lambda i: (i // 8, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * cap,
+            bytes_accessed=cap * (d + 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n2, probes_q, ps2, gallery_q, gs2)

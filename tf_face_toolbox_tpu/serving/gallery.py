@@ -317,6 +317,15 @@ class DeviceGallery:
         # matrix itself would exhaust HBM (e.g. B=256 x 10^7 = 10 GB).
         # Tests shrink it to exercise the chunked path.
         self.scan_sims_bytes = 3 << 30
+        # Pallas fused dot+running-top-k for resident f32/bf16 multi-
+        # probe searches (ops/pallas_topk.py): never materializes the
+        # (B, cap) sims matrix, measured 1.7x the XLA program at
+        # B=64 x 10^7 rows. None = auto (TPU, B >= 8); True forces it
+        # (CPU tests run the Mosaic interpreter); False disables. Any
+        # Mosaic failure falls back to the XLA program permanently
+        # (same guard style as ops/pallas_preprocess.py).
+        self.use_pallas = None
+        self._pallas_broken = False
         self._lock = threading.Lock()
         # host master: doubling-capacity buffers + fill count, so the
         # per-enroll host cost is the new rows (amortized), not a full
@@ -512,11 +521,15 @@ class DeviceGallery:
                     _, ci = _search_scan_fn(kc, chunk, True)(
                         dev, dev_scale, jnp.asarray(pq),
                         jnp.asarray(ps), jnp.int32(n))
+                    cand = np.asarray(ci)
+                elif self._pallas_ok(dev, e.shape[0]):
+                    cand = self._pallas_search_q(dev, dev_scale, pq,
+                                                 ps, n, kc)
                 else:
                     _, ci = _search_q_fn(kc)(
                         dev, dev_scale, jnp.asarray(pq),
                         jnp.asarray(ps), jnp.int32(n))
-                cand = np.asarray(ci)
+                    cand = np.asarray(ci)
             idx, scores = _rescore(host, n, e, cand, k)
         elif streaming:
             idx, scores = self._stream_search(host, n, e, k)
@@ -526,11 +539,79 @@ class DeviceGallery:
                 dummy = jnp.zeros((1,), np.float32)
                 scores, idx = _search_scan_fn(k, chunk, False)(
                     dev, dummy, jnp.asarray(e), dummy, jnp.int32(n))
+            elif self._pallas_ok(dev, e.shape[0]):
+                scores, idx = self._pallas_search(dev, e, n, k)
             else:
                 scores, idx = _search_fn(k)(dev, jnp.asarray(e),
                                             jnp.int32(n))
             idx = np.asarray(idx)
         return labels[idx], np.asarray(scores)
+
+    def _pallas_ok(self, dev, batch: int) -> bool:
+        if (self._pallas_broken or self.use_pallas is False
+                or dev.shape[0] % 1024):
+            return False
+        if self.use_pallas:
+            return True
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return False
+        # measured at 10^7 bf16 rows (v5e): blk>=2048 runs 750 GB/s at
+        # ANY batch (B=1 13.6 ms vs XLA 13.7; B=64 13.6 vs 31.7); a
+        # 1024-only capacity is slower than XLA at B=1 (17.5 ms) but
+        # still 1.6x XLA at B>=8
+        blk = next(b_ for b_ in (4096, 2048, 1024)
+                   if dev.shape[0] % b_ == 0)
+        return blk >= 2048 or batch >= 8
+
+    def _pallas_search(self, dev, e, n: int, k: int):
+        import jax
+        import jax.numpy as jnp
+
+        from tf_face_toolbox_tpu.ops import pallas_topk
+
+        try:
+            if jax.default_backend() == "tpu":
+                return pallas_topk.cosine_topk(dev, jnp.asarray(e),
+                                               jnp.int32(n), k)
+            return pallas_topk.cosine_topk_impl(
+                dev, jnp.asarray(e), jnp.int32(n), k, interpret=True)
+        except Exception:       # Mosaic shape/VMEM edge: fall back
+            from absl import logging
+
+            self._pallas_broken = True
+            logging.warning(
+                "pallas gallery search failed; falling back to the "
+                "XLA program for this gallery", exc_info=True)
+            return _search_fn(k)(dev, jnp.asarray(e), jnp.int32(n))
+
+    def _pallas_search_q(self, dev, dev_scale, pq, ps, n: int,
+                         kc: int):
+        import jax
+        import jax.numpy as jnp
+
+        from tf_face_toolbox_tpu.ops import pallas_topk
+
+        try:
+            if jax.default_backend() == "tpu":
+                _, ci = pallas_topk.cosine_topk_q(
+                    dev, dev_scale, jnp.asarray(pq), jnp.asarray(ps),
+                    jnp.int32(n), kc)
+            else:
+                _, ci = pallas_topk.cosine_topk_q_impl(
+                    dev, dev_scale, jnp.asarray(pq), jnp.asarray(ps),
+                    jnp.int32(n), kc, interpret=True)
+        except Exception:       # Mosaic shape/VMEM edge: fall back
+            from absl import logging
+
+            self._pallas_broken = True
+            logging.warning(
+                "pallas int8 gallery search failed; falling back to "
+                "the XLA program for this gallery", exc_info=True)
+            _, ci = _search_q_fn(kc)(dev, dev_scale, jnp.asarray(pq),
+                                     jnp.asarray(ps), jnp.int32(n))
+        return np.asarray(ci)
 
     def _scan_chunk(self, batch: int, cap: int) -> int:
         """Chunk rows for the scanned search, or 0 for the plain
