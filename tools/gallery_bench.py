@@ -58,6 +58,10 @@ def device_search_ms(g: DeviceGallery, probes: np.ndarray) -> float:
     import jax
     import jax.numpy as jnp
 
+    from tf_face_toolbox_tpu.ops.pallas_topk import (
+        cosine_topk,
+        cosine_topk_q,
+    )
     from tf_face_toolbox_tpu.serving.gallery import (
         _quantize_rows,
         _search_fn,
@@ -69,25 +73,35 @@ def device_search_ms(g: DeviceGallery, probes: np.ndarray) -> float:
     with g._lock:
         dev, dev_scale, n = g._dev, g._dev_scale, g._n
     chunk = g._scan_chunk(probes.shape[0], dev.shape[0])
+    use_pl = not chunk and g._pallas_ok(dev, probes.shape[0])
 
     if g.dtype == "int8":
         # device side of the two-stage search: the s8 coarse pass at
         # kc = 5*rescore_expand (the host f32 rescore of B*kc rows is
         # ~µs and excluded, matching what a pipelined daemon overlaps)
         kc = 5 * g.rescore_expand
-        fn = (_search_scan_fn(kc, chunk, True) if chunk
-              else _search_q_fn(kc))
         pq, ps = _quantize_rows(probes)
+        if use_pl:
+            def call(p, p_s, dv, sc, nn):
+                s, i = cosine_topk_q(dv, sc, p, p_s, nn, kc)
+                return s, i.astype(jnp.float32)
+        else:
+            fn = (_search_scan_fn(kc, chunk, True) if chunk
+                  else _search_q_fn(kc))
 
-        def call(p, p_s, dv, sc, nn):
-            s, i = fn(dv, sc, p, p_s, nn)
-            return s, i.astype(jnp.float32)
+            def call(p, p_s, dv, sc, nn):
+                s, i = fn(dv, sc, p, p_s, nn)
+                return s, i.astype(jnp.float32)
 
         return chained_seconds_per_call(
             call, jnp.asarray(pq), jnp.asarray(ps), dev, dev_scale,
             jnp.int32(n)) * 1e3
 
-    if chunk:
+    if use_pl:
+        def call(p, dv, nn):
+            s, i = cosine_topk(dv, p, nn, 5)
+            return s, i.astype(jnp.float32)
+    elif chunk:
         sfn = _search_scan_fn(5, chunk, False)
         dummy = jnp.zeros((1,), np.float32)
 
