@@ -114,18 +114,25 @@ def test_gallery_pallas_dispatch_equals_xla():
     kernel (interpret on CPU) and must agree with the XLA program."""
     from tf_face_toolbox_tpu.serving.gallery import DeviceGallery
 
+    from tf_face_toolbox_tpu.serving import gallery as gallery_mod
+
     rng = np.random.default_rng(5)
     e = _unit(rng, 40)
-    for dtype in ("float32", "int8"):
-        ref = DeviceGallery(DIM, block=1024, dtype=dtype)
-        pal = DeviceGallery(DIM, block=1024, dtype=dtype)
-        pal.use_pallas = True
-        ref.use_pallas = False
-        ref.enroll(e, np.arange(40))
-        pal.enroll(e, np.arange(40))
-        for probe in (e[0], e[:6]):
-            lr, sr = ref.search(probe, k=4)
-            lp, sp = pal.search(probe, k=4)
-            np.testing.assert_array_equal(lp, lr)
-            np.testing.assert_allclose(sp, sr, atol=5e-3)
-        assert not pal._pallas_broken
+    old_chunk = gallery_mod._PROBE_CHUNK
+    gallery_mod._PROBE_CHUNK = 4        # force multi-chunk splitting
+    try:
+        for dtype in ("float32", "int8"):
+            ref = DeviceGallery(DIM, block=1024, dtype=dtype)
+            pal = DeviceGallery(DIM, block=1024, dtype=dtype)
+            pal.use_pallas = True
+            ref.use_pallas = False
+            ref.enroll(e, np.arange(40))
+            pal.enroll(e, np.arange(40))
+            for probe in (e[0], e[:6], e[:11]):   # 1 / 2 / 3 chunks
+                lr, sr = ref.search(probe, k=4)
+                lp, sp = pal.search(probe, k=4)
+                np.testing.assert_array_equal(lp, lr)
+                np.testing.assert_allclose(sp, sr, atol=5e-3)
+            assert not pal._pallas_broken
+    finally:
+        gallery_mod._PROBE_CHUNK = old_chunk

@@ -22,6 +22,21 @@ def setup_platform() -> None:
         jax.config.update("jax_platforms",
                           "cpu" if plat == "cpu" else None)
 
+    # Persistent compile cache for EVERY CLI: remote-TPU cold compiles
+    # run 10-90 s (the Pallas batched search: 90 s measured); cached
+    # reruns are ~free. TFFT_COMPILE_CACHE overrides the location,
+    # =0 disables.
+    cache = os.environ.get(
+        "TFFT_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/tf_face_toolbox_tpu/jax"))
+    if cache and cache != "0":
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          0)
+
 
 def json_sanitize(value):
     """Replace non-finite floats with None (JSON null), recursively —

@@ -80,10 +80,16 @@ def main(argv):
                 f"--names has {len(paths)} rows, embeddings have "
                 f"{emb.shape[0]}")
         out = FLAGS.output + ".clusters.txt"
+        # one stable argsort + boundary split: O(N log N), not a full
+        # N-scan per cluster (10^5 clusters x 10^6 rows would be 10^11
+        # comparisons)
+        order = np.argsort(labels, kind="stable")
+        order = order[labels[order] >= 0]
+        bounds = np.flatnonzero(np.diff(labels[order])) + 1
         with open(out, "w") as f:
-            for c in range(n_clusters):
-                members = [paths[i] for i in np.nonzero(labels == c)[0]]
-                f.write(f"{c} " + " ".join(members) + "\n")
+            for grp in (np.split(order, bounds) if order.size else ()):
+                f.write(f"{labels[grp[0]]} "
+                        + " ".join(paths[i] for i in grp) + "\n")
         logging.info("cluster membership -> %s", out)
 
 

@@ -35,6 +35,17 @@ _NEG = -2e9         # masked-row score (matches the XLA program)
 _INIT = -3e9        # running-best init; loses to any masked row too
 
 
+def default_blk(cap: int, d: int = 512, itemsize: int = 2) -> int:
+    """Rows per grid step: the largest of 4096/2048/1024 that divides
+    the capacity AND whose double-buffered block stream fits an ~8 MB
+    VMEM budget (measured: 2048+ runs 750+ GB/s, 1024 drops to 585;
+    an f32 512-d store tops out at 2048)."""
+    for b_ in (4096, 2048, 1024):
+        if cap % b_ == 0 and 2 * b_ * d * itemsize <= (8 << 20):
+            return b_
+    return BLK
+
+
 def _select_topk(all_s, all_i, k):
     """Top-k of (B, M) scores by k iterative max-extract passes.
 
@@ -144,7 +155,7 @@ def cosine_topk_impl(gallery, probes, n_valid, k: int,
     if cap % BLK:
         raise ValueError(f"capacity {cap} not a multiple of {BLK}")
     if blk is None:
-        blk = next(b_ for b_ in (4096, 2048, 1024) if cap % b_ == 0)
+        blk = default_blk(cap, d, gallery.dtype.itemsize)
     b = probes.shape[0]
     grid = cap // blk
     n2 = jnp.asarray(n_valid, jnp.int32).reshape(1, 1)
@@ -182,6 +193,51 @@ def cosine_topk_impl(gallery, probes, n_valid, k: int,
     )(n2, probes.astype(gallery.dtype), gallery)
 
 
+PROBE_CHUNK = 256   # probes per kernel launch: (chunk, blk) sims tile
+                    # stays ~4 MB of VMEM
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def cosine_topk_batched(gallery, probes, n_valid, k: int):
+    """Any-batch wrapper: lax.map over PROBE_CHUNK-probe slices of a
+    padded batch, each slice one kernel launch — a single dispatch
+    for the caller (one tunnel RTT from a remote host), VMEM bounded
+    regardless of B. Each chunk re-reads the store; at B=2048 that is
+    8 reads of the store vs an XLA (2048, cap) sims matrix that could
+    not exist at all."""
+    b = probes.shape[0]
+    if b <= PROBE_CHUNK:
+        return cosine_topk_impl(gallery, probes, n_valid, k)
+    bp = -(-b // PROBE_CHUNK) * PROBE_CHUNK
+    pad = jnp.zeros((bp - b, probes.shape[1]), probes.dtype)
+    chunks = jnp.concatenate([probes, pad]).reshape(
+        bp // PROBE_CHUNK, PROBE_CHUNK, probes.shape[1])
+    s, i = jax.lax.map(
+        lambda p: cosine_topk_impl(gallery, p, n_valid, k), chunks)
+    return (s.reshape(bp, k)[:b], i.reshape(bp, k)[:b])
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def cosine_topk_q_batched(gallery_q, gallery_scale, probes_q,
+                          probe_scale, n_valid, k: int):
+    """int8 twin of :func:`cosine_topk_batched`."""
+    b = probes_q.shape[0]
+    if b <= PROBE_CHUNK:
+        return cosine_topk_q_impl(gallery_q, gallery_scale, probes_q,
+                                  probe_scale, n_valid, k)
+    bp = -(-b // PROBE_CHUNK) * PROBE_CHUNK
+    pq = jnp.concatenate([
+        probes_q, jnp.zeros((bp - b, probes_q.shape[1]), jnp.int8)])
+    ps = jnp.concatenate([
+        probe_scale, jnp.zeros((bp - b,), jnp.float32)])
+    s, i = jax.lax.map(
+        lambda args: cosine_topk_q_impl(
+            gallery_q, gallery_scale, args[0], args[1], n_valid, k),
+        (pq.reshape(bp // PROBE_CHUNK, PROBE_CHUNK, -1),
+         ps.reshape(bp // PROBE_CHUNK, PROBE_CHUNK)))
+    return (s.reshape(bp, k)[:b], i.reshape(bp, k)[:b])
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def cosine_topk_q(gallery_q, gallery_scale, probes_q, probe_scale,
                   n_valid, k: int):
@@ -200,7 +256,7 @@ def cosine_topk_q_impl(gallery_q, gallery_scale, probes_q, probe_scale,
     if cap % BLK:
         raise ValueError(f"capacity {cap} not a multiple of {BLK}")
     if blk is None:
-        blk = next(b_ for b_ in (4096, 2048, 1024) if cap % b_ == 0)
+        blk = default_blk(cap, d, 1)
     b = probes_q.shape[0]
     grid = cap // blk
     n2 = jnp.asarray(n_valid, jnp.int32).reshape(1, 1)

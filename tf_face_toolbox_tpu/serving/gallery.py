@@ -71,6 +71,12 @@ class GalleryCapacityError(RuntimeError):
     """Enrollment would grow the device store past ``hbm_limit_gb``."""
 
 
+# probes per Pallas-kernel launch: bounds the in-kernel (B, blk) sims
+# tile to ~4 MB of VMEM; bigger batches split and re-read the store,
+# which is still far cheaper than an XLA (B, cap) sims matrix
+_PROBE_CHUNK = 256
+
+
 @functools.lru_cache(maxsize=None)
 def _search_fn(k: int):
     """One cached jitted program per k (capacity/batch changes retrace
@@ -516,31 +522,37 @@ class DeviceGallery:
                 cand, _ = self._stream_search(host, n, e, kc)
             else:
                 pq, ps = _quantize_rows(e)
-                chunk = self._scan_chunk(e.shape[0], dev.shape[0])
-                if chunk:
-                    _, ci = _search_scan_fn(kc, chunk, True)(
-                        dev, dev_scale, jnp.asarray(pq),
-                        jnp.asarray(ps), jnp.int32(n))
-                    cand = np.asarray(ci)
-                elif self._pallas_ok(dev, e.shape[0]):
+                # the Pallas kernel never materializes the (B, cap)
+                # sims matrix, so it outranks the scan OOM guard —
+                # huge probe batches lax.map over VMEM-sized chunks
+                # inside one jit (each chunk re-reads the store;
+                # still far cheaper than the sims traffic)
+                if self._pallas_ok(dev, e.shape[0]):
                     cand = self._pallas_search_q(dev, dev_scale, pq,
                                                  ps, n, kc)
                 else:
-                    _, ci = _search_q_fn(kc)(
-                        dev, dev_scale, jnp.asarray(pq),
-                        jnp.asarray(ps), jnp.int32(n))
+                    chunk = self._scan_chunk(e.shape[0],
+                                             dev.shape[0])
+                    fn = (_search_scan_fn(kc, chunk, True) if chunk
+                          else _search_q_fn(kc))
+                    _, ci = fn(dev, dev_scale, jnp.asarray(pq),
+                               jnp.asarray(ps), jnp.int32(n))
                     cand = np.asarray(ci)
             idx, scores = _rescore(host, n, e, cand, k)
         elif streaming:
             idx, scores = self._stream_search(host, n, e, k)
+        elif self._pallas_ok(dev, e.shape[0]):
+            # kernel outranks the scan guard: it never materializes
+            # the (B, cap) sims matrix, so the guard's OOM cannot
+            # happen; big batches lax.map over VMEM-sized probe
+            # chunks INSIDE one jit (one dispatch, one tunnel RTT)
+            scores, idx = self._pallas_search(dev, e, n, k)
         else:
             chunk = self._scan_chunk(e.shape[0], dev.shape[0])
             if chunk:
                 dummy = jnp.zeros((1,), np.float32)
                 scores, idx = _search_scan_fn(k, chunk, False)(
                     dev, dummy, jnp.asarray(e), dummy, jnp.int32(n))
-            elif self._pallas_ok(dev, e.shape[0]):
-                scores, idx = self._pallas_search(dev, e, n, k)
             else:
                 scores, idx = _search_fn(k)(dev, jnp.asarray(e),
                                             jnp.int32(n))
@@ -548,8 +560,13 @@ class DeviceGallery:
         return labels[idx], np.asarray(scores)
 
     def _pallas_ok(self, dev, batch: int) -> bool:
+        from tf_face_toolbox_tpu.ops.pallas_topk import (
+            BLK,
+            default_blk,
+        )
+
         if (self._pallas_broken or self.use_pallas is False
-                or dev.shape[0] % 1024):
+                or dev.shape[0] % BLK):
             return False
         if self.use_pallas:
             return True
@@ -561,8 +578,8 @@ class DeviceGallery:
         # ANY batch (B=1 13.6 ms vs XLA 13.7; B=64 13.6 vs 31.7); a
         # 1024-only capacity is slower than XLA at B=1 (17.5 ms) but
         # still 1.6x XLA at B>=8
-        blk = next(b_ for b_ in (4096, 2048, 1024)
-                   if dev.shape[0] % b_ == 0)
+        blk = default_blk(dev.shape[0], dev.shape[1],
+                          dev.dtype.itemsize)
         return blk >= 2048 or batch >= 8
 
     def _pallas_search(self, dev, e, n: int, k: int):
@@ -573,10 +590,21 @@ class DeviceGallery:
 
         try:
             if jax.default_backend() == "tpu":
-                return pallas_topk.cosine_topk(dev, jnp.asarray(e),
-                                               jnp.int32(n), k)
-            return pallas_topk.cosine_topk_impl(
-                dev, jnp.asarray(e), jnp.int32(n), k, interpret=True)
+                s, i = pallas_topk.cosine_topk_batched(
+                    dev, jnp.asarray(e), jnp.int32(n), k)
+            else:
+                # interpret path (CPU tests): host-side chunk loop —
+                # the Mosaic interpreter can't run under the batched
+                # wrapper's jit
+                parts = [pallas_topk.cosine_topk_impl(
+                    dev, jnp.asarray(e[i:i + _PROBE_CHUNK]),
+                    jnp.int32(n), k, interpret=True)
+                    for i in range(0, e.shape[0], _PROBE_CHUNK)]
+                s = jnp.concatenate([p[0] for p in parts])
+                i = jnp.concatenate([p[1] for p in parts])
+            # materialize INSIDE the try: device-side failures only
+            # surface at execution, and must trip the fallback too
+            return np.asarray(s), np.asarray(i)
         except Exception:       # Mosaic shape/VMEM edge: fall back
             from absl import logging
 
@@ -584,7 +612,8 @@ class DeviceGallery:
             logging.warning(
                 "pallas gallery search failed; falling back to the "
                 "XLA program for this gallery", exc_info=True)
-            return _search_fn(k)(dev, jnp.asarray(e), jnp.int32(n))
+            s, i = _search_fn(k)(dev, jnp.asarray(e), jnp.int32(n))
+            return np.asarray(s), np.asarray(i)
 
     def _pallas_search_q(self, dev, dev_scale, pq, ps, n: int,
                          kc: int):
@@ -595,13 +624,17 @@ class DeviceGallery:
 
         try:
             if jax.default_backend() == "tpu":
-                _, ci = pallas_topk.cosine_topk_q(
+                _, ci = pallas_topk.cosine_topk_q_batched(
                     dev, dev_scale, jnp.asarray(pq), jnp.asarray(ps),
                     jnp.int32(n), kc)
             else:
-                _, ci = pallas_topk.cosine_topk_q_impl(
-                    dev, dev_scale, jnp.asarray(pq), jnp.asarray(ps),
-                    jnp.int32(n), kc, interpret=True)
+                parts = [pallas_topk.cosine_topk_q_impl(
+                    dev, dev_scale,
+                    jnp.asarray(pq[i:i + _PROBE_CHUNK]),
+                    jnp.asarray(ps[i:i + _PROBE_CHUNK]),
+                    jnp.int32(n), kc, interpret=True)[1]
+                    for i in range(0, pq.shape[0], _PROBE_CHUNK)]
+                ci = jnp.concatenate(parts)
         except Exception:       # Mosaic shape/VMEM edge: fall back
             from absl import logging
 

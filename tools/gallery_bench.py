@@ -72,8 +72,9 @@ def device_search_ms(g: DeviceGallery, probes: np.ndarray) -> float:
 
     with g._lock:
         dev, dev_scale, n = g._dev, g._dev_scale, g._n
-    chunk = g._scan_chunk(probes.shape[0], dev.shape[0])
-    use_pl = not chunk and g._pallas_ok(dev, probes.shape[0])
+    use_pl = g._pallas_ok(dev, probes.shape[0])   # kernel outranks
+    chunk = (0 if use_pl else
+             g._scan_chunk(probes.shape[0], dev.shape[0]))
 
     if g.dtype == "int8":
         # device side of the two-stage search: the s8 coarse pass at
