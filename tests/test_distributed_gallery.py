@@ -1,0 +1,219 @@
+"""DistributedGallery: mesh-sharded 1:N store on the fake 8-device mesh.
+
+The striped-shard store must be EXACTLY the single-device DeviceGallery
+in results (modulo bf16 rounding, which on the CPU backend — unlike TPU
+— rounds the matmul operands) while scaling capacity to n_dev x the
+per-device bound. Runs on the conftest's 8 virtual CPU devices
+(SURVEY.md §4 "distributed without a cluster").
+"""
+
+import numpy as np
+import pytest
+
+from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+from tf_face_toolbox_tpu.serving.distributed_gallery import (
+    DistributedGallery,
+)
+from tf_face_toolbox_tpu.serving.gallery import (
+    DeviceGallery,
+    GalleryCapacityError,
+)
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return create_mesh()        # all 8 fake devices on the data axis
+
+
+def _unit(n, seed=0):
+    rng = np.random.default_rng(seed)
+    e = rng.normal(size=(n, DIM)).astype(np.float32)
+    return e / np.linalg.norm(e, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def reference():
+    """Single-device f32 oracle over the shared 45-row corpus."""
+    e = _unit(45)
+    ref = DeviceGallery(DIM, block=8)
+    ref.enroll(e, np.arange(45))
+    probes = _unit(5, seed=1)
+    labs, scores = ref.search(probes, k=6)
+    return e, probes, labs, scores
+
+
+@pytest.mark.parametrize("dtype,atol,exact_labels", [
+    ("float32", 2e-6, True),
+    # CPU bf16 rounds operands (TPU matmuls are bf16-pass either way,
+    # measured bit-identical on hardware — DeviceGallery docstring);
+    # rank-1 must still hold on this corpus, scores within bf16 ulp
+    ("bfloat16", 3e-3, False),
+    # int8 is two-stage exact-rescored: final scores are exact f32
+    ("int8", 2e-6, True),
+])
+def test_matches_single_device(mesh, reference, dtype, atol,
+                               exact_labels):
+    e, probes, want_l, want_s = reference
+    g = DistributedGallery(DIM, mesh=mesh, block=4, dtype=dtype)
+    # incremental enrolls: 7-row steps cross per-shard block
+    # boundaries (45 rows / 8 shards at block=4 grows 4 -> 8)
+    for i in range(0, 45, 7):
+        g.enroll(e[i:i + 7], np.arange(i, min(i + 7, 45)))
+    assert len(g) == 45
+    got_l, got_s = g.search(probes, k=6)
+    if exact_labels:
+        np.testing.assert_array_equal(want_l, got_l)
+    else:
+        np.testing.assert_array_equal(want_l[:, 0], got_l[:, 0])
+    np.testing.assert_allclose(want_s, got_s, atol=atol)
+
+
+def test_incremental_equals_bulk(mesh, reference):
+    """The striped append/grow path == one bulk enroll, bit for bit."""
+    e, probes, _, _ = reference
+    bulk = DistributedGallery(DIM, mesh=mesh, block=4)
+    bulk.enroll(e, np.arange(45))
+    inc = DistributedGallery(DIM, mesh=mesh, block=4)
+    for i in range(0, 45, 3):
+        inc.enroll(e[i:i + 3], np.arange(i, min(i + 3, 45)))
+    lb, sb = bulk.search(probes, k=5)
+    li, si = inc.search(probes, k=5)
+    np.testing.assert_array_equal(lb, li)
+    np.testing.assert_allclose(sb, si, atol=1e-6)
+
+
+@pytest.mark.parametrize("step", [1, 2, 3, 5, 11])
+def test_striped_layout_invariant(mesh, step):
+    """Every enroll cadence leaves device row ``s*cap + j`` holding
+    global row ``j*n_dev + s`` exactly. Guards the scatter-drop append:
+    dynamic_update_slice CLAMPS out-of-bounds starts, so zero padding
+    for shards receiving < r_max rows used to clobber full shards'
+    valid slots (caught by this invariant at step=3)."""
+    e = _unit(45, seed=7)
+    g = DistributedGallery(DIM, mesh=mesh, block=4)
+    for i in range(0, 45, step):
+        g.enroll(e[i:i + step], np.arange(i, min(i + step, 45)))
+    dev = np.asarray(g._dev)
+    cap = dev.shape[0] // g.n_dev
+    for idx in range(45):
+        s, j = idx % g.n_dev, idx // g.n_dev
+        np.testing.assert_allclose(dev[s * cap + j], e[idx], atol=1e-6,
+                                   err_msg=f"row {idx} (step {step})")
+
+
+def test_host_reupload_grow_path(mesh, reference):
+    """grow_on_device_max=0 forces every block-boundary growth through
+    the full host re-stripe (the 2x-HBM-peak avoidance path for huge
+    shards); results must not change."""
+    e, probes, want_l, want_s = reference
+    g = DistributedGallery(DIM, mesh=mesh, block=4)
+    g.grow_on_device_max = 0
+    for i in range(0, 45, 7):
+        g.enroll(e[i:i + 7], np.arange(i, min(i + 7, 45)))
+    got_l, got_s = g.search(probes, k=6)
+    np.testing.assert_array_equal(want_l, got_l)
+    np.testing.assert_allclose(want_s, got_s, atol=2e-6)
+
+
+def test_probe_chunk_guard_exact(mesh, reference):
+    """Shrunk sims-bytes guard forces the host probe-chunk loop; the
+    chunked search is exact (it is the same program per chunk)."""
+    e, probes, want_l, want_s = reference
+    g = DistributedGallery(DIM, mesh=mesh, block=4)
+    g.sims_bytes_guard = 4 * DIM          # ~1 probe per chunk
+    g.enroll(e, np.arange(45))
+    got_l, got_s = g.search(probes, k=6)
+    np.testing.assert_array_equal(want_l, got_l)
+    np.testing.assert_allclose(want_s, got_s, atol=2e-6)
+
+
+def test_fewer_rows_than_shards(mesh):
+    """n < n_dev: empty shards mask to -2e9 and can never surface."""
+    e = _unit(3, seed=2)
+    g = DistributedGallery(DIM, mesh=mesh, block=4)
+    g.enroll(e, [10, 11, 12])
+    labs, scores = g.search(e[1], k=3)
+    assert labs[0, 0] == 11
+    assert scores[0, 0] == pytest.approx(1.0, abs=1e-5)
+    assert labs.shape == (1, 3)
+    assert np.all(np.diff(scores[0]) <= 1e-6)          # descending
+    # every returned row is a real enrollment, never a padded slot
+    assert set(labs[0]) == {10, 11, 12}
+
+
+def test_k_spans_shards(mesh, reference):
+    """k > the fullest shard's fill: per-shard top-min(k, cap) must
+    still merge to the exact global top-k (candidates span shards)."""
+    e, probes, _, _ = reference
+    ref = DeviceGallery(DIM, block=8)
+    ref.enroll(e, np.arange(45))
+    g = DistributedGallery(DIM, mesh=mesh, block=4)
+    g.enroll(e, np.arange(45))
+    want_l, want_s = ref.search(probes, k=20)          # > 45/8 per shard
+    got_l, got_s = g.search(probes, k=20)
+    np.testing.assert_array_equal(want_l, got_l)
+    np.testing.assert_allclose(want_s, got_s, atol=2e-6)
+
+
+def test_remove_restripes(mesh, reference):
+    e, probes, _, _ = reference
+    g = DistributedGallery(DIM, mesh=mesh, block=4)
+    g.enroll(e, np.arange(45))
+    assert g.remove(11) == 1
+    assert g.remove(11) == 0
+    assert len(g) == 44
+    labs, _ = g.search(e[12], k=1)
+    assert labs[0, 0] == 12
+    # compaction renumbered rows; the oracle agrees post-removal
+    ref = DeviceGallery(DIM, block=8)
+    ref.enroll(np.delete(e, 11, axis=0),
+               np.delete(np.arange(45), 11))
+    want_l, want_s = ref.search(probes, k=6)
+    got_l, got_s = g.search(probes, k=6)
+    np.testing.assert_array_equal(want_l, got_l)
+    np.testing.assert_allclose(want_s, got_s, atol=2e-6)
+
+
+def test_capacity_refusal_per_device(mesh):
+    # 4-row blocks x 64-d f32 = 1 KiB/shard limit -> 32 rows fit
+    lim = 4 * DIM * 4 / 1e9
+    g = DistributedGallery(DIM, mesh=mesh, block=4, dtype="float32",
+                           hbm_limit_gb=lim)
+    g.enroll(_unit(32, seed=3), np.arange(32))
+    with pytest.raises(GalleryCapacityError, match="each of the 8"):
+        g.enroll(_unit(8, seed=4), np.arange(8))
+    assert len(g) == 32                   # refused enroll left no trace
+    assert g.device_bytes() == 8 * 4 * DIM * 4
+
+
+def test_save_load_interchange(mesh, tmp_path, reference):
+    """Snapshots are the same .npz either way: enroll on a mesh, serve
+    on one chip, or vice versa."""
+    e, _, _, _ = reference
+    g = DistributedGallery(DIM, mesh=mesh, block=4)
+    g.enroll(e[:10], np.arange(10))
+    p = str(tmp_path / "g.npz")
+    assert g.save(p) == 10
+    single = DeviceGallery.load(p, block=8)
+    assert len(single) == 10
+    back = DistributedGallery.load(p, mesh=mesh, block=4,
+                                   dtype="bfloat16")
+    labs, _ = back.search(e[7], k=1)
+    assert labs[0, 0] == 7
+
+
+def test_duck_type_surface(mesh):
+    """The daemon duck-types gallery stores; the sharded one must
+    carry the whole surface server.py reads."""
+    g = DistributedGallery(DIM, mesh=mesh)
+    assert g.overflow == "refuse"
+    assert g.streaming is False
+    assert g.dim == DIM and g.dtype == "float32"
+    assert g.hbm_limit_gb == 8.0
+    assert len(g) == 0
+    with pytest.raises(ValueError, match="empty"):
+        g.search(np.zeros((1, DIM), np.float32))
+    with pytest.raises(ValueError, match="dim"):
+        g.enroll(np.zeros((1, DIM + 1), np.float32), [0])

@@ -1679,3 +1679,54 @@ def test_gallery_deenroll(service):
     finally:
         server.shutdown()
         batcher.close()
+
+
+def test_http_gallery_sharded_store(service):
+    """The daemon duck-types gallery stores: the mesh-sharded
+    DistributedGallery serves the same /enroll → /identify →
+    /gallery/save surface (capacity = shards x hbm_limit_gb)."""
+    from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+    from tf_face_toolbox_tpu.serving.distributed_gallery import (
+        DistributedGallery,
+    )
+    from tf_face_toolbox_tpu.serving.gallery import DeviceGallery
+
+    gallery = DistributedGallery(DIM, mesh=create_mesh(), block=4)
+    batcher = DynamicBatcher(service, max_wait_ms=1.0)
+    server = serve(batcher, port=0, gallery=gallery,
+                   enroll_min_quality=0.0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+
+    def post(path, img):
+        buf = io.BytesIO()
+        np.save(buf, img)
+        req = urllib.request.Request(f"{base}{path}",
+                                     data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    try:
+        imgs = _images(3, seed=13)
+        for i, img in enumerate(imgs):
+            out = post(f"/enroll?label={200 + i}", img)
+            assert out["enrolled"] and out["size"] == i + 1
+        with urllib.request.urlopen(f"{base}/gallery") as r:
+            info = json.loads(r.read())
+        assert info["size"] == 3 and not info["streaming"]
+        out = post("/identify?k=2", imgs[2])
+        assert out["matches"][0]["label"] == 202
+        assert out["matches"][0]["score"] == pytest.approx(1.0,
+                                                           abs=1e-4)
+        # snapshot round-trips into the single-device store
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            p = f"{td}/g.npz"
+            req = urllib.request.Request(
+                f"{base}/gallery/save?path={p}", data=b"",
+                method="POST")
+            with urllib.request.urlopen(req) as r:
+                assert json.loads(r.read())["saved"] == 3
+            assert len(DeviceGallery.load(p)) == 3
+    finally:
+        server.shutdown()
+        batcher.close()

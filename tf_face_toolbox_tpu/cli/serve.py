@@ -96,6 +96,13 @@ flags.DEFINE_enum("gallery_overflow", "refuse", ["refuse", "stream"],
                   "or 'stream' — keep enrolling and serve /identify "
                   "via exact slab-streamed search (latency degrades "
                   "to O(gallery bytes / PCIe), HBM stays bounded)")
+flags.DEFINE_integer(
+    "gallery_shards", 0,
+    "shard the gallery over this many devices (DistributedGallery: "
+    "rows striped over a data mesh, per-shard top-k merged over ICI; "
+    "capacity scales to shards x --gallery_hbm_gb). 0 = single-device "
+    "store; -1 = all visible devices. Sharded stores are refuse-only "
+    "(--gallery_overflow=stream is single-device)")
 flags.DEFINE_integer("max_batch", 64, "device batch (pad-to-batch)")
 flags.DEFINE_float("max_wait_ms", 5.0,
                    "straggler wait after the first request of a batch")
@@ -342,18 +349,40 @@ def _serve_front_end(batcher, all_batchers, watcher):
             dim = first.service.embed_batch(_np.zeros(
                 (1, first.service.crop_from, first.service.crop_from, 3),
                 "uint8")).shape[1]
-        gkw = dict(dtype=FLAGS.gallery_dtype,
-                   hbm_limit_gb=FLAGS.gallery_hbm_gb,
-                   overflow=FLAGS.gallery_overflow)
+        if FLAGS.gallery_shards:
+            if FLAGS.gallery_overflow == "stream":
+                raise SystemExit(
+                    "--gallery_overflow=stream is single-device; a "
+                    "sharded gallery (--gallery_shards) is refuse-only "
+                    "— past capacity, use cli.search offline")
+            import jax
+
+            from tf_face_toolbox_tpu.parallel.mesh import create_mesh
+            from tf_face_toolbox_tpu.serving.distributed_gallery import (
+                DistributedGallery,
+            )
+
+            n = (len(jax.devices()) if FLAGS.gallery_shards < 0
+                 else FLAGS.gallery_shards)
+            store_cls = DistributedGallery
+            gkw = dict(dtype=FLAGS.gallery_dtype,
+                       hbm_limit_gb=FLAGS.gallery_hbm_gb,
+                       mesh=create_mesh(data=n))
+            logging.info("gallery sharded over %d devices", n)
+        else:
+            store_cls = DeviceGallery
+            gkw = dict(dtype=FLAGS.gallery_dtype,
+                       hbm_limit_gb=FLAGS.gallery_hbm_gb,
+                       overflow=FLAGS.gallery_overflow)
         if os.path.exists(FLAGS.gallery):
-            gallery = DeviceGallery.load(FLAGS.gallery, **gkw)
+            gallery = store_cls.load(FLAGS.gallery, **gkw)
             if gallery.dim != dim:
                 raise SystemExit(
                     f"--gallery={FLAGS.gallery} holds {gallery.dim}-d "
                     f"embeddings; the served model produces {dim}-d")
             logging.info("gallery loaded: %d enrolled", len(gallery))
         else:
-            gallery = DeviceGallery(dim, **gkw)
+            gallery = store_cls(dim, **gkw)
     if FLAGS.transport == "grpc":
         from tf_face_toolbox_tpu.serving.grpc_server import serve_grpc
 
