@@ -217,3 +217,84 @@ def test_duck_type_surface(mesh):
         g.search(np.zeros((1, DIM), np.float32))
     with pytest.raises(ValueError, match="dim"):
         g.enroll(np.zeros((1, DIM + 1), np.float32), [0])
+
+
+# ----------------------------------------------------------- r5 additions
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16", "int8"])
+def test_dist_pallas_equals_xla_search(mesh, dtype):
+    """VERDICT r4 #1: the fused Pallas kernel runs INSIDE the
+    shard_map local (per-shard fill = ceil((n-s)/n_dev) is exactly the
+    kernel's n_valid contract). Kernel and XLA sharded programs must
+    agree exactly, across fills and after tombstoning removes."""
+    e = _unit(60, seed=21)
+    probes = _unit(7, seed=22)
+    kw = dict(mesh=mesh, block=1024, dtype=dtype)   # kernel-shaped cap
+    xla = DistributedGallery(DIM, **kw)
+    pal = DistributedGallery(DIM, **kw)
+    xla.use_pallas = False
+    pal.use_pallas = True
+    for lo in (0, 13, 45):                  # three fill levels
+        hi = {0: 13, 13: 45, 45: 60}[lo]
+        xla.enroll(e[lo:hi], np.arange(lo, hi))
+        pal.enroll(e[lo:hi], np.arange(lo, hi))
+        lx, sx = xla.search(probes, k=6)
+        lp, sp = pal.search(probes, k=6)
+        assert pal._pallas_fails == 0       # kernel path actually ran
+        np.testing.assert_array_equal(lx, lp)
+        np.testing.assert_allclose(sx, sp, atol=1e-5)
+    # tombstones mask identically through both programs
+    for lab in (3, 59):
+        assert xla.remove(lab) == 1 and pal.remove(lab) == 1
+    assert pal._tomb == 2                   # tombstoned, not compacted
+    lx, sx = xla.search(probes, k=6)
+    lp, sp = pal.search(probes, k=6)
+    assert pal._pallas_fails == 0
+    np.testing.assert_array_equal(lx, lp)
+    np.testing.assert_allclose(sx, sp, atol=1e-5)
+    labs, _ = pal.search(e[3], k=20)
+    assert 3 not in labs and 59 not in labs
+
+
+def test_dist_tombstone_remove_is_o1(mesh):
+    """Below the compaction threshold, remove() is one sharded bias
+    scatter: the store array is untouched (the r4 path re-striped the
+    WHOLE store from host per remove) and results match the oracle."""
+    e = _unit(45, seed=23)
+    g = DistributedGallery(DIM, mesh=mesh, block=1024)
+    g.enroll(e, np.arange(45))
+    dev_before = g._dev
+    assert g.remove(11) == 1
+    assert g._tomb == 1 and g._n == 45
+    assert g._dev is dev_before             # store not re-striped
+    assert len(g) == 44
+    ref = DeviceGallery(DIM, block=8)
+    ref.enroll(np.delete(e, 11, axis=0), np.delete(np.arange(45), 11))
+    probes = _unit(5, seed=24)
+    want_l, want_s = ref.search(probes, k=6)
+    got_l, got_s = g.search(probes, k=6)
+    np.testing.assert_array_equal(want_l, got_l)
+    np.testing.assert_allclose(want_s, got_s, atol=2e-6)
+    # save() writes live rows only
+    assert g.remove(11) == 0
+
+
+def test_dist_compaction_crossing(mesh):
+    """Crossing compact_frac re-stripes: tombstones drop to zero and
+    results still match the oracle."""
+    e = _unit(45, seed=25)
+    g = DistributedGallery(DIM, mesh=mesh, block=4)
+    g.enroll(e, np.arange(45))
+    for lab in range(11):       # threshold max(4, 11.25) → 12th compacts
+        g.remove(lab)
+    assert g._tomb == 11
+    g.remove(11)
+    assert g._tomb == 0 and g._n == 33 and len(g) == 33
+    ref = DeviceGallery(DIM, block=8)
+    ref.enroll(e[12:], np.arange(12, 45))
+    probes = _unit(4, seed=26)
+    want_l, want_s = ref.search(probes, k=5)
+    got_l, got_s = g.search(probes, k=5)
+    np.testing.assert_array_equal(want_l, got_l)
+    np.testing.assert_allclose(want_s, got_s, atol=2e-6)

@@ -697,6 +697,13 @@ def test_skip_nonfinite_counter_and_divergence_abort(tmp_path):
                      max_consecutive_skips=0)
     assert res.last_metrics["skipped_nonfinite_total"] == 4.0
 
+    # log_every=0 (logging disabled) must STILL abort: skips settle on
+    # their own fixed cadence, not only at log points (ADVICE r4).
+    with pytest.raises(FloatingPointError, match="consecutive"):
+        train_loop(cfg, mesh, batches(0), num_steps=10,
+                   log_every=0, net=_tiny_net(),
+                   max_consecutive_skips=3)
+
 
 def test_nonfinite_unguarded_corrupts_params():
     """Control for the guard test: the same poisoned batch WITHOUT

@@ -14,6 +14,24 @@ argmax/gather, which Mosaic lowers poorly — at k passes per block,
 ~0.1% of the block's MXU+DMA time. The store read is the only HBM
 traffic, so the kernel runs at the bandwidth roofline.
 
+r5 additions:
+
+- **Per-row bias input** (both kernels): a (cap,) f32 vector added to
+  the scores before selection, 0 for live rows and −2e9 for tombstoned
+  ones — the mask extension that makes O(1) deenroll exact (the store
+  marks removed rows instead of re-uploading; serving/gallery.py).
+  Blocked as (8, blk) tiles covering 8 grid steps (Mosaic's f32
+  sublane floor), the same trick as the int8 per-row scales. Cost:
+  4 bytes/row of extra HBM traffic — 0.4% of a bf16 512-d store.
+- **Bound-then-rescale int8 gate**: the int8 kernel's per-block f32
+  dequant of the (B, blk) int32 accumulator was the VPU tail that held
+  B=64 coarse search 3× off the B=1 bandwidth rate. The kernel now
+  derives a sound per-probe upper bound from one int32 max-reduce
+  (max_j acc × the block's max/min scale — scales are positive, bias
+  is ≤ 0, so the bound ignores both safely) and skips the dequant +
+  selection sweep entirely when no probe's bound beats its current
+  kth bar. After the first ~k·blk rows nearly every block skips.
+
 Reference behavior anchored to serving/gallery.py's XLA program
 (exact same masking/order contract); equality is tested in
 tests/test_pallas_topk.py, and DeviceGallery falls back to the XLA
@@ -66,8 +84,19 @@ def _select_topk(all_s, all_i, k):
             jnp.concatenate(picked_i, axis=1))
 
 
-def _kernel(n_ref, p_ref, g_ref, s_out, i_out, bs_ref, bi_ref, *, k,
-            blk):
+def _bias_tiles(bias, cap: int, grid: int, blk: int):
+    """(cap,) f32 row bias → (ceil8(grid), blk) tiles; step i reads
+    tile i//8, row i%8 (Mosaic's 8-sublane f32 floor). None → zeros."""
+    g8 = -(-grid // 8) * 8
+    out = jnp.zeros((g8, blk), jnp.float32)
+    if bias is None:
+        return out
+    return jax.lax.dynamic_update_slice(
+        out, bias.reshape(grid, blk).astype(jnp.float32), (0, 0))
+
+
+def _kernel(n_ref, p_ref, g_ref, bias_ref, s_out, i_out, bs_ref,
+            bi_ref, *, k, blk):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -80,6 +109,7 @@ def _kernel(n_ref, p_ref, g_ref, s_out, i_out, bs_ref, bi_ref, *, k,
     sims = jax.lax.dot_general(
         p_ref[:], g_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
+    sims = sims + bias_ref[pl.ds(i % 8, 1), :]        # (1, blk) bcast
     col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + i * blk
     sims = jnp.where(col < n_ref[0, 0], sims, _NEG)
     _update_best(sims, col, bs_ref, bi_ref, k)
@@ -107,12 +137,20 @@ def _update_best(sims, col, bs_ref, bi_ref, k):
         bs_ref[:], bi_ref[:] = _select_topk(all_s, all_i, k)
 
 
-def _kernel_q(n_ref, p_ref, ps_ref, g_ref, gs_ref, s_out, i_out,
-              bs_ref, bi_ref, *, k, blk):
+def _kernel_q(n_ref, p_ref, ps_ref, g_ref, gs_ref, bias_ref, s_out,
+              i_out, bs_ref, bi_ref, *, k, blk):
     """int8 twin: s8×s8 MXU dot → int32, rescaled by the per-probe
-    scale (B, 1) × the block's per-row scales. Scales arrive as an
-    (8, blk) tile covering 8 grid steps — Mosaic requires >=8
-    sublanes per block — and the step picks its row."""
+    scale (B, 1) × the block's per-row scales. Scales and bias arrive
+    as (8, blk) tiles covering 8 grid steps — Mosaic requires >=8
+    sublanes per block — and the step picks its row.
+
+    The f32 rescale of the whole (B, blk) accumulator was the VPU
+    serial tail at B>1 (measured 22.8 ms vs 7.3 B=1 at 10^7 rows, r4).
+    The bound gate below replaces it with ONE int32 max-reduce per
+    block: sims[b,j] = acc·ps_b·gs_j with ps,gs > 0 and bias ≤ 0, so
+    ps_b · (max_j acc ≥ 0 ? max_j acc · max gs : max_j acc · min gs)
+    is a sound upper bound; blocks whose bound beats no probe's kth
+    bar skip the dequant and the selection sweep entirely."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -124,10 +162,23 @@ def _kernel_q(n_ref, p_ref, ps_ref, g_ref, gs_ref, s_out, i_out,
         p_ref[:], g_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)
     gs = gs_ref[pl.ds(i % 8, 1), :]                       # (1, blk)
-    sims = acc.astype(jnp.float32) * ps_ref[:] * gs
-    col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + i * blk
-    sims = jnp.where(col < n_ref[0, 0], sims, _NEG)
-    _update_best(sims, col, bs_ref, bi_ref, k)
+    am = jnp.max(acc, axis=1).astype(jnp.float32)         # (B,)
+    bound = ps_ref[:, 0] * jnp.where(am >= 0, am * jnp.max(gs),
+                                     am * jnp.min(gs))
+    bar = jnp.min(bs_ref[:], axis=1)                      # (B,)
+    # `bar == _INIT` forces warmup blocks through even if the bound is
+    # somehow below _INIT (wildly non-normalized inputs): the running
+    # set must fill with real rows before skipping is sound.
+    need = jnp.any((bound > bar) | (bar == _INIT))
+
+    @pl.when(need)
+    def _():
+        sims = acc.astype(jnp.float32) * ps_ref[:] * gs
+        sims = sims + bias_ref[pl.ds(i % 8, 1), :]
+        col = (jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+               + i * blk)
+        sims = jnp.where(col < n_ref[0, 0], sims, _NEG)
+        _update_best(sims, col, bs_ref, bi_ref, k)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -136,21 +187,26 @@ def _kernel_q(n_ref, p_ref, ps_ref, g_ref, gs_ref, s_out, i_out,
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def cosine_topk(gallery, probes, n_valid, k: int):
+def cosine_topk(gallery, probes, n_valid, k: int, bias=None):
     """Top-``k`` cosine matches of ``probes`` (B, D) f32 against
-    ``gallery`` (cap, D) f32/bf16 with rows >= ``n_valid`` masked.
-    Returns (scores (B, k) f32, idx (B, k) int32), descending — the
-    drop-in twin of serving/gallery._search_fn's program. Requires
-    cap % 1024 == 0 (DeviceGallery pads in 1024-row blocks)."""
-    return cosine_topk_impl(gallery, probes, n_valid, k)
+    ``gallery`` (cap, D) f32/bf16 with rows >= ``n_valid`` masked and
+    ``bias`` (cap,) f32 (None = zeros) added per row — tombstoned rows
+    carry −2e9 and can never surface. Returns (scores (B, k) f32,
+    idx (B, k) int32), descending — the drop-in twin of
+    serving/gallery._search_fn's program. Requires cap % 1024 == 0
+    (DeviceGallery pads in 1024-row blocks)."""
+    return cosine_topk_impl(gallery, probes, n_valid, k, bias=bias)
 
 
 def cosine_topk_impl(gallery, probes, n_valid, k: int,
-                     interpret: bool = False, blk: int | None = None):
+                     interpret: bool = False, blk: int | None = None,
+                     bias=None):
     """Unjitted body; ``interpret=True`` runs the Mosaic interpreter
-    (CPU tests). ``blk`` overrides the rows-per-step (must divide the
-    capacity; the default picks the largest of 4096/2048/1024 that
-    does — bigger steps amortize the per-step selection sweep)."""
+    (CPU tests — works inside jit/shard_map too, which is how the
+    mesh-sharded gallery tests run it). ``blk`` overrides the
+    rows-per-step (must divide the capacity; the default picks the
+    largest of 4096/2048/1024 that does — bigger steps amortize the
+    per-step selection sweep)."""
     cap, d = gallery.shape
     if cap % BLK:
         raise ValueError(f"capacity {cap} not a multiple of {BLK}")
@@ -159,6 +215,7 @@ def cosine_topk_impl(gallery, probes, n_valid, k: int,
     b = probes.shape[0]
     grid = cap // blk
     n2 = jnp.asarray(n_valid, jnp.int32).reshape(1, 1)
+    bias2 = _bias_tiles(bias, cap, grid, blk)
     return pl.pallas_call(
         functools.partial(_kernel, k=k, blk=blk),
         grid=(grid,),
@@ -166,117 +223,6 @@ def cosine_topk_impl(gallery, probes, n_valid, k: int,
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((b, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((b, k), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, k), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, k), jnp.float32),
-            jax.ShapeDtypeStruct((b, k), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((b, k), jnp.float32),
-            pltpu.VMEM((b, k), jnp.int32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * d * cap,
-            bytes_accessed=cap * d * gallery.dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(n2, probes.astype(gallery.dtype), gallery)
-
-
-PROBE_CHUNK = 256   # probes per kernel launch: (chunk, blk) sims tile
-                    # stays ~4 MB of VMEM
-
-
-@functools.partial(jax.jit, static_argnames=("k",))
-def cosine_topk_batched(gallery, probes, n_valid, k: int):
-    """Any-batch wrapper: lax.map over PROBE_CHUNK-probe slices of a
-    padded batch, each slice one kernel launch — a single dispatch
-    for the caller (one tunnel RTT from a remote host), VMEM bounded
-    regardless of B. Each chunk re-reads the store; at B=2048 that is
-    8 reads of the store vs an XLA (2048, cap) sims matrix that could
-    not exist at all."""
-    b = probes.shape[0]
-    if b <= PROBE_CHUNK:
-        return cosine_topk_impl(gallery, probes, n_valid, k)
-    bp = -(-b // PROBE_CHUNK) * PROBE_CHUNK
-    pad = jnp.zeros((bp - b, probes.shape[1]), probes.dtype)
-    chunks = jnp.concatenate([probes, pad]).reshape(
-        bp // PROBE_CHUNK, PROBE_CHUNK, probes.shape[1])
-    s, i = jax.lax.map(
-        lambda p: cosine_topk_impl(gallery, p, n_valid, k), chunks)
-    return (s.reshape(bp, k)[:b], i.reshape(bp, k)[:b])
-
-
-@functools.partial(jax.jit, static_argnames=("k",))
-def cosine_topk_q_batched(gallery_q, gallery_scale, probes_q,
-                          probe_scale, n_valid, k: int):
-    """int8 twin of :func:`cosine_topk_batched`."""
-    b = probes_q.shape[0]
-    if b <= PROBE_CHUNK:
-        return cosine_topk_q_impl(gallery_q, gallery_scale, probes_q,
-                                  probe_scale, n_valid, k)
-    bp = -(-b // PROBE_CHUNK) * PROBE_CHUNK
-    pq = jnp.concatenate([
-        probes_q, jnp.zeros((bp - b, probes_q.shape[1]), jnp.int8)])
-    ps = jnp.concatenate([
-        probe_scale, jnp.zeros((bp - b,), jnp.float32)])
-    s, i = jax.lax.map(
-        lambda args: cosine_topk_q_impl(
-            gallery_q, gallery_scale, args[0], args[1], n_valid, k),
-        (pq.reshape(bp // PROBE_CHUNK, PROBE_CHUNK, -1),
-         ps.reshape(bp // PROBE_CHUNK, PROBE_CHUNK)))
-    return (s.reshape(bp, k)[:b], i.reshape(bp, k)[:b])
-
-
-@functools.partial(jax.jit, static_argnames=("k",))
-def cosine_topk_q(gallery_q, gallery_scale, probes_q, probe_scale,
-                  n_valid, k: int):
-    """int8-store twin of :func:`cosine_topk` — the coarse stage of
-    DeviceGallery's two-stage int8 search. ``gallery_q`` (cap, D)
-    int8, ``gallery_scale`` (cap,) f32 per-row scales, ``probes_q``
-    (B, D) int8 with ``probe_scale`` (B,) f32."""
-    return cosine_topk_q_impl(gallery_q, gallery_scale, probes_q,
-                              probe_scale, n_valid, k)
-
-
-def cosine_topk_q_impl(gallery_q, gallery_scale, probes_q, probe_scale,
-                       n_valid, k: int, interpret: bool = False,
-                       blk: int | None = None):
-    cap, d = gallery_q.shape
-    if cap % BLK:
-        raise ValueError(f"capacity {cap} not a multiple of {BLK}")
-    if blk is None:
-        blk = default_blk(cap, d, 1)
-    b = probes_q.shape[0]
-    grid = cap // blk
-    n2 = jnp.asarray(n_valid, jnp.int32).reshape(1, 1)
-    # per-row scales blocked as (grid, blk), grid padded to a multiple
-    # of 8 so every block is a full (8, blk) tile (Mosaic's sublane
-    # floor); step i reads tile i//8 and selects row i%8 in-kernel
-    g8 = -(-grid // 8) * 8
-    gs2 = jnp.zeros((g8, blk), jnp.float32)
-    gs2 = jax.lax.dynamic_update_slice(
-        gs2, gallery_scale.reshape(grid, blk), (0, 0))
-    ps2 = probe_scale.reshape(b, 1)
-    return pl.pallas_call(
-        functools.partial(_kernel_q, k=k, blk=blk),
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((b, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((blk, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -299,8 +245,126 @@ def cosine_topk_q_impl(gallery_q, gallery_scale, probes_q, probe_scale,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * d * cap,
-            bytes_accessed=cap * (d + 4),
+            bytes_accessed=cap * (d * gallery.dtype.itemsize + 4),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(n2, probes_q, ps2, gallery_q, gs2)
+    )(n2, probes.astype(gallery.dtype), gallery, bias2)
+
+
+PROBE_CHUNK = 256   # probes per kernel launch: (chunk, blk) sims tile
+                    # stays ~4 MB of VMEM
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def cosine_topk_batched(gallery, probes, n_valid, k: int, bias=None):
+    """Any-batch wrapper: lax.map over PROBE_CHUNK-probe slices of a
+    padded batch, each slice one kernel launch — a single dispatch
+    for the caller (one tunnel RTT from a remote host), VMEM bounded
+    regardless of B. Each chunk re-reads the store; at B=2048 that is
+    8 reads of the store vs an XLA (2048, cap) sims matrix that could
+    not exist at all."""
+    b = probes.shape[0]
+    if b <= PROBE_CHUNK:
+        return cosine_topk_impl(gallery, probes, n_valid, k, bias=bias)
+    bp = -(-b // PROBE_CHUNK) * PROBE_CHUNK
+    pad = jnp.zeros((bp - b, probes.shape[1]), probes.dtype)
+    chunks = jnp.concatenate([probes, pad]).reshape(
+        bp // PROBE_CHUNK, PROBE_CHUNK, probes.shape[1])
+    s, i = jax.lax.map(
+        lambda p: cosine_topk_impl(gallery, p, n_valid, k, bias=bias),
+        chunks)
+    return (s.reshape(bp, k)[:b], i.reshape(bp, k)[:b])
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def cosine_topk_q_batched(gallery_q, gallery_scale, probes_q,
+                          probe_scale, n_valid, k: int, bias=None):
+    """int8 twin of :func:`cosine_topk_batched`."""
+    b = probes_q.shape[0]
+    if b <= PROBE_CHUNK:
+        return cosine_topk_q_impl(gallery_q, gallery_scale, probes_q,
+                                  probe_scale, n_valid, k, bias=bias)
+    bp = -(-b // PROBE_CHUNK) * PROBE_CHUNK
+    pq = jnp.concatenate([
+        probes_q, jnp.zeros((bp - b, probes_q.shape[1]), jnp.int8)])
+    ps = jnp.concatenate([
+        probe_scale, jnp.zeros((bp - b,), jnp.float32)])
+    s, i = jax.lax.map(
+        lambda args: cosine_topk_q_impl(
+            gallery_q, gallery_scale, args[0], args[1], n_valid, k,
+            bias=bias),
+        (pq.reshape(bp // PROBE_CHUNK, PROBE_CHUNK, -1),
+         ps.reshape(bp // PROBE_CHUNK, PROBE_CHUNK)))
+    return (s.reshape(bp, k)[:b], i.reshape(bp, k)[:b])
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def cosine_topk_q(gallery_q, gallery_scale, probes_q, probe_scale,
+                  n_valid, k: int, bias=None):
+    """int8-store twin of :func:`cosine_topk` — the coarse stage of
+    DeviceGallery's two-stage int8 search. ``gallery_q`` (cap, D)
+    int8, ``gallery_scale`` (cap,) f32 per-row scales, ``probes_q``
+    (B, D) int8 with ``probe_scale`` (B,) f32."""
+    return cosine_topk_q_impl(gallery_q, gallery_scale, probes_q,
+                              probe_scale, n_valid, k, bias=bias)
+
+
+def cosine_topk_q_impl(gallery_q, gallery_scale, probes_q, probe_scale,
+                       n_valid, k: int, interpret: bool = False,
+                       blk: int | None = None, bias=None):
+    cap, d = gallery_q.shape
+    if cap % BLK:
+        raise ValueError(f"capacity {cap} not a multiple of {BLK}")
+    if blk is None:
+        blk = default_blk(cap, d, 1)
+    b = probes_q.shape[0]
+    grid = cap // blk
+    n2 = jnp.asarray(n_valid, jnp.int32).reshape(1, 1)
+    # per-row scales blocked as (grid, blk), grid padded to a multiple
+    # of 8 so every block is a full (8, blk) tile (Mosaic's sublane
+    # floor); step i reads tile i//8 and selects row i%8 in-kernel
+    g8 = -(-grid // 8) * 8
+    gs2 = jnp.zeros((g8, blk), jnp.float32)
+    gs2 = jax.lax.dynamic_update_slice(
+        gs2, gallery_scale.reshape(grid, blk), (0, 0))
+    bias2 = _bias_tiles(bias, cap, grid, blk)
+    ps2 = probe_scale.reshape(b, 1)
+    return pl.pallas_call(
+        functools.partial(_kernel_q, k=k, blk=blk),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, blk), lambda i: (i // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, blk), lambda i: (i // 8, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * cap,
+            bytes_accessed=cap * (d + 8),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n2, probes_q, ps2, gallery_q, gs2, bias2)

@@ -52,14 +52,36 @@ Scale design (r4, VERDICT r3 #5):
   Enroll in this mode is a pure host append (amortized O(1)); the
   store drops back to device residency when removals shrink it under
   the bound. Searches stay EXACT in every mode (tested equal).
+- **O(1) deenroll: tombstones + deferred compaction (r5).** remove()
+  marks rows dead in a per-row f32 ``bias`` vector (0 live, −2e9
+  tombstoned) that EVERY search program — XLA plain/scan/streamed and
+  both Pallas kernels — adds to the scores before selection, and that
+  the int8 rescore adds on the host side, so removed rows can never
+  surface in any mode. Per remove, the device work is one (removed,)-
+  row bias scatter (ms at any scale) instead of the pre-r5 full
+  re-stripe (minutes at 10^7 rows over this image's tunnel).
+  Compaction (the full rebuild) is deferred until tombstones exceed
+  ``compact_frac`` of the fill (or the store needs the room back:
+  an enroll that would otherwise refuse, a streaming store shrinking
+  under the residency bound, or the store emptying).
 
-Thread-safe (the HTTP front-end is threaded); snapshots are ordinary
-``.npz`` (atomic tmp+rename) — the persistence model of the reference
-era's "embeddings directory" workflows, one file instead.
+Thread-safety (r5, advisor findings): the HTTP front-end is threaded,
+and the r4 incremental sync DONATES the live device buffers — an
+enroll concurrent with a search used to delete the Array the search
+had captured ("Array has been deleted", HTTP 500), and remove()
+compacted the host master in place under a search reading it. Both
+stores now use a write-preferring readers/writer gate: searches
+register as readers and run lock-free on captured references; every
+mutation (enroll's donation, remove, compaction) first drains in-
+flight readers (new ones queue behind the writer), so donation and
+in-place host edits are race-free by construction. Snapshots are
+ordinary ``.npz`` (atomic tmp+rename) — the persistence model of the
+reference era's "embeddings directory" workflows, one file instead.
 """
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 import threading
@@ -76,6 +98,53 @@ class GalleryCapacityError(RuntimeError):
 # which is still far cheaper than an XLA (B, cap) sims matrix
 _PROBE_CHUNK = 256
 
+# tombstoned-row score bias; matches the padding mask value, so dead
+# rows lose to every live row (cosines are >= -1) in every program
+_TOMB = -2e9
+
+
+class _ReadersWriterGate:
+    """Write-preferring readers/writer gate.
+
+    ``read()``: searches capture references and run concurrently.
+    ``write()``: waits for in-flight readers to drain (new readers
+    queue behind any waiting writer, so writers never starve), then
+    holds exclusive access for the whole mutation — which makes the
+    donated in-place device appends and the in-place host compaction
+    safe: no captured reference can be live when a buffer is donated
+    or rewritten."""
+
+    def __init__(self):
+        self.cond = threading.Condition()
+        self._readers = 0
+        self._writers_waiting = 0
+
+    @contextlib.contextmanager
+    def read(self):
+        with self.cond:
+            while self._writers_waiting:
+                self.cond.wait()
+            self._readers += 1
+        try:
+            yield
+        finally:
+            with self.cond:
+                self._readers -= 1
+                if not self._readers:
+                    self.cond.notify_all()
+
+    @contextlib.contextmanager
+    def write(self):
+        with self.cond:
+            self._writers_waiting += 1
+            try:
+                while self._readers:
+                    self.cond.wait()
+                yield
+            finally:
+                self._writers_waiting -= 1
+                self.cond.notify_all()
+
 
 @functools.lru_cache(maxsize=None)
 def _search_fn(k: int):
@@ -85,7 +154,7 @@ def _search_fn(k: int):
     import jax.numpy as jnp
 
     @jax.jit
-    def run(g, p, n_valid):
+    def run(g, bias, p, n_valid):
         # contract on dim 1 of BOTH operands (p @ g.T) via dot_general:
         # writing jnp.dot(p, g.T) materializes a full transpose copy of
         # the store at XLA's whim — a 2x-HBM spike that OOMs a 10 GB
@@ -93,6 +162,7 @@ def _search_fn(k: int):
         sims = jax.lax.dot_general(
             p.astype(g.dtype), g, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        sims = sims + bias[None, :]        # tombstones → -2e9
         row = jnp.arange(g.shape[0])
         sims = jnp.where(row[None, :] < n_valid, sims, -2e9)
         return jax.lax.top_k(sims, k)
@@ -101,15 +171,21 @@ def _search_fn(k: int):
 
 
 def _rescore(host: np.ndarray, n: int, probes: np.ndarray,
-             cand: np.ndarray, k: int):
+             cand: np.ndarray, k: int, bias: np.ndarray | None = None):
     """Exact f32 rescore of the int8 coarse candidates: gather the
     (B, kc) candidate rows from the host master, one small einsum,
-    keep the true top-k. Final scores are exact f32 cosines."""
+    keep the true top-k. Final scores are exact f32 cosines.
+    ``bias`` (the host tombstone vector) re-applies the dead-row mask
+    — the coarse stage already excludes tombstones, but when kc
+    exceeds the live count its padding candidates must not be
+    resurrected by their (real, exact) host scores."""
     invalid = (cand < 0) | (cand >= n)     # belt-and-braces: masked
     cidx = np.clip(cand, 0, n - 1)         # winners can't surface, but
     gathered = host[cidx]                  # never index past the fill
     exact = np.einsum("bd,bkd->bk", probes, gathered,
                       optimize=True).astype(np.float32)
+    if bias is not None:
+        exact = exact + bias[cidx]
     exact[invalid] = -2e9
     rows = np.arange(exact.shape[0])[:, None]
     order = np.argsort(-exact, axis=1, kind="stable")[:, :k]
@@ -135,11 +211,12 @@ def _search_q_fn(kc: int):
     import jax.numpy as jnp
 
     @jax.jit
-    def run(gq, gs, pq, ps, n_valid):
+    def run(gq, gs, bias, pq, ps, n_valid):
         acc = jax.lax.dot_general(
             pq, gq, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)
         sims = acc.astype(jnp.float32) * ps[:, None] * gs[None, :]
+        sims = sims + bias[None, :]
         row = jnp.arange(gq.shape[0])
         sims = jnp.where(row[None, :] < n_valid, sims, -2e9)
         return jax.lax.top_k(sims, kc)
@@ -161,11 +238,11 @@ def _search_scan_fn(k: int, chunk: int, quantized: bool):
     import jax.numpy as jnp
 
     @jax.jit
-    def run(g, gs, p, ps, n_valid):
+    def run(g, gs, gbias, p, ps, n_valid):
         cap, d = g.shape
         nblk = cap // chunk
 
-        def sims_of(rows, scale, start):
+        def sims_of(rows, scale, bias, start):
             if quantized:
                 acc = jax.lax.dot_general(
                     p, rows, (((1,), (1,)), ((), ())),
@@ -175,6 +252,7 @@ def _search_scan_fn(k: int, chunk: int, quantized: bool):
                 s = jax.lax.dot_general(
                     p.astype(g.dtype), rows, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
+            s = s + bias[None, :]
             row = start + jnp.arange(rows.shape[0])
             return jnp.where(row[None, :] < n_valid, s, -2e9)
 
@@ -193,7 +271,8 @@ def _search_scan_fn(k: int, chunk: int, quantized: bool):
             rows = jax.lax.dynamic_slice(g, (start, 0), (chunk, d))
             scale = (jax.lax.dynamic_slice(gs, (start,), (chunk,))
                      if quantized else None)
-            ts, ti = jax.lax.top_k(sims_of(rows, scale, start),
+            bias = jax.lax.dynamic_slice(gbias, (start,), (chunk,))
+            ts, ti = jax.lax.top_k(sims_of(rows, scale, bias, start),
                                    min(k, chunk))
             return merge(carry, ts, start + ti), None
 
@@ -204,8 +283,10 @@ def _search_scan_fn(k: int, chunk: int, quantized: bool):
             rows = jax.lax.slice(g, (nblk * chunk, 0), (cap, d))
             scale = (jax.lax.slice(gs, (nblk * chunk,), (cap,))
                      if quantized else None)
+            bias = jax.lax.slice(gbias, (nblk * chunk,), (cap,))
             ts, ti = jax.lax.top_k(
-                sims_of(rows, scale, nblk * chunk), min(k, tail))
+                sims_of(rows, scale, bias, nblk * chunk),
+                min(k, tail))
             carry = merge(carry, ts, nblk * chunk + ti)
         return carry
 
@@ -259,15 +340,15 @@ def _append1_fn():
 
 @functools.lru_cache(maxsize=None)
 def _grow1_fn(cap: int):
-    """1-D twin of _grow_fn, for the int8 store's per-row scales."""
+    """1-D twin of _grow_fn: zero-extend a per-row vector (int8
+    scales, tombstone bias) to the grown capacity."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(old, vals, offset):
+    def run(old):
         out = jnp.zeros((cap,), old.dtype)
-        out = jax.lax.dynamic_update_slice(out, old, (0,))
-        return jax.lax.dynamic_update_slice(out, vals, (offset,))
+        return jax.lax.dynamic_update_slice(out, old, (0,))
 
     return run
 
@@ -327,45 +408,63 @@ class DeviceGallery:
         # probe searches (ops/pallas_topk.py): never materializes the
         # (B, cap) sims matrix, measured 1.7x the XLA program at
         # B=64 x 10^7 rows. None = auto (TPU, B >= 8); True forces it
-        # (CPU tests run the Mosaic interpreter); False disables. Any
-        # Mosaic failure falls back to the XLA program permanently
-        # (same guard style as ops/pallas_preprocess.py).
+        # (CPU tests run the Mosaic interpreter); False disables.
+        # Mosaic failures back off (32-search cooldown, permanent
+        # after 3 strikes) instead of the r4 one-strike permanent trip
+        # — a transient VMEM squeeze must not cost the gallery its
+        # fast path for life (advisor r4).
         self.use_pallas = None
-        self._pallas_broken = False
-        self._lock = threading.Lock()
+        self._pallas_fails = 0
+        self._pallas_cooldown = 0
+        # tombstones: per-row f32 bias over the HOST fill (0 live,
+        # -2e9 dead) mirrored on device; compaction rebuilds once dead
+        # rows exceed this fraction of the fill (see remove())
+        self.compact_frac = 0.25
+        self._tomb = 0
+        self._gate = _ReadersWriterGate()
         # host master: doubling-capacity buffers + fill count, so the
         # per-enroll host cost is the new rows (amortized), not a full
         # reallocation of the gallery
         self._host = np.zeros((0, dim), np.float32)
         self._lab = np.zeros((0,), np.int64)
-        self._n = 0
+        self._bias = np.zeros((0,), np.float32)
+        self._n = 0                 # fill (live + tombstoned rows)
         self._dev = None            # (capacity, D) device array
         self._dev_scale = None      # (capacity,) f32, int8 store only
+        self._dev_bias = None       # (capacity,) f32 tombstone bias
 
     def __len__(self) -> int:
-        with self._lock:
-            return self._n
+        """LIVE enrollment count (fill minus tombstones)."""
+        with self._gate.cond:
+            return self._n - self._tomb
 
     def _capacity_for(self, n: int) -> int:
         return -(-max(n, 1) // self.block) * self.block
 
     def device_bytes(self, rows: int | None = None) -> int:
-        """Device footprint at ``rows`` (default: current) enrollment."""
-        with self._lock:
+        """Device footprint at ``rows`` (default: current fill,
+        INCLUDING tombstoned rows — they occupy HBM until compaction)."""
+        with self._gate.cond:
             n = self._n if rows is None else rows
         return self._bytes_for(n)
 
     def _bytes_for(self, n: int) -> int:
+        # store rows (+ the int8 per-row scale). The f32 tombstone
+        # bias (4 B/row, <1% of any store) and transient score
+        # matrices are NOT counted — hbm_limit_gb is a store-footprint
+        # guard, not an allocator.
         per_row = self.dim * self.itemsize
         if self.dtype == "int8":
-            per_row += 4                    # the f32 per-row scale
+            per_row += 4
         return self._capacity_for(n) * per_row
 
     def enroll(self, embeddings: np.ndarray, labels) -> int:
-        """Append embeddings (N, D) with int labels (N,); → new size.
+        """Append embeddings (N, D) with int labels (N,); → new live
+        size.
 
         Raises :class:`GalleryCapacityError` when the grown device
-        store would exceed ``hbm_limit_gb``."""
+        store would exceed ``hbm_limit_gb`` (after reclaiming any
+        tombstoned rows via compaction)."""
         embeddings = np.asarray(embeddings, np.float32)
         if embeddings.ndim == 1:
             embeddings = embeddings[None]
@@ -374,15 +473,23 @@ class DeviceGallery:
             raise ValueError(
                 f"embeddings {embeddings.shape} vs labels "
                 f"{labels.shape} / dim {self.dim}")
-        with self._lock:
+        with self._gate.write():
             new_n = self._n + embeddings.shape[0]
             need = self._bytes_for(new_n)
-            if self.hbm_limit_gb and need > self.hbm_limit_gb * 1e9:
+            over = self.hbm_limit_gb and need > self.hbm_limit_gb * 1e9
+            if over and self._tomb:
+                # reclaim dead rows before refusing/streaming
+                self._compact_locked()
+                new_n = self._n + embeddings.shape[0]
+                need = self._bytes_for(new_n)
+                over = need > self.hbm_limit_gb * 1e9
+            if over:
                 if self.overflow == "stream":
                     if not self._streaming:
                         self._streaming = True
                         self._dev = None    # free the resident store
                         self._dev_scale = None
+                        self._dev_bias = None
                 else:
                     raise GalleryCapacityError(
                         f"enrolling {embeddings.shape[0]} rows would "
@@ -401,18 +508,22 @@ class DeviceGallery:
                 glab = np.zeros((new_cap,), np.int64)
                 glab[:self._n] = self._lab[:self._n]
                 self._lab = glab
+                gbias = np.zeros((new_cap,), np.float32)
+                gbias[:self._n] = self._bias[:self._n]
+                self._bias = gbias
             offset = self._n
             self._host[offset:new_n] = embeddings
             self._lab[offset:new_n] = labels
+            self._bias[offset:new_n] = 0.0
             self._n = new_n
             if not self._streaming:
                 self._sync_locked(new_rows=embeddings, offset=offset)
-            return new_n
+            return self._n - self._tomb
 
     @property
     def streaming(self) -> bool:
         """True once the store has overflowed into streamed search."""
-        with self._lock:
+        with self._gate.cond:
             return self._streaming
 
     def _np_dtype(self):
@@ -425,7 +536,8 @@ class DeviceGallery:
                      offset: int = 0) -> None:
         """Bring the device array up to date. ``new_rows`` enables the
         incremental path (append/grow on device); None forces a full
-        host upload (first sync, shrink after remove, load)."""
+        host upload (first sync, compaction, load). Caller must hold
+        the write gate."""
         import jax
         import jax.numpy as jnp
 
@@ -448,6 +560,8 @@ class DeviceGallery:
                 if q8:
                     self._dev_scale = _append1_fn()(
                         self._dev_scale, scale, np.int32(offset))
+                # bias for fresh rows is 0 — already the buffer value
+                # (tombstoned slots live strictly below the old fill)
                 return
             # Growing on device holds old + new stores concurrently
             # (~2x cap transient). Fine for small stores; past the
@@ -458,17 +572,25 @@ class DeviceGallery:
                 self._dev = _grow_fn(cap)(self._dev, rows,
                                           np.int32(offset), dt=dt)
                 if q8:
-                    self._dev_scale = _grow1_fn(cap)(
-                        self._dev_scale, scale, np.int32(offset))
+                    grown_s = _grow1_fn(cap)(self._dev_scale)
+                    self._dev_scale = _append1_fn()(
+                        grown_s, scale, np.int32(offset))
+                self._dev_bias = _grow1_fn(cap)(self._dev_bias)
                 return
             self._dev = None            # free before the big alloc
             self._dev_scale = None
+            self._dev_bias = None
         # Full sync streams the host master up in ~0.5 GB slabs into a
         # buffer allocated ON DEVICE (donated in-place appends): peak
         # HBM = cap + one slab. The obvious one-shot
         # device_put(asarray(padded, bf16)) of a 10^7-row store uploads
         # a 20 GB f32 mirror and converts on device — measured OOM on
         # a 16 GB v5e (r4); the slab path loads the same store in-cap.
+        # Free the outgoing buffers FIRST for the same reason (advisor
+        # r4: the remove/compaction path used to hold old + new).
+        self._dev = None
+        self._dev_scale = None
+        self._dev_bias = None
         dev = jnp.zeros((cap, self.dim), dt)
         dscale = jnp.zeros((cap,), np.float32) if q8 else None
         slab = max(self.block, (1 << 29) // (self.dim * 4))
@@ -486,78 +608,90 @@ class DeviceGallery:
                     np.int32(i))
         self._dev = dev
         self._dev_scale = dscale
+        # tombstone bias: tiny (cap × 4 B) — one padded upload. All-
+        # zero after compaction/load, but the general grow-past-
+        # grow_on_device_max path can carry live tombstones here.
+        bias = np.zeros((cap,), np.float32)
+        bias[:n] = self._bias[:n]
+        self._dev_bias = jax.device_put(jnp.asarray(bias))
 
     def search(self, embeddings: np.ndarray, k: int = 5):
         """Top-``k`` matches per probe → (labels (B,k) int64,
         scores (B,k) f32). Probes and gallery are assumed
         L2-normalized (the extractor's output); ``k`` clamps to the
-        current size."""
+        current live size."""
         import jax.numpy as jnp
 
-        with self._lock:
+        with self._gate.read():
             n = self._n
+            n_live = self._n - self._tomb
             dev = self._dev
             dev_scale = self._dev_scale
+            dev_bias = self._dev_bias
             streaming = self._streaming
-            # views/references are safe: growth swaps in NEW buffers,
-            # so captured ones stay consistent for rows < n
             labels = self._lab[:n]
             host = self._host
-        if n == 0:
-            raise ValueError("gallery is empty — enroll first")
-        k = min(int(k), n)
-        if k < 1:
-            raise ValueError(f"k must be >= 1, got {k}")
-        e = np.asarray(embeddings, np.float32)
-        if e.ndim == 1:
-            e = e[None]
-        if e.shape[1] != self.dim:
-            raise ValueError(f"probe dim {e.shape[1]} != {self.dim}")
-        if self.dtype == "int8":
-            # two-stage: device coarse over the quantized store, then
-            # exact f32 rescore of only the candidate rows — final
-            # scores carry no quantization error
-            kc = min(k * self.rescore_expand, n)
-            if streaming:
-                cand, _ = self._stream_search(host, n, e, kc)
-            else:
-                pq, ps = _quantize_rows(e)
-                # the Pallas kernel never materializes the (B, cap)
-                # sims matrix, so it outranks the scan OOM guard —
-                # huge probe batches lax.map over VMEM-sized chunks
-                # inside one jit (each chunk re-reads the store;
-                # still far cheaper than the sims traffic)
-                if self._pallas_ok(dev, e.shape[0]):
-                    cand = self._pallas_search_q(dev, dev_scale, pq,
-                                                 ps, n, kc)
+            bias = self._bias
+            if n_live == 0:
+                raise ValueError("gallery is empty — enroll first")
+            k = min(int(k), n_live)
+            if k < 1:
+                raise ValueError(f"k must be >= 1, got {k}")
+            e = np.asarray(embeddings, np.float32)
+            if e.ndim == 1:
+                e = e[None]
+            if e.shape[1] != self.dim:
+                raise ValueError(
+                    f"probe dim {e.shape[1]} != {self.dim}")
+            if self.dtype == "int8":
+                # two-stage: device coarse over the quantized store,
+                # then exact f32 rescore of only the candidate rows —
+                # final scores carry no quantization error
+                kc = min(k * self.rescore_expand, n_live)
+                if streaming:
+                    cand, _ = self._stream_search(host, bias, n, e, kc)
                 else:
-                    chunk = self._scan_chunk(e.shape[0],
-                                             dev.shape[0])
-                    fn = (_search_scan_fn(kc, chunk, True) if chunk
-                          else _search_q_fn(kc))
-                    _, ci = fn(dev, dev_scale, jnp.asarray(pq),
-                               jnp.asarray(ps), jnp.int32(n))
-                    cand = np.asarray(ci)
-            idx, scores = _rescore(host, n, e, cand, k)
-        elif streaming:
-            idx, scores = self._stream_search(host, n, e, k)
-        elif self._pallas_ok(dev, e.shape[0]):
-            # kernel outranks the scan guard: it never materializes
-            # the (B, cap) sims matrix, so the guard's OOM cannot
-            # happen; big batches lax.map over VMEM-sized probe
-            # chunks INSIDE one jit (one dispatch, one tunnel RTT)
-            scores, idx = self._pallas_search(dev, e, n, k)
-        else:
-            chunk = self._scan_chunk(e.shape[0], dev.shape[0])
-            if chunk:
-                dummy = jnp.zeros((1,), np.float32)
-                scores, idx = _search_scan_fn(k, chunk, False)(
-                    dev, dummy, jnp.asarray(e), dummy, jnp.int32(n))
+                    pq, ps = _quantize_rows(e)
+                    # the Pallas kernel never materializes the (B, cap)
+                    # sims matrix, so it outranks the scan OOM guard —
+                    # huge probe batches lax.map over VMEM-sized chunks
+                    # inside one jit (each chunk re-reads the store;
+                    # still far cheaper than the sims traffic)
+                    if self._pallas_ok(dev, e.shape[0]):
+                        cand = self._pallas_search_q(
+                            dev, dev_scale, dev_bias, pq, ps, n, kc)
+                    else:
+                        chunk = self._scan_chunk(e.shape[0],
+                                                 dev.shape[0])
+                        fn = (_search_scan_fn(kc, chunk, True) if chunk
+                              else _search_q_fn(kc))
+                        _, ci = fn(dev, dev_scale, dev_bias,
+                                   jnp.asarray(pq), jnp.asarray(ps),
+                                   jnp.int32(n))
+                        cand = np.asarray(ci)
+                idx, scores = _rescore(host, n, e, cand, k, bias)
+            elif streaming:
+                idx, scores = self._stream_search(host, bias, n, e, k)
+            elif self._pallas_ok(dev, e.shape[0]):
+                # kernel outranks the scan guard: it never materializes
+                # the (B, cap) sims matrix, so the guard's OOM cannot
+                # happen; big batches lax.map over VMEM-sized probe
+                # chunks INSIDE one jit (one dispatch, one tunnel RTT)
+                scores, idx = self._pallas_search(dev, dev_bias, e, n,
+                                                  k)
             else:
-                scores, idx = _search_fn(k)(dev, jnp.asarray(e),
-                                            jnp.int32(n))
-            idx = np.asarray(idx)
-        return labels[idx], np.asarray(scores)
+                chunk = self._scan_chunk(e.shape[0], dev.shape[0])
+                if chunk:
+                    dummy = jnp.zeros((1,), np.float32)
+                    scores, idx = _search_scan_fn(k, chunk, False)(
+                        dev, dummy, dev_bias, jnp.asarray(e), dummy,
+                        jnp.int32(n))
+                else:
+                    scores, idx = _search_fn(k)(dev, dev_bias,
+                                                jnp.asarray(e),
+                                                jnp.int32(n))
+                idx = np.asarray(idx)
+            return labels[idx], np.asarray(scores)
 
     def _pallas_ok(self, dev, batch: int) -> bool:
         from tf_face_toolbox_tpu.ops.pallas_topk import (
@@ -565,8 +699,11 @@ class DeviceGallery:
             default_blk,
         )
 
-        if (self._pallas_broken or self.use_pallas is False
-                or dev.shape[0] % BLK):
+        if (self.use_pallas is False or dev.shape[0] % BLK
+                or self._pallas_fails >= 3):
+            return False
+        if self._pallas_cooldown > 0:
+            self._pallas_cooldown -= 1
             return False
         if self.use_pallas:
             return True
@@ -582,7 +719,21 @@ class DeviceGallery:
                           dev.dtype.itemsize)
         return blk >= 2048 or batch >= 8
 
-    def _pallas_search(self, dev, e, n: int, k: int):
+    def _pallas_backoff(self, what: str) -> None:
+        """Mosaic failure: 32-search cooldown; permanent only after 3
+        strikes (advisor r4 — one transient VMEM squeeze must not
+        disable the kernel for the gallery's lifetime)."""
+        from absl import logging
+
+        self._pallas_fails += 1
+        self._pallas_cooldown = 32
+        logging.warning(
+            "pallas %s failed (strike %d/3); falling back to the XLA "
+            "program%s", what, self._pallas_fails,
+            " permanently" if self._pallas_fails >= 3
+            else " for the next 32 searches", exc_info=True)
+
+    def _pallas_search(self, dev, dev_bias, e, n: int, k: int):
         import jax
         import jax.numpy as jnp
 
@@ -591,14 +742,15 @@ class DeviceGallery:
         try:
             if jax.default_backend() == "tpu":
                 s, i = pallas_topk.cosine_topk_batched(
-                    dev, jnp.asarray(e), jnp.int32(n), k)
+                    dev, jnp.asarray(e), jnp.int32(n), k,
+                    bias=dev_bias)
             else:
                 # interpret path (CPU tests): host-side chunk loop —
                 # the Mosaic interpreter can't run under the batched
                 # wrapper's jit
                 parts = [pallas_topk.cosine_topk_impl(
                     dev, jnp.asarray(e[i:i + _PROBE_CHUNK]),
-                    jnp.int32(n), k, interpret=True)
+                    jnp.int32(n), k, interpret=True, bias=dev_bias)
                     for i in range(0, e.shape[0], _PROBE_CHUNK)]
                 s = jnp.concatenate([p[0] for p in parts])
                 i = jnp.concatenate([p[1] for p in parts])
@@ -606,17 +758,13 @@ class DeviceGallery:
             # surface at execution, and must trip the fallback too
             return np.asarray(s), np.asarray(i)
         except Exception:       # Mosaic shape/VMEM edge: fall back
-            from absl import logging
-
-            self._pallas_broken = True
-            logging.warning(
-                "pallas gallery search failed; falling back to the "
-                "XLA program for this gallery", exc_info=True)
-            s, i = _search_fn(k)(dev, jnp.asarray(e), jnp.int32(n))
+            self._pallas_backoff("gallery search")
+            s, i = _search_fn(k)(dev, dev_bias, jnp.asarray(e),
+                                 jnp.int32(n))
             return np.asarray(s), np.asarray(i)
 
-    def _pallas_search_q(self, dev, dev_scale, pq, ps, n: int,
-                         kc: int):
+    def _pallas_search_q(self, dev, dev_scale, dev_bias, pq, ps,
+                         n: int, kc: int):
         import jax
         import jax.numpy as jnp
 
@@ -626,25 +774,23 @@ class DeviceGallery:
             if jax.default_backend() == "tpu":
                 _, ci = pallas_topk.cosine_topk_q_batched(
                     dev, dev_scale, jnp.asarray(pq), jnp.asarray(ps),
-                    jnp.int32(n), kc)
+                    jnp.int32(n), kc, bias=dev_bias)
             else:
                 parts = [pallas_topk.cosine_topk_q_impl(
                     dev, dev_scale,
                     jnp.asarray(pq[i:i + _PROBE_CHUNK]),
                     jnp.asarray(ps[i:i + _PROBE_CHUNK]),
-                    jnp.int32(n), kc, interpret=True)[1]
+                    jnp.int32(n), kc, interpret=True,
+                    bias=dev_bias)[1]
                     for i in range(0, pq.shape[0], _PROBE_CHUNK)]
                 ci = jnp.concatenate(parts)
+            return np.asarray(ci)
         except Exception:       # Mosaic shape/VMEM edge: fall back
-            from absl import logging
-
-            self._pallas_broken = True
-            logging.warning(
-                "pallas int8 gallery search failed; falling back to "
-                "the XLA program for this gallery", exc_info=True)
-            _, ci = _search_q_fn(kc)(dev, dev_scale, jnp.asarray(pq),
-                                     jnp.asarray(ps), jnp.int32(n))
-        return np.asarray(ci)
+            self._pallas_backoff("int8 gallery search")
+            _, ci = _search_q_fn(kc)(dev, dev_scale, dev_bias,
+                                     jnp.asarray(pq), jnp.asarray(ps),
+                                     jnp.int32(n))
+            return np.asarray(ci)
 
     def _scan_chunk(self, batch: int, cap: int) -> int:
         """Chunk rows for the scanned search, or 0 for the plain
@@ -665,8 +811,8 @@ class DeviceGallery:
                 self.stream_slab_bytes // (self.dim * self.itemsize))
         return -(-r // self.block) * self.block
 
-    def _stream_search(self, host: np.ndarray, n: int,
-                       probes: np.ndarray, k: int):
+    def _stream_search(self, host: np.ndarray, bias: np.ndarray,
+                       n: int, probes: np.ndarray, k: int):
         """Exact top-k over a store larger than the device bound:
         stream fixed slabs through the chip (same compiled program as
         the resident path), merge the per-slab winners on host. Device
@@ -695,19 +841,25 @@ class DeviceGallery:
                 chunk, cscale = _quantize_rows(host[i:j])
             else:
                 chunk = host[i:j].astype(dt)
+            bslab = bias[i:j]
             if j - i < slab:            # pad the tail: shape-stable jit
                 pad = np.zeros((slab, self.dim), dt)
                 pad[:j - i] = chunk
                 chunk = pad
+                bpad = np.zeros((slab,), np.float32)
+                bpad[:j - i] = bslab
+                bslab = bpad
                 if q8:
                     spad = np.zeros((slab,), np.float32)
                     spad[:j - i] = cscale
                     cscale = spad
             if q8:
                 s, ix = fn(jnp.asarray(chunk), jnp.asarray(cscale),
-                           p, p_s, jnp.int32(j - i))
+                           jnp.asarray(bslab), p, p_s,
+                           jnp.int32(j - i))
             else:
-                s, ix = fn(jnp.asarray(chunk), p, jnp.int32(j - i))
+                s, ix = fn(jnp.asarray(chunk), jnp.asarray(bslab), p,
+                           jnp.int32(j - i))
             parts_s.append(np.asarray(s))
             parts_i.append(np.asarray(ix) + i)
         all_s = np.concatenate(parts_s, axis=1)
@@ -719,36 +871,82 @@ class DeviceGallery:
         return all_i[rows, top][rows, order], sel_s[rows, order]
 
     def remove(self, label: int) -> int:
-        """Drop every enrollment of ``label``; → rows removed. The
-        device array re-syncs from the host master (the rare path;
-        capacity only shrinks at block granularity)."""
-        with self._lock:
-            keep = self._lab[:self._n] != int(label)
-            removed = int((~keep).sum())
-            if removed:
-                kept_e = self._host[:self._n][keep]
-                kept_l = self._lab[:self._n][keep]
-                self._n = kept_e.shape[0]
-                self._host[:self._n] = kept_e
-                self._lab[:self._n] = kept_l
-                if self._streaming:
-                    need = self._bytes_for(self._n)
-                    if (not self.hbm_limit_gb
-                            or need <= self.hbm_limit_gb * 1e9):
-                        # shrunk back under the bound: resume residency
-                        self._streaming = False
-                        self._sync_locked()
-                else:
-                    self._sync_locked()
+        """Drop every enrollment of ``label``; → rows removed.
+
+        O(removed): marks the rows in the tombstone bias (host + one
+        small device scatter) — every search program masks them, so
+        results are exact immediately. The full rebuild (compaction)
+        is deferred until tombstones exceed ``compact_frac`` of the
+        fill, the store empties, or a streaming store shrinks back
+        under the residency bound."""
+        with self._gate.write():
+            fill = self._n
+            hit = ((self._lab[:fill] == int(label))
+                   & (self._bias[:fill] == 0.0))
+            removed = int(hit.sum())
+            if not removed:
+                return 0
+            idx = np.nonzero(hit)[0]
+            self._bias[idx] = _TOMB
+            self._tomb += removed
+            n_live = fill - self._tomb
+            live_bytes = self._bytes_for(n_live)
+            fits = (not self.hbm_limit_gb
+                    or live_bytes <= self.hbm_limit_gb * 1e9)
+            if (n_live == 0
+                    or (self._streaming and fits)
+                    or self._tomb >= max(self.block,
+                                         self.compact_frac * fill)):
+                self._compact_locked()
+            elif self._dev_bias is not None:
+                import jax.numpy as jnp
+
+                # pad the scatter indices to the next power of two
+                # (repeats are idempotent) so the op-by-op compile
+                # cache sees a bounded set of shapes
+                pad = 1 << (len(idx) - 1).bit_length()
+                idxp = np.concatenate(
+                    [idx, np.full(pad - len(idx), idx[0], idx.dtype)])
+                self._dev_bias = self._dev_bias.at[
+                    jnp.asarray(idxp, jnp.int32)].set(_TOMB)
             return removed
+
+    def _compact_locked(self) -> int:
+        """Rebuild without tombstoned rows; → live count. In-place on
+        the host buffers (safe: the write gate drained all readers),
+        full device re-upload with the old store freed first. A
+        streaming store that now fits the bound resumes residency."""
+        fill = self._n
+        live = self._bias[:fill] == 0.0
+        kept = int(live.sum())
+        if kept != fill:
+            self._host[:kept] = self._host[:fill][live]
+            self._lab[:kept] = self._lab[:fill][live]
+        self._bias[:fill] = 0.0
+        self._n = kept
+        self._tomb = 0
+        self._dev = None
+        self._dev_scale = None
+        self._dev_bias = None
+        if self._streaming:
+            need = self._bytes_for(kept)
+            if (not self.hbm_limit_gb
+                    or need <= self.hbm_limit_gb * 1e9):
+                self._streaming = False     # residency resumes
+        if kept and not self._streaming:
+            self._sync_locked()
+        return kept
 
     # ------------------------------------------------------ persistence
 
     def save(self, path: str) -> int:
-        """Atomic snapshot → .npz; returns the row count written."""
-        with self._lock:
-            emb = self._host[:self._n].copy()
-            labels = self._lab[:self._n].copy()
+        """Atomic snapshot (live rows only) → .npz; returns the row
+        count written."""
+        with self._gate.read():
+            n = self._n
+            live = self._bias[:n] == 0.0
+            emb = self._host[:n][live]
+            labels = self._lab[:n][live]
         tmp = path + ".tmp.npz"
         np.savez(tmp, embeddings=emb, labels=labels)
         os.replace(tmp, path)

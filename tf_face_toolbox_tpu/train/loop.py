@@ -75,8 +75,9 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
     persistently diverged run (LR blowup, corrupted shard) would skip
     every step forever while appearing to train. The loop keeps the
     per-step skip flags as unmaterialized device scalars (no extra
-    sync; async dispatch is preserved) and settles them at each log
-    point: the cumulative count is logged as
+    sync; async dispatch is preserved) and settles them every
+    min(log_every, 100) steps — a fixed cadence, so the abort fires
+    even with logging disabled: the cumulative count is logged as
     ``skipped_nonfinite_total`` and a run of ``max_consecutive_skips``
     consecutive skips — tracked across log boundaries — raises
     ``FloatingPointError`` (t5x-style) instead of training on air.
@@ -144,11 +145,16 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
     metrics = {}
     preempted = False
     keep_best_warned = False
-    # skip_nonfinite bookkeeping: per-step device scalars, settled at
-    # log points (see docstring). cum/consec persist across log points.
+    # skip_nonfinite bookkeeping: per-step device scalars, settled on a
+    # fixed step cadence INDEPENDENT of log_every (advisor r4: with
+    # log_every=0 the divergence abort never fired and skip_pending
+    # grew one device scalar per step for the whole run) and again at
+    # log points. cum/consec persist across settle points.
     skip_pending: list = []
     skip_total = 0
     skip_consec = 0
+    settle_cadence = min(log_every or 100, 100,
+                         max_consecutive_skips or 10**9)
 
     def settle_skips():
         nonlocal skip_total, skip_consec
@@ -180,6 +186,8 @@ def train_loop(cfg: TrainConfig, mesh, batches: Iterator[dict], *,
         state, metrics = step_fn(state, batch["image"], batch["label"])
         if "skipped_nonfinite" in metrics:
             skip_pending.append(metrics["skipped_nonfinite"])
+            if len(skip_pending) >= settle_cadence:
+                settle_skips()
         step = start = start + 1
         if log_every and (step % log_every == 0 or step == num_steps):
             settle_skips()

@@ -70,8 +70,9 @@ def device_search_ms(g: DeviceGallery, probes: np.ndarray) -> float:
     )
     from tf_face_toolbox_tpu.utils.profiling import chained_seconds_per_call
 
-    with g._lock:
+    with g._gate.cond:
         dev, dev_scale, n = g._dev, g._dev_scale, g._n
+        dev_bias = g._dev_bias
     use_pl = g._pallas_ok(dev, probes.shape[0])   # kernel outranks
     chunk = (0 if use_pl else
              g._scan_chunk(probes.shape[0], dev.shape[0]))
@@ -83,41 +84,41 @@ def device_search_ms(g: DeviceGallery, probes: np.ndarray) -> float:
         kc = 5 * g.rescore_expand
         pq, ps = _quantize_rows(probes)
         if use_pl:
-            def call(p, p_s, dv, sc, nn):
-                s, i = cosine_topk_q(dv, sc, p, p_s, nn, kc)
+            def call(p, p_s, dv, sc, bs, nn):
+                s, i = cosine_topk_q(dv, sc, p, p_s, nn, kc, bias=bs)
                 return s, i.astype(jnp.float32)
         else:
             fn = (_search_scan_fn(kc, chunk, True) if chunk
                   else _search_q_fn(kc))
 
-            def call(p, p_s, dv, sc, nn):
-                s, i = fn(dv, sc, p, p_s, nn)
+            def call(p, p_s, dv, sc, bs, nn):
+                s, i = fn(dv, sc, bs, p, p_s, nn)
                 return s, i.astype(jnp.float32)
 
         return chained_seconds_per_call(
             call, jnp.asarray(pq), jnp.asarray(ps), dev, dev_scale,
-            jnp.int32(n)) * 1e3
+            dev_bias, jnp.int32(n)) * 1e3
 
     if use_pl:
-        def call(p, dv, nn):
-            s, i = cosine_topk(dv, p, nn, 5)
+        def call(p, dv, bs, nn):
+            s, i = cosine_topk(dv, p, nn, 5, bias=bs)
             return s, i.astype(jnp.float32)
     elif chunk:
         sfn = _search_scan_fn(5, chunk, False)
         dummy = jnp.zeros((1,), np.float32)
 
-        def call(p, dv, nn):
-            s, i = sfn(dv, dummy, p, dummy, nn)
+        def call(p, dv, bs, nn):
+            s, i = sfn(dv, dummy, bs, p, dummy, nn)
             return s, i.astype(jnp.float32)
     else:
         fn = _search_fn(5)
 
-        def call(p, dv, nn):
-            s, i = fn(dv, p, nn)
+        def call(p, dv, bs, nn):
+            s, i = fn(dv, bs, p, nn)
             return s, i.astype(jnp.float32)
 
     return chained_seconds_per_call(
-        call, jnp.asarray(probes), dev, jnp.int32(n)) * 1e3
+        call, jnp.asarray(probes), dev, dev_bias, jnp.int32(n)) * 1e3
 
 
 def bench_config(rows: np.ndarray, dtype: str, hbm_limit_gb: float):
@@ -139,6 +140,15 @@ def bench_config(rows: np.ndarray, dtype: str, hbm_limit_gb: float):
         g.enroll(one, [n + 1 + i])
         enroll_ts.append(time.perf_counter() - t0)
 
+    # /deenroll: r5 tombstone path — one tiny bias scatter, O(removed)
+    # at any store size (the r4 full re-sync was O(gallery bytes))
+    remove_ts = []
+    for i in range(30):
+        t0 = time.perf_counter()
+        assert g.remove(n + 1 + i) == 1
+        remove_ts.append(time.perf_counter() - t0)
+    g.enroll(rows[:30], n + 1 + np.arange(30))   # restore the fill
+
     search_ts, dev_ms = {}, {}
     for b in (1, 64):
         probes = rows[:b]
@@ -159,6 +169,8 @@ def bench_config(rows: np.ndarray, dtype: str, hbm_limit_gb: float):
         first_enroll_ms=first_enroll_ms,
         enroll_p50_ms=pct(enroll_ts, 50) * 1e3,
         enroll_p99_ms=pct(enroll_ts, 99) * 1e3,
+        remove_p50_ms=pct(remove_ts, 50) * 1e3,
+        remove_p99_ms=pct(remove_ts, 99) * 1e3,
         search1_p50_ms=pct(search_ts[1], 50) * 1e3,
         search1_p99_ms=pct(search_ts[1], 99) * 1e3,
         search1_dev_ms=dev_ms[1],
@@ -274,13 +286,15 @@ def main():
         print(f"capacity refusal OK: {e}", flush=True)
 
     print("\n| rows | dtype | HBM GB | bulk load s | enroll p50/p99 ms "
+          "| deenroll p50/p99 ms "
           "| identify B=1 p50 e2e / device ms "
           "| identify B=64 p50 e2e / device ms |")
-    print("|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|")
     for r in results:
         print(f"| {r['rows']:,} | {r['dtype']} | {r['device_gb']:.2f} "
               f"| {r['bulk_load_s']:.1f} "
               f"| {r['enroll_p50_ms']:.1f} / {r['enroll_p99_ms']:.1f} "
+              f"| {r['remove_p50_ms']:.1f} / {r['remove_p99_ms']:.1f} "
               f"| {r['search1_p50_ms']:.1f} / {r['search1_dev_ms']:.2f} "
               f"| {r['search64_p50_ms']:.1f} / {r['search64_dev_ms']:.2f} |")
 
