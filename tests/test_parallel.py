@@ -256,3 +256,102 @@ def test_sampled_pfc_million_id_step():
     assert np.isfinite(float(metrics["loss"]))
     # plausible NLL scale for 10^6 classes: ~log(1e6) ≈ 13.8
     assert 5.0 < float(metrics["loss"]) < 40.0, metrics
+
+
+# ---------------------------------------------------------------------------
+# r5: compact classifier-gradient exchange (VERDICT r4 #2)
+
+def _sampled_dp(mesh, cfg, budget, data_axis):
+    """Sampled PFC over a (data, model) mesh, trainer-style: grad of
+    the LOCAL per-rank loss taken inside shard_map (cotangent 1 per
+    rank), classifier grad data-combined INSIDE the loss's VJP when
+    data_axis is given. Returns (global mean loss, classifier grad)."""
+    from tf_face_toolbox_tpu.parallel.sharded_softmax import (
+        sampled_sharded_margin_softmax_loss,
+    )
+
+    def local(emb, w, labels, key):
+        def loss_fn(w_):
+            # ÷ model size: model replicas compute the same loss, and
+            # the psum collectives inside it accumulate each replica's
+            # cotangent — the trainer's normalization (trainer.py)
+            return sampled_sharded_margin_softmax_loss(
+                emb, w_, labels, cfg, key, budget,
+                axis_name=MODEL_AXIS, data_axis=data_axis) / (
+                    jax.lax.axis_size(MODEL_AXIS))
+
+        l, g = jax.value_and_grad(loss_fn)(w)
+        l = l * jax.lax.axis_size(MODEL_AXIS)
+        if data_axis is None:
+            g = jax.lax.pmean(g, DATA_AXIS)     # the trainer's old sync
+        return jax.lax.pmean(l, DATA_AXIS), g
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(MODEL_AXIS, None), P(DATA_AXIS),
+                  P()),
+        out_specs=(P(), P(MODEL_AXIS, None)), check_vma=False))
+
+
+def test_sampled_pfc_compact_full_budget_matches_exact_dp():
+    """On a (4, 2) mesh at budget == C_local the compact-sync sampled
+    head must equal the exact sharded softmax: loss AND the (already
+    data-combined) classifier gradient."""
+    rng = np.random.default_rng(8)
+    n, d, c = 16, 16, 64
+    emb = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(c, d)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, c, n))
+    cfg = MarginConfig.cosface()
+    mesh = create_mesh(data=4, model=2)
+    loss, g = _sampled_dp(mesh, cfg, budget=c // 2, data_axis=DATA_AXIS)(
+        emb, w, labels, jax.random.key(3))
+    loss_x = float(margin_softmax_loss(emb, w, labels, cfg))
+    np.testing.assert_allclose(float(loss), loss_x, rtol=1e-5)
+    gw_x = jax.grad(
+        lambda w_: margin_softmax_loss(emb, w_, labels, cfg))(w)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gw_x),
+                               atol=1e-5)
+
+
+def test_sampled_pfc_compact_is_data_mesh_invariant():
+    """Global positives + a data-replicated key make the sampled set a
+    function of the GLOBAL batch only: the same batch on (1, 2) and
+    (4, 2) meshes must produce the same loss and classifier gradient
+    at a PARTIAL budget. (The r4 per-rank-positives path sampled
+    differently at every data width.)"""
+    rng = np.random.default_rng(9)
+    n, d, c = 16, 16, 128
+    emb = jnp.asarray(0.5 * rng.normal(size=(n, d)).astype(np.float32))
+    w = jnp.asarray(0.5 * rng.normal(size=(c, d)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, c, n))
+    cfg = MarginConfig.softmax(scale=8.0)
+    key = jax.random.key(11)
+    budget = 32                             # half of each 64-col shard
+    out = {}
+    for data in (1, 4):
+        mesh = create_mesh(data=data, model=2)
+        loss, g = _sampled_dp(mesh, cfg, budget,
+                              data_axis=DATA_AXIS)(emb, w, labels, key)
+        out[data] = (float(loss), np.asarray(g))
+    np.testing.assert_allclose(out[1][0], out[4][0], rtol=1e-5)
+    np.testing.assert_allclose(out[1][1], out[4][1], atol=1e-5)
+
+
+def test_sampled_pfc_compact_degenerates_to_r4_path_at_data1():
+    """data axis of size 1: all_gather/pmean are identities, so
+    data_axis=DATA_AXIS and data_axis=None are the same estimator."""
+    rng = np.random.default_rng(10)
+    n, d, c = 8, 16, 128                    # 16-col shards, budget 8
+    emb = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(c, d)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, c, n))
+    cfg = MarginConfig.cosface()
+    key = jax.random.key(5)
+    mesh = create_mesh(data=1, model=8)
+    l_new, g_new = _sampled_dp(mesh, cfg, 8, DATA_AXIS)(
+        emb, w, labels, key)
+    l_old, g_old = _sampled_dp(mesh, cfg, 8, None)(emb, w, labels, key)
+    np.testing.assert_allclose(float(l_new), float(l_old), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_old),
+                               atol=1e-6)

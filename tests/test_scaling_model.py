@@ -96,3 +96,45 @@ def test_classify_axis():
     assert scaling_model.classify_axis([list(range(8))], 4, 2) == "all"
     assert scaling_model.classify_axis(None, 4, 2) == "pairs"
     assert scaling_model.classify_axis([[0, 3]], 4, 2) == "other"
+
+
+def test_sampled_pfc_classifier_grad_collective_is_compact():
+    """VERDICT r4 #2: with sampled Partial-FC the classifier-gradient
+    data collective must move the COMPACT (budget, D) cotangent, not
+    the full (C_local, D) shard. Read straight off the lowered HLO."""
+    import math
+
+    c, d_emb, model = 4096, 16, 4
+    rate = 0.1
+    def analyze_with(**kw):
+        import scaling_model as sm
+        cfg = TrainConfig(network="resnet_tiny", image_size=16,
+                          crop_from=20, global_batch=16, augment=True,
+                          dtype=jnp.float32, num_classes=c,
+                          embedding_dim=d_emb, **kw)
+        mesh = create_mesh(data=2, model=model)
+        state, net = create_train_state(cfg, jax.random.key(0), mesh)
+        step_fn = make_train_step(net, cfg, mesh, state)
+        images = jax.ShapeDtypeStruct(
+            (cfg.global_batch, cfg.crop_from, cfg.crop_from, 3),
+            jnp.uint8)
+        labels = jax.ShapeDtypeStruct((cfg.global_batch,), jnp.int32)
+        return sm.analyze(step_fn, state, images, labels, data=2,
+                          model=model)
+
+    report = analyze_with(pfc_sample_rate=rate)
+    c_local = c // model
+    budget = min(max(math.ceil(rate * c_local), 16), c_local)  # 410
+    full_bytes = c_local * d_emb * 4            # 65536
+    compact_bytes = budget * d_emb * 4          # 26240
+    data_rows = [r for r in report["collectives"]
+                 if r["axis"] == "data" and r["group_size"] == 2]
+    sizes = sorted(r["local_mb"] for r in data_rows)
+    assert round(compact_bytes / 1e6, 3) in sizes, (sizes, compact_bytes)
+    assert round(full_bytes / 1e6, 3) not in sizes, (sizes, full_bytes)
+
+    # control: the exact head (rate 1.0) DOES move the full shard
+    report_x = analyze_with(pfc_sample_rate=1.0)
+    sizes_x = [r["local_mb"] for r in report_x["collectives"]
+               if r["axis"] == "data" and r["group_size"] == 2]
+    assert round(full_bytes / 1e6, 3) in sizes_x, (sizes_x, full_bytes)

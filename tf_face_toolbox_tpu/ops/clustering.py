@@ -89,18 +89,18 @@ def cluster_embeddings(embeddings: np.ndarray, *, threshold: float,
     graph = sp.coo_matrix(
         (np.ones(src.shape[0], np.int8), (src, dst)), shape=(n, n))
     _, comp = sp.csgraph.connected_components(graph, directed=False)
-    # canonicalize: dense ids in first-row order, noise to -1
-    first = np.full(comp.max() + 1, -1, np.int64)
-    labels = np.empty(n, np.int64)
-    nxt = 0
+    # canonicalize: dense ids in first-row order, noise to -1 — all
+    # vectorized (a per-row Python loop here was O(n) interpreter time,
+    # tens of seconds at the tool's advertised 10^7 scale)
+    comp = comp.astype(np.int64)
     sizes = np.bincount(comp)
-    for row in range(n):
-        c = comp[row]
-        if sizes[c] < min_size:
-            labels[row] = -1
-            continue
-        if first[c] < 0:
-            first[c] = nxt
-            nxt += 1
-        labels[row] = first[c]
-    return labels, nxt
+    ok = sizes[comp] >= min_size                     # (n,) bool
+    uniq, first_idx = np.unique(comp[ok], return_index=True)
+    # rank components by first appearance among surviving rows
+    rank = np.empty(uniq.shape[0], np.int64)
+    rank[np.argsort(first_idx, kind="stable")] = np.arange(
+        uniq.shape[0])
+    mapping = np.full(sizes.shape[0], -1, np.int64)
+    mapping[uniq] = rank
+    labels = np.where(ok, mapping[comp], np.int64(-1))
+    return labels, int(uniq.shape[0])

@@ -24,6 +24,8 @@ mesh (SURVEY.md §4).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -139,13 +141,47 @@ def _masked_softmax_nll(logits: jax.Array, one_hot: jax.Array,
     return jnp.mean(nll)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_compact_sync(w_shard: jax.Array, sampled: jax.Array,
+                         data_axis: str) -> jax.Array:
+    """``w_shard[sampled]`` whose backward pmean-reduces the COMPACT
+    (budget, D) cotangent over ``data_axis`` BEFORE scattering it into
+    the (C_local, D) shard (VERDICT r4 #2; the partial-gradient
+    exchange of An et al. 2021 "Partial FC").
+
+    The plain gather's VJP scatters first, so the trainer's data-axis
+    all-reduce moved the FULL shard — 47.8 MB/step at 10^6 padded ids
+    on a (2, 4) mesh regardless of sample rate (the r4 scaling model's
+    #1 v5e-8 suspect). Reducing before the scatter moves budget·D
+    floats instead: exactly ``sample_rate`` × the shard. Requires
+    ``sampled`` identical across the data axis (the caller samples
+    from the data-gathered global positives + a data-replicated key).
+    The returned shard gradient is ALREADY data-combined — the trainer
+    skips its classifier pmean for this path."""
+    return w_shard[sampled]
+
+
+def _gcs_fwd(w_shard, sampled, data_axis):
+    return w_shard[sampled], (sampled, w_shard.shape)
+
+
+def _gcs_bwd(data_axis, res, ct):
+    sampled, shape = res
+    ct = jax.lax.pmean(ct, data_axis)      # compact: (budget, D)
+    return (jnp.zeros(shape, ct.dtype).at[sampled].add(ct), None)
+
+
+_gather_compact_sync.defvjp(_gcs_fwd, _gcs_bwd)
+
+
 def sampled_sharded_margin_softmax_loss(
         embeddings: jax.Array, w_shard: jax.Array, labels: jax.Array,
         cfg: MarginConfig, key: jax.Array, budget: int,
         axis_name: str = "model",
         total_classes: int | None = None,
         extra_m2: jax.Array | None = None,
-        extra_m3: jax.Array | None = None) -> jax.Array:
+        extra_m3: jax.Array | None = None,
+        data_axis: str | None = None) -> jax.Array:
     """Sampled Partial-FC: score a per-shard class subset, not all of C.
 
     The exact head above is full Partial-FC model-parallelism but still
@@ -172,25 +208,45 @@ def sampled_sharded_margin_softmax_loss(
     draws its own columns (axis_index folds in below), and the psum'd
     denominator sums one coherent estimator.
 
+    ``data_axis`` (r5, VERDICT r4 #2): positives are taken from the
+    data-axis-GATHERED global batch (the Partial FC paper's rule) so
+    the sampled set is identical across data ranks, and the classifier
+    shard is read through :func:`_gather_compact_sync` — the data-axis
+    gradient exchange then moves the COMPACT (budget, D) gradient, not
+    the full shard, and the caller must NOT reduce the classifier
+    gradient over data again. None keeps the r4 per-rank-positives
+    behavior (single data rank / direct tests).
+
     Static shapes throughout: ``budget`` is a Python int; requires
-    ``budget >= N`` so positives can never overflow the sample.
+    ``budget >= N`` (the GLOBAL batch when ``data_axis`` is given) so
+    positives can never overflow the sample.
     """
     n = labels.shape[0]
     c_local = w_shard.shape[0]
     if not 0 < budget <= c_local:
         raise ValueError(f"budget {budget} must be in (0, {c_local}]")
-    # a shard can own at most min(N, C_local) distinct positive classes
-    if budget < min(n, c_local):
+    if data_axis is not None:
+        n_pool = n * jax.lax.axis_size(data_axis)
+        pos_labels = jax.lax.all_gather(labels, data_axis, tiled=True)
+    else:
+        n_pool = n
+        pos_labels = labels
+    # a shard can own at most min(pool, C_local) distinct positives
+    if budget < min(n_pool, c_local):
         raise ValueError(
-            f"budget {budget} < min(batch {n}, shard {c_local}): owned "
-            f"positives could overflow the sampled set")
+            f"budget {budget} < min(batch pool {n_pool}, shard "
+            f"{c_local}): owned positives could overflow the sampled "
+            f"set")
     idx_dev = jax.lax.axis_index(axis_name)
     offset = idx_dev * c_local
     local = labels - offset
     owned = (local >= 0) & (local < c_local)
     safe = jnp.where(owned, local, 0)
-    pos_in_shard = jnp.zeros((c_local,), bool).at[safe].max(
-        owned, mode="drop")
+    pos_local = pos_labels - offset
+    pos_owned = (pos_local >= 0) & (pos_local < c_local)
+    pos_safe = jnp.where(pos_owned, pos_local, 0)
+    pos_in_shard = jnp.zeros((c_local,), bool).at[pos_safe].max(
+        pos_owned, mode="drop")
     num_pos = jnp.sum(pos_in_shard.astype(jnp.int32))
     if total_classes is not None:
         valid_local = jnp.clip(total_classes - offset, 0, c_local)
@@ -208,7 +264,13 @@ def sampled_sharded_margin_softmax_loss(
     r = jnp.where(pos_in_shard, -1.0, jnp.where(col_valid, r, 2.0))
     _, sampled = jax.lax.top_k(-r, budget)          # (budget,) indices
 
-    w_sub = w_shard[sampled]                        # (budget, D) gather
+    if data_axis is not None:
+        # sampled is data-replicated (global positives + shared key):
+        # the compact-cotangent gather keeps the data-axis gradient
+        # exchange at budget·D instead of C_local·D
+        w_sub = _gather_compact_sync(w_shard, sampled, data_axis)
+    else:
+        w_sub = w_shard[sampled]                    # (budget, D) gather
     # position of each label's class within the sampled set
     pos_of_class = jnp.zeros((c_local,), jnp.int32).at[sampled].set(
         jnp.arange(budget, dtype=jnp.int32))

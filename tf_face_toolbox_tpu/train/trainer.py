@@ -569,19 +569,26 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
                 elif cfg.pfc_sample_rate < 1.0:
                     import math
                     c_local = classifier.shape[0]
+                    # positives come from the data-gathered GLOBAL
+                    # batch (data_axis below), so the budget floor is
+                    # the global pool, not the per-rank rows
+                    n_global = lab_g.shape[0] * mesh.shape[DATA_AXIS]
                     budget = min(
                         max(math.ceil(cfg.pfc_sample_rate * c_local),
-                            lab_g.shape[0]),
+                            n_global),
                         c_local)
-                    # one sampling key per STEP, shared across the model
-                    # axis (fold step, not device — every shard of a
-                    # data row must draw one coherent sample set)
+                    # one sampling key per STEP, shared across the
+                    # WHOLE mesh (fold step, not device — every shard
+                    # of a data row must draw one coherent sample set,
+                    # and every data rank the SAME set so the compact
+                    # classifier-gradient exchange is well-defined)
                     pfc_key = jax.random.fold_in(step_rng, 0x9FC)
                     m_loss = sampled_sharded_margin_softmax_loss(
                         emb_g, classifier, lab_g, margin, pfc_key,
                         budget, axis_name=MODEL_AXIS,
                         total_classes=num_classes,
-                        extra_m2=extra_m2, extra_m3=extra_m3)
+                        extra_m2=extra_m2, extra_m3=extra_m3,
+                        data_axis=DATA_AXIS)
                 else:
                     m_loss = sharded_margin_softmax_loss(
                         emb_g, classifier, lab_g, margin,
@@ -642,7 +649,15 @@ def make_train_step(net, cfg: TrainConfig, mesh: Mesh,
         # hold complementary partials of it (classifier shards live on
         # one model column each: no model collective for g_cls).
         g_params = collectives.sync_gradients(g_params)
-        g_cls = collectives.sync_classifier_gradients(g_cls)
+        if cfg.pfc_sample_rate < 1.0:
+            # sampled PFC already pmean'd the COMPACT (budget, D)
+            # classifier cotangent over `data` inside its VJP
+            # (_gather_compact_sync) — reducing the full shard again
+            # would both double-count and move C_local·D bytes, the
+            # exact collective VERDICT r4 #2 flagged.
+            pass
+        else:
+            g_cls = collectives.sync_classifier_gradients(g_cls)
         # Metric means over the WHOLE mesh: the distill part is a local-
         # shard mean (differs across model columns), the margin part is
         # row-replicated — pmean over both axes is exact for both.
