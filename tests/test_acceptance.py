@@ -45,6 +45,17 @@ def _make_lfw_dir(root):
                           0, 255).astype(np.uint8)
             Image.fromarray(arr).save(
                 str(d / f"{n}_{k:04d}.jpg"), "JPEG", quality=95)
+    # two single-image identities: never in pairs.txt, but they give
+    # the --identification stage its open-set non-mated probe set
+    for n in ("Distractor_Y", "Distractor_Z"):
+        d = root / n
+        d.mkdir(parents=True)
+        base = rng.integers(40, 215, (3,))
+        arr = np.clip(base[None, None, :] +
+                      rng.integers(-40, 40, (20, 20, 3)),
+                      0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(
+            str(d / f"{n}_0001.jpg"), "JPEG", quality=95)
     lines = ["10\t300"]  # official header line (skipped by the parser)
     for i, n in enumerate(names):
         lines.append(f"{n}\t1\t2")                       # matched
@@ -169,6 +180,69 @@ def test_acceptance_int8_and_compare_gates(trained):
     assert np.isfinite(gates["int8_cosine_vs_fp"]["value"])
     assert "int8_accuracy_vs_fp" in gates
     assert "eval_int8" in rep and "eval_compare" in rep
+
+
+@pytest.mark.slow
+def test_acceptance_identification_gates(trained):
+    """The 1:N stage (VERDICT r4 #7): split -> CMC@1 + DIR@FAR ->
+    absolute bars without a reference, delta gates with one."""
+    data_dir, pairs, run_dir, tmp = trained
+    IDENT = ["--identification", "--identification_far=0.5"]
+
+    # 1) absolute serving-mode bars, no reference artifact: the stage
+    #    must run, the bars (set to 0.0) must pass, exit 2.
+    w = str(tmp / "w_ident")
+    r = _run([ACCEPT, "--data=" + data_dir, "--pairs=" + pairs,
+              "--checkpoint_dir=" + run_dir, "--workdir=" + w,
+              "--min_cmc1=0.0", "--min_dir=0.0"] + IDENT + MODEL)
+    assert r.returncode == 2, r.stdout + r.stderr
+    rep = json.load(open(os.path.join(w, "acceptance_report.json")))
+    assert rep["status"] == "NO_REFERENCE"
+    ev = rep["identification_primary"]
+    # 6 multi-image identities enroll; their 18 other photos are mated
+    # probes; the 2 single-image distractors are the non-mated set
+    assert ev["gallery"] == 6
+    assert ev["probes"] == 18
+    assert ev["skipped"] == 2
+    assert "dir@far=0.5" in ev["open_set"]
+    gates = {g["gate"]: g for g in rep["gates"]}
+    assert gates["identification_cmc@1"]["pass"]
+    assert gates["identification_dir@far=0.5"]["pass"]
+
+    # 2) reference = our own embeddings: the vs_reference deltas are
+    #    exactly 0, every gate passes, exit 0.
+    emb = os.path.join(w, "emb_primary.npy")
+    w2 = str(tmp / "w_ident2")
+    r = _run([ACCEPT, "--data=" + data_dir, "--pairs=" + pairs,
+              "--checkpoint_dir=" + run_dir, "--workdir=" + w2,
+              "--reference_embeddings=" + emb] + IDENT + MODEL)
+    assert r.returncode == 0, r.stdout + r.stderr
+    rep = json.load(open(os.path.join(w2, "acceptance_report.json")))
+    assert rep["status"] == "PASS"
+    gates = {g["gate"]: g for g in rep["gates"]}
+    assert gates["identification_cmc1_vs_reference"]["pass"]
+    assert gates["identification_cmc1_vs_reference"]["value"] == 0.0
+    assert gates["identification_dir@far=0.5_vs_reference"]["pass"]
+    assert gates["identification_dir@far=0.5_vs_reference"]["value"] == 0.0
+
+
+def test_identification_split(tmp_path):
+    """First image per multi-image identity -> gallery; the rest ->
+    probes; single-image identities -> (non-mated) probes."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import acceptance
+
+    lst = tmp_path / "list.txt"
+    lst.write_text("a/1.jpg 0\na/2.jpg 0\nb/1.jpg 1\n"
+                   "c/1.jpg 2\nc/2.jpg 2\nc/3.jpg 2\n")
+    g, p = acceptance.identification_split(str(lst))
+    assert g == [0, 3]
+    assert p == [1, 2, 4, 5]
+
+    solo = tmp_path / "solo.txt"
+    solo.write_text("a/1.jpg 0\nb/1.jpg 1\n")
+    with pytest.raises(SystemExit, match="single image"):
+        acceptance.identification_split(str(solo))
 
 
 def test_build_list_lfw_layout(tmp_path):

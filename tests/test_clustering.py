@@ -109,3 +109,26 @@ def test_cli_cluster_roundtrip(tmp_path):
     assert labels.shape == (15,)
     lines = open(str(out) + ".clusters.txt").read().splitlines()
     assert len(lines) == 3 and lines[0].startswith("0 img")
+
+
+def test_cluster_bench_generator_and_recovery():
+    """tools/cluster_bench.py's synthetic set recovers exactly at a
+    CPU-sized scale — the same generator/threshold/k the 10^6-10^7
+    hardware proof runs (docs/design.md clustering paragraph)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import cluster_bench
+
+    from tf_face_toolbox_tpu.ops.clustering import cluster_embeddings
+
+    emb = cluster_bench.make_embeddings(300)     # 30 ids x 10
+    assert emb.shape == (300, cluster_bench.DIM)
+    assert np.allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
+    # same-id cosine high, cross-id low (the sigma=0.01 design point)
+    assert float(emb[0] @ emb[1]) > 0.9
+    assert abs(float(emb[0] @ emb[-1])) < 0.5
+    labels, n = cluster_embeddings(emb, threshold=0.6, k=10)
+    assert n == 30 and (labels >= 0).all()
+    truth = np.repeat(np.arange(30), 10)
+    # exact recovery: one cluster per identity
+    for ident in range(30):
+        assert len(np.unique(labels[truth == ident])) == 1

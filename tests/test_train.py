@@ -779,3 +779,50 @@ def test_save_best_bar_logic(tmp_path):
     mgr.wait()
     assert mgr.best_info() == {"step": 3, "metric": 0.6, "name": "m"}
     mgr.close()
+
+
+def test_load_variables_sharded_classifier(tmp_path):
+    """Serving-time restore of a checkpoint whose num_classes divides
+    the device count (regression): the class-sharded classifier's
+    _METADATA write_shape is PER-SHARD (rows/N), and load_variables
+    used it as num_classes — rebuilding a 1/N-width template that
+    orbax refused ("(1, D) is not compatible with the stored (N, D)").
+    global_shapes() must report the full width and the restore work."""
+    import dataclasses
+
+    from tf_face_toolbox_tpu.pretrained import load_variables
+    from tf_face_toolbox_tpu.train.checkpoint import CheckpointManager
+
+    n_dev = jax.device_count()
+    cfg = dataclasses.replace(CFG, network="resnet_tiny",
+                              num_classes=n_dev)
+    mesh = create_mesh()
+    state, net = create_train_state(cfg, jax.random.key(0), mesh)
+    # one real step: the classifier only picks up its class-sharded
+    # layout from the step fn's out_shardings (a fresh state is
+    # replicated, which would save full-width chunks and miss the bug)
+    step_fn = make_train_step(net, cfg, mesh, state)
+    images, labels = _synthetic_batch(jax.random.key(1), 16, 16, n_dev)
+    state, _ = step_fn(state, images, labels)
+    mgr = CheckpointManager(str(tmp_path / "c"), save_every=1)
+    assert mgr.maybe_save(state, force=True)
+    mgr.wait()
+    mgr.close()
+
+    mgr2 = CheckpointManager(str(tmp_path / "c"))
+    shapes = mgr2.global_shapes()
+    assert shapes["('classifier',)"] == (n_dev, CFG.embedding_dim)
+    # the premise: the saved write chunk really is per-shard (else this
+    # test no longer guards anything — update it alongside the pspecs)
+    ws = mgr2.tree_metadata()["('classifier',)"][
+        "value_metadata"]["write_shape"]
+    assert ws[0] < n_dev, ws
+    mgr2.close()
+
+    net, variables = load_variables(
+        str(tmp_path / "c"), "resnet_tiny", CFG.embedding_dim,
+        CFG.image_size, jnp.float32)
+    emb = net.apply(variables,
+                    jnp.zeros((1, CFG.image_size, CFG.image_size, 3)),
+                    train=False)
+    assert emb.shape == (1, CFG.embedding_dim)

@@ -63,9 +63,15 @@ def load_variables(checkpoint_dir: str, network: str, embedding_dim: int,
         # from the saved shapes so sub-center checkpoints with center
         # loss rebuild the right template (values are unused at
         # serving time).
-        cls_rows = _classifier_rows_from(meta)
+        # Row counts come from the GLOBAL saved shapes: _METADATA's
+        # write_shape is per-shard (a classifier class-sharded over N
+        # devices at train time records rows/N there, which rebuilt an
+        # N-times-too-narrow template whenever num_classes divided the
+        # device count).
+        shapes = mgr.global_shapes(step)
+        cls_rows = shapes["('classifier',)"][0]
         if "centers" in heads:
-            ctr_rows = _rows_from(meta, "('head_state', 'centers')")
+            ctr_rows = shapes["('head_state', 'centers')"][0]
             num_classes, subcenters = ctr_rows, cls_rows // ctr_rows
         else:
             num_classes, subcenters = cls_rows, 1
@@ -95,11 +101,3 @@ def load_variables(checkpoint_dir: str, network: str, embedding_dim: int,
                      int(jax.device_get(state.step)), checkpoint_dir,
                      use_ema)
     return net, variables
-
-
-def _classifier_rows_from(tree: dict) -> int:
-    return _rows_from(tree, "('classifier',)")
-
-
-def _rows_from(tree: dict, key: str) -> int:
-    return int(tree[key]["value_metadata"]["write_shape"][0])

@@ -160,6 +160,34 @@ class CheckpointManager:
         with open(path) as f:
             return json.load(f)["tree_metadata"]
 
+    def global_shapes(self, step: int | None = None) -> dict:
+        """GLOBAL (unsharded) shape of every saved array leaf, keyed
+        like ``tree_metadata`` ("('classifier',)" → (C, D)).
+
+        ``tree_metadata``'s ``write_shape`` is the PER-SHARD write
+        chunk: a classifier class-sharded over 8 devices records 1/8
+        of its rows there. Any consumer recovering array SIZES from a
+        checkpoint (pretrained.load_variables inferring num_classes)
+        must read these instead — caught by a checkpoint trained with
+        num_classes divisible by the device count, whose serving-time
+        restore rebuilt a 1/8-width classifier template."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found in {self._dir}")
+        path = os.path.join(self._dir, str(step), "default")
+        tree = ocp.PyTreeCheckpointer().metadata(path).item_metadata
+        out: dict = {}
+
+        def rec(prefix, node):
+            if hasattr(node, "keys"):        # dict / orbax tree-metadata
+                for k in node.keys():
+                    rec(prefix + (str(k),), node[k])
+            elif node is not None and hasattr(node, "shape"):
+                out[str(prefix)] = tuple(node.shape)
+
+        rec((), tree)
+        return out
+
     def has_ema(self, meta: dict | None = None) -> bool:
         """True if the checkpoint holds real EMA arrays (a None
         ema_params still appears in the metadata with value_type None).

@@ -53,6 +53,14 @@ Gate semantics (thresholds are flags; defaults = the BASELINE bars):
       weights: min cosine vs fp >= --int8_cosine (default 0.995, the
       trained-checkpoint PTQ level measured in docs/design.md) and
       accuracy within --int8_accuracy_tol (default 0.002).
+  identification (--identification)  the 1:N serving contract: the
+      packed set splits per identity (first image of every multi-image
+      identity -> gallery, the rest -> mated probes, single-image
+      identities -> non-mated distractors), cli.eval_identification
+      computes CMC@1 + DIR@FAR off the SAME embeddings, and the
+      primary-vs-reference deltas gate at --accuracy_tol / --dir_tol.
+      --min_cmc1 / --min_dir add absolute serving-mode bars for runs
+      without a reference artifact.
 
 Exit codes: 0 = all evaluable gates PASS; 1 = any gate FAIL;
 2 = NO_REFERENCE (pipeline ran end-to-end, accuracy reported, but no
@@ -154,6 +162,38 @@ def cosine_stats(a_path: str, b_path: str) -> dict:
             "p1": float(np.percentile(cos, 1.0)), "n": int(len(cos))}
 
 
+def identification_split(names_path: str) -> tuple[list[int], list[int]]:
+    """Pack-list rows -> (gallery_rows, probe_rows) for the 1:N stage.
+
+    The first image of every multi-image identity enrolls; its
+    remaining images become mated probes. Single-image identities
+    cannot be both enrolled and probed, so they serve as the open-set
+    non-mated (distractor) probe set — exactly the IJB-style watchlist
+    split, derived deterministically from the pack list alone so the
+    reference embeddings (same row order) split identically.
+    """
+    by_label: dict[str, list[int]] = {}
+    with open(names_path) as f:
+        for row, line in enumerate(f):
+            parts = line.split()
+            if not parts:
+                continue
+            by_label.setdefault(parts[-1], []).append(row)
+    gallery_rows: list[int] = []
+    probe_rows: list[int] = []
+    for rows in by_label.values():
+        if len(rows) >= 2:
+            gallery_rows.append(rows[0])
+            probe_rows.extend(rows[1:])
+        else:
+            probe_rows.extend(rows)      # non-mated distractor
+    if not gallery_rows:
+        raise SystemExit(
+            "--identification: every identity has a single image — "
+            "nothing can be enrolled AND probed")
+    return sorted(gallery_rows), sorted(probe_rows)
+
+
 def model_flags(ns: argparse.Namespace, prefix: str = "") -> list[str]:
     """Translate the tool's model args into cli.extract/eval flags."""
     g = lambda k: getattr(ns, prefix + k)  # noqa: E731
@@ -241,9 +281,30 @@ def main() -> int:
     p.add_argument("--compare_image_size", type=int, default=112)
     p.add_argument("--compare_input_norm", default="per_image")
     p.add_argument("--compare_loader", default="auto")
+    # optional 1:N identification gates (BASELINE's serving story)
+    p.add_argument("--identification", action="store_true",
+                   help="also run the 1:N split (enroll first image "
+                        "per identity, probe the rest) and gate "
+                        "CMC@1 + DIR@FAR")
+    p.add_argument("--identification_far", default="1e-2",
+                   help="comma-separated FAR operating points for "
+                        "DIR@FAR")
+    p.add_argument("--identification_rank", type=int, default=1,
+                   help="rank within which a mated probe must land "
+                        "(CMC rank / dir_rank)")
+    p.add_argument("--min_cmc1", type=float, default=float("nan"),
+                   help="absolute CMC@rank bar (serving-mode gate; "
+                        "NaN = report only)")
+    p.add_argument("--min_dir", type=float, default=float("nan"),
+                   help="absolute DIR at the first --identification_"
+                        "far bar (NaN = report only)")
     # thresholds (defaults = the BASELINE bars)
     p.add_argument("--cosine_threshold", type=float, default=0.999)
     p.add_argument("--accuracy_tol", type=float, default=0.001)
+    p.add_argument("--dir_tol", type=float, default=0.01,
+                   help="|DIR@FAR - reference| tolerance (DIR rides "
+                        "an order statistic of the non-mated set, so "
+                        "it is noisier than accuracy)")
     p.add_argument("--int8_cosine", type=float, default=0.995)
     p.add_argument("--int8_accuracy_tol", type=float, default=0.002)
     ns = p.parse_args()
@@ -375,6 +436,67 @@ def main() -> int:
         gate("lfw_accuracy_vs_reference", delta, ns.accuracy_tol,
              delta <= ns.accuracy_tol,
              {"ours": acc, "reference": ref_acc})
+
+    # ---- optional stage: 1:N identification (CMC@rank + DIR@FAR) --------
+    if ns.identification:
+        g_rows, p_rows = identification_split(names)
+        with open(names) as f:
+            list_lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+
+        def subset_list(tag: str, rows: list[int]) -> str:
+            path = os.path.join(ns.workdir, f"ident_{tag}_list.txt")
+            with open(path, "w") as f:
+                f.write("\n".join(list_lines[r] for r in rows) + "\n")
+            return path
+
+        g_list = subset_list("gallery", g_rows)
+        p_list = subset_list("probe", p_rows)
+        rank = ns.identification_rank
+        log(f"identification split: {len(g_rows)} gallery / "
+            f"{len(p_rows)} probes")
+
+        def ident_eval(tag: str, emb_path: str) -> tuple[float, dict]:
+            emb = load_emb(emb_path)
+            gp = os.path.join(ns.workdir, f"ident_{tag}_gallery.npy")
+            pp = os.path.join(ns.workdir, f"ident_{tag}_probe.npy")
+            np.save(gp, emb[g_rows])
+            np.save(pp, emb[p_rows])
+            ev = run_cli_json("eval_identification", [
+                f"--gallery={gp}", f"--gallery_list={g_list}",
+                f"--probe={pp}", f"--probe_list={p_list}",
+                f"--ranks={rank}", f"--far={ns.identification_far}",
+                f"--dir_rank={rank}"])
+            report[f"identification_{tag}"] = ev
+            cmc = float(ev["cmc"][str(rank)])
+            # json_sanitize renders unevaluable DIR points (FAR finer
+            # than 1/N_nonmated) as null — drop those from gating
+            dirs = {k: float(v) for k, v in ev.get("open_set", {}).items()
+                    if k.startswith("dir@")
+                    and isinstance(v, (int, float))}
+            log(f"identification {tag}: CMC@{rank} {cmc:.4f}" +
+                "".join(f", {k} {v:.4f}" for k, v in sorted(dirs.items())))
+            return cmc, dirs
+
+        cmc1, dirs = ident_eval("primary", emb_mut)
+        if not np.isnan(ns.min_cmc1):
+            gate(f"identification_cmc@{rank}", cmc1, ns.min_cmc1,
+                 cmc1 >= ns.min_cmc1)
+        if not np.isnan(ns.min_dir):
+            far0 = float(ns.identification_far.split(",")[0])
+            k0 = f"dir@far={far0:g}"
+            gate(f"identification_{k0}", dirs.get(k0, float("nan")),
+                 ns.min_dir, k0 in dirs and dirs[k0] >= ns.min_dir)
+        if ref_emb_path:
+            rcmc1, rdirs = ident_eval("reference", ref_emb_path)
+            d = abs(cmc1 - rcmc1)
+            gate("identification_cmc1_vs_reference", d, ns.accuracy_tol,
+                 d <= ns.accuracy_tol,
+                 {"ours": cmc1, "reference": rcmc1, "rank": rank})
+            for k in sorted(set(dirs) & set(rdirs)):
+                dd = abs(dirs[k] - rdirs[k])
+                gate(f"identification_{k}_vs_reference", dd, ns.dir_tol,
+                     dd <= ns.dir_tol,
+                     {"ours": dirs[k], "reference": rdirs[k]})
 
     if ns.int8:
         emb_i8, eval_i8 = extract_and_eval(
