@@ -1,7 +1,7 @@
 # Developer entry points.
 .PHONY: test test-mid test-all bench native clean
 
-test:           ## fast gate (<5 min; fake 8-device CPU mesh)
+test:           ## fast gate (measured 299 s r5 re-tier; fake 8-device CPU mesh)
 	python -m pytest tests/ -q
 
 test-mid:       ## the >10s tier: full-size-net compiles, CLI e2e

@@ -86,6 +86,7 @@ def test_magface_margin_is_linear_in_norm():
         float(g), np.mean(1.0 / a + a / cfg.u_a**2), rtol=1e-6)
 
 
+@pytest.mark.mid
 def test_magface_gradient_flows_through_norm():
     """MagFace's defining property: d loss/d emb includes the margin's
     dependence on ‖emb‖ (no stop_gradient)."""
@@ -310,6 +311,7 @@ def _steps(mesh, cfg, n=2, seed=0):
     dict(center_weight=0.01),
     dict(triplet_weight=0.5),
 ])
+@pytest.mark.mid
 def test_mesh_invariance_of_new_losses(kw):
     """(data × 4 model) == single device for every new mode (the
     tower-equivalence contract; BN-free net so equality is numeric).

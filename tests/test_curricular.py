@@ -84,6 +84,7 @@ def test_curricular_no_hard_negatives_reduces_to_arcface():
     np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
 
 
+@pytest.mark.mid
 def test_sharded_curricular_matches_single_device():
     emb, w, labels = _data(c=16, seed=3)
     cfg = MarginConfig(scale=48.0, m2=0.5)

@@ -72,6 +72,7 @@ def test_flip_coefficients_exact():
                                np.asarray(x[:, :, ::-1]), atol=2e-4)
 
 
+@pytest.mark.mid
 def test_net_pixels_and_coefficients_agree():
     """The stem's two entry modes are the same computation."""
     net = create_network("dct_resnet_50", embedding_dim=32,
@@ -150,6 +151,7 @@ def test_prepare_coefficients_matches_pixel_chain(tmp_path):
     assert cos_e >= 0.999, cos_e
 
 
+@pytest.mark.mid
 def test_dct_net_trains():
     """End-to-end SPMD train step with the dct stem (augment chain on
     pixels → in-net DCT)."""
@@ -168,6 +170,7 @@ def test_dct_net_trains():
     assert all(np.isfinite(l) for l in losses)
 
 
+@pytest.mark.mid
 def test_extract_shard_dct_domain_matches_pixel_loader(tmp_path):
     """Zero-decode extraction (loader='dct_domain') ≈ full-decode
     extraction of the same shard through the same dct net: embedding

@@ -54,6 +54,7 @@ def _cos(a, b):
     return (a * b).sum(-1)
 
 
+@pytest.mark.mid
 def test_pure_distill_converges_toward_teacher():
     mesh = create_mesh()
     t_net, t_vars = _teacher()

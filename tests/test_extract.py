@@ -48,6 +48,7 @@ def test_flip_invariance_property():
     np.testing.assert_allclose(e1, e2, atol=1e-5)
 
 
+@pytest.mark.mid
 def test_equals_manual_two_pass():
     net, variables = _net_and_vars()
     x = jax.random.normal(jax.random.key(3), (3, 16, 16, 3))

@@ -230,6 +230,7 @@ def _reference_dir(gallery, glabels, probe, plabels, far, rank):
     return hits / mated.sum(), thr
 
 
+@pytest.mark.mid
 def test_dir_at_far_matches_oracle():
     from tf_face_toolbox_tpu.ops.verification import dir_at_far
 

@@ -106,6 +106,7 @@ def _flax_net():
                    embedding_dim=DIM)
 
 
+@pytest.mark.mid
 def test_torch_state_dict_parity():
     """Imported torch weights reproduce the torch forward exactly
     (the cosine >=0.999 currency, but asserted at f32 allclose)."""

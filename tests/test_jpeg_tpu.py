@@ -128,6 +128,7 @@ def test_pack_recode_size_must_be_block_aligned(tmp_path):
                         str(tmp_path / "o.faceshard"), recode_size=30)
 
 
+@pytest.mark.mid
 def test_extract_shard_dct_loader_matches_native(tmp_path):
     """extract_shard(loader='native_dct') ≈ loader='native' embeddings:
     the serving integration of the on-device JPEG completion."""

@@ -83,6 +83,7 @@ def test_deterministic_eval():
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
 
 
+@pytest.mark.mid
 def test_resnext_grouped_conv_param_shape():
     # ResNeXt-50 stage-0 3x3 kernels must be grouped: kernel (3,3,4,128)
     # since in-channels 128 split over 32 groups = 4.

@@ -110,6 +110,7 @@ def test_cosine_topk_q_matches_xla_coarse():
                                    atol=1e-5)
 
 
+@pytest.mark.mid
 def test_gallery_pallas_dispatch_equals_xla():
     """DeviceGallery.use_pallas routes resident searches through the
     kernel (interpret on CPU) and must agree with the XLA program."""

@@ -169,6 +169,7 @@ def test_sampled_pfc_full_budget_is_exact():
                                atol=1e-5)
 
 
+@pytest.mark.mid
 def test_sampled_pfc_gradient_expectation_matches_exact():
     """Unbiasedness: the importance-corrected sampled loss's gradient,
     averaged over sampling draws, converges to the exact gradient."""
@@ -293,6 +294,7 @@ def _sampled_dp(mesh, cfg, budget, data_axis):
         out_specs=(P(), P(MODEL_AXIS, None)), check_vma=False))
 
 
+@pytest.mark.mid
 def test_sampled_pfc_compact_full_budget_matches_exact_dp():
     """On a (4, 2) mesh at budget == C_local the compact-sync sampled
     head must equal the exact sharded softmax: loss AND the (already

@@ -138,6 +138,7 @@ def test_int8_static_calibrated_cosine():
     assert c.min() >= 0.98, c
 
 
+@pytest.mark.mid
 def test_int8_static_requires_calibration():
     import pytest
 

@@ -10,6 +10,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -98,6 +99,7 @@ def test_classify_axis():
     assert scaling_model.classify_axis([[0, 3]], 4, 2) == "other"
 
 
+@pytest.mark.mid
 def test_sampled_pfc_classifier_grad_collective_is_compact():
     """VERDICT r4 #2: with sampled Partial-FC the classifier-gradient
     data collective must move the COMPACT (budget, D) cotangent, not

@@ -564,6 +564,7 @@ def test_submit_validates_before_coalescing(service):
         batcher.close()
 
 
+@pytest.mark.mid
 def test_close_fails_pending_requests(service):
     """close() resolves queued requests with an error instead of
     leaving callers to block out their timeouts."""

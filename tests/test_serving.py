@@ -83,6 +83,7 @@ def test_engine_bf16_cosine():
     assert cos.min() > 0.999, cos
 
 
+@pytest.mark.mid
 def test_engine_flatten_head_and_se():
     net = create_network("resnet_tiny", **_NET_KW, stem="imagenet",
                          head_variant="flatten", se_reduction=4)
@@ -121,6 +122,7 @@ def test_engine_refuses_unsupported():
         make_serving_apply(q, {})
 
 
+@pytest.mark.mid
 def test_fused_stack_matches_xla_block():
     """Kernel-level check: entry+tail kernel == folded XLA block chain."""
     from tf_face_toolbox_tpu.serving.engine import (

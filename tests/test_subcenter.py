@@ -87,6 +87,7 @@ def test_subcenter_gradient_routes_to_winner_only():
     np.testing.assert_array_equal(g.argmax(-1), winners)
 
 
+@pytest.mark.mid
 def test_sharded_subcenter_matches_single_device():
     emb, w, labels = _data(c=16, k=2, seed=3)   # 16 classes / 8 shards
     cfg = MarginConfig(scale=48.0, m3=0.2)

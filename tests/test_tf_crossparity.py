@@ -85,6 +85,7 @@ def _assert_twin_parity(net, keras_kwargs, image_size, *, batch=6,
     return variables, model
 
 
+@pytest.mark.mid
 def test_small_resnet_face_stem_parity():
     net = ResNet(stage_sizes=(1, 1), width_per_group=16,
                  embedding_dim=24, stem="face")

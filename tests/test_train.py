@@ -219,6 +219,7 @@ def test_multislice_mesh_grouping():
         create_multislice_mesh(slices=3)
 
 
+@pytest.mark.mid
 def test_augment_path_runs():
     cfg = TrainConfig(
         num_classes=12, embedding_dim=16, image_size=12, global_batch=8,
@@ -236,6 +237,7 @@ def test_augment_path_runs():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.mid
 def test_checkpoint_roundtrip(tmp_path):
     from tf_face_toolbox_tpu.train.checkpoint import CheckpointManager
     mesh = create_mesh()
@@ -370,6 +372,7 @@ def test_resnext_output_channels_match_paper():
     assert not any(s[-1] == 4096 for s in shapes if len(s) == 4)
 
 
+@pytest.mark.mid
 def test_remat_blocks_train_and_match():
     """remat=True must be numerically identical forward (same params)."""
     from tf_face_toolbox_tpu.models.resnet import ResNet
@@ -655,6 +658,7 @@ def test_skip_nonfinite_holds_state_and_recovers():
                         jax.tree.leaves(state.params)))
 
 
+@pytest.mark.mid
 def test_skip_nonfinite_counter_and_divergence_abort(tmp_path):
     """train_loop with skip_nonfinite: the cumulative skip count is
     logged (skipped_nonfinite_total), and a run of max_consecutive_skips

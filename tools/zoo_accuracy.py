@@ -76,7 +76,11 @@ B_EVAL = 200
 # Per-net TrainConfig overrides. ViTs: SGD at the CNN lr diverges on
 # transformers at this step count; 0.02 + longer warmup trains.
 NETS = {
-    "resnet_v1_50": dict(),             # the anchor
+    "resnet_v1_50": dict(),             # the anchor (imagenet stem)
+    "resnet_v1_50.face": dict(network="resnet_v1_50", stem="face"),
+    "resnet_v1_50.s2d": dict(network="resnet_v1_50",
+                             stem="space2depth"),
+    "dct_resnet_50": dict(),
     "iresnet_50": dict(),
     "iresnet_100": dict(),
     "mobilefacenet": dict(),
@@ -144,10 +148,12 @@ def train_net(name: str, cfg_kw: dict, teacher=None,
                     margin_scale=32.0, margin_m2=0.3, margin_m3=0.0,
                     lr_boundaries=(int(steps * 0.625),
                                    int(steps * 0.875)))
+    cfg_kw = dict(cfg_kw)                # NETS entries are reused
+    stem = cfg_kw.pop("stem", "imagenet")
     cfg = TrainConfig(**{**defaults, **cfg_kw})
     mesh = create_mesh()
     net = create_network(cfg.network, embedding_dim=cfg.embedding_dim,
-                         dtype=cfg.dtype, stem="imagenet")
+                         dtype=cfg.dtype, stem=stem)
     state, net = create_train_state(cfg, jax.random.key(0), mesh,
                                     net=net)
     tkw = {}
@@ -179,15 +185,19 @@ def held_out_embeddings(state, net) -> tuple[np.ndarray, np.ndarray]:
     v = {"params": state.params, "batch_stats": state.batch_stats}
 
     @jax.jit
-    def synth(key, lab):
-        return tpl[lab] + NOISE * jax.random.normal(
+    def synth(t, key, lab):
+        # templates ride as an ARGUMENT: a closure would bake the
+        # (ids, 112, 112, 3) bank into the compiled program as a
+        # constant — 600 MB at 4000 ids, refused by the remote-compile
+        # transport (HTTP 413) and wasteful everywhere else
+        return t[lab] + NOISE * jax.random.normal(
             key, (B_EVAL, SIZE, SIZE, 3))
 
     chunks = []
     n = len(labels)
     assert n % B_EVAL == 0
     for i in range(0, n, B_EVAL):
-        imgs = synth(jax.random.key(7000 + i),
+        imgs = synth(tpl, jax.random.key(7000 + i),
                      jnp.asarray(labels[i:i + B_EVAL]))
         chunks.append(np.asarray(extract(v, imgs)))
     return np.concatenate(chunks), labels
