@@ -26,6 +26,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+if os.environ.get("TFFT_PLATFORM"):
+    # the axon sitecustomize clears JAX_PLATFORMS; honor the repo's
+    # own env var so CPU smoke runs don't land on the TPU tunnel
+    jax.config.update("jax_platforms", os.environ["TFFT_PLATFORM"])
+
 from tf_face_toolbox_tpu.serving.gallery import (  # noqa: E402
     DeviceGallery,
     GalleryCapacityError,
@@ -209,6 +216,103 @@ def bench_stream(rows: np.ndarray):
     gc.collect()
 
 
+def bench_sharded(rows: np.ndarray, dtype: str):
+    """DistributedGallery on the REAL mesh (one device on this image):
+    grounds the mesh-store latency claims in hardware. The per-shard
+    search is the same one-dispatch shard_map program any slice runs —
+    shards read in parallel and the candidate merge moves kilobytes —
+    so the measured per-shard device ms IS the slice's identify time
+    at the same per-shard fill (the n_dev x capacity claim)."""
+    import jax.numpy as jnp
+
+    from tf_face_toolbox_tpu.serving.distributed_gallery import (
+        DistributedGallery,
+        _dist_search_fn,
+    )
+    from tf_face_toolbox_tpu.serving.gallery import _quantize_rows
+    from tf_face_toolbox_tpu.utils.profiling import chained_seconds_per_call
+
+    import jax
+
+    n = rows.shape[0]
+    g = DistributedGallery(DIM, dtype=dtype, hbm_limit_gb=12.0)
+    if jax.default_backend() != "tpu":
+        g.use_pallas = False    # the interpreter is ~1000x slow; this
+                                # leg's numbers only mean anything on
+                                # TPU anyway (CPU run = smoke test)
+    t0 = time.perf_counter()
+    g.enroll(rows, np.arange(n))
+    g.search(rows[:1], k=1)
+    bulk_s = time.perf_counter() - t0
+
+    g.enroll(rows[:30], n + np.arange(30))
+    remove_ts = []
+    for i in range(30):
+        t0 = time.perf_counter()
+        assert g.remove(n + i) == 1
+        remove_ts.append(time.perf_counter() - t0)
+
+    out = dict(rows=n, dtype=dtype, n_dev=g.n_dev, bulk_load_s=bulk_s,
+               remove_p50_ms=pct(remove_ts, 50) * 1e3,
+               remove_p99_ms=pct(remove_ts, 99) * 1e3)
+    with g._gate.read():
+        dev, ds, db, nn = g._dev, g._dev_scale, g._dev_bias, g._n
+    local_cap = dev.shape[0] // g.n_dev
+    nv = jnp.asarray([nn], np.int32)
+    for b in (1, 64):
+        probes = rows[:b]
+        for _ in range(3):
+            g.search(probes, k=5)
+        ts = []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            g.search(probes, k=5)
+            ts.append(time.perf_counter() - t0)
+        use_pl = g._pallas_ok(local_cap, b)
+        if dtype == "int8":
+            kc = 5 * g.rescore_expand
+            fn = _dist_search_fn(g.mesh, g.data_axis, g.n_dev,
+                                 min(kc, local_cap), kc, True, use_pl,
+                                 False)
+            pq, ps = _quantize_rows(probes)
+
+            def call(p, p_s, dv, sc, bs, nn_):
+                s, i = fn(dv, sc, bs, p, p_s, nn_)
+                return s, i.astype(jnp.float32)
+
+            dev_ms = chained_seconds_per_call(
+                call, jnp.asarray(pq), jnp.asarray(ps), dev, ds, db,
+                nv) * 1e3
+        else:
+            fn = _dist_search_fn(g.mesh, g.data_axis, g.n_dev,
+                                 min(5, local_cap), 5, False, use_pl,
+                                 False)
+            dummy = jnp.zeros((1,), np.float32)
+
+            def call(p, dv, bs, nn_):
+                s, i = fn(dv, dummy, bs, p, dummy, nn_)
+                return s, i.astype(jnp.float32)
+
+            dev_ms = chained_seconds_per_call(
+                call, jnp.asarray(probes), dev, db, nv) * 1e3
+        out[f"search{b}_p50_ms"] = pct(ts, 50) * 1e3
+        out[f"search{b}_dev_ms"] = dev_ms
+        out[f"search{b}_pallas"] = bool(use_pl)
+    print(f"sharded {dtype} @ {n:,} rows x {g.n_dev} dev "
+          f"(per-shard fill {nn // g.n_dev:,}): bulk {bulk_s:.1f}s, "
+          f"deenroll p50/p99 {out['remove_p50_ms']:.1f}/"
+          f"{out['remove_p99_ms']:.1f} ms, identify B=1 "
+          f"{out['search1_p50_ms']:.1f} e2e / "
+          f"{out['search1_dev_ms']:.2f} dev ms (pallas="
+          f"{out['search1_pallas']}), B=64 "
+          f"{out['search64_p50_ms']:.1f} e2e / "
+          f"{out['search64_dev_ms']:.2f} dev ms (pallas="
+          f"{out['search64_pallas']})", flush=True)
+    del g
+    gc.collect()
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", default="100000,1000000,10000000")
@@ -217,12 +321,28 @@ def main():
                          "f32 rows (0 = skip)")
     ap.add_argument("--dtypes", default="float32,bfloat16,int8",
                     help="store dtypes to sweep")
+    ap.add_argument("--sharded_rows", type=int, default=0,
+                    help="also bench DistributedGallery on the real "
+                         "mesh at this many rows (0 = skip)")
+    ap.add_argument("--skip_gates", action="store_true",
+                    help="skip the dtype/int8 agreement gates (rerun "
+                         "of a single measured leg)")
     args = ap.parse_args()
-    sizes = [int(s) for s in args.rows.split(",")]
+    sizes = [int(s) for s in args.rows.split(",") if s and int(s) > 0]
 
-    biggest = max(sizes + [args.stream_rows])
+    biggest = max(sizes + [args.stream_rows, args.sharded_rows])
     print(f"generating {biggest:,} x {DIM} rows ...", flush=True)
     all_rows = make_rows(biggest)
+
+    if args.skip_gates:
+        for n in sizes:
+            for dtype in args.dtypes.split(","):
+                r = bench_config(all_rows[:n], dtype, hbm_limit_gb=12.0)
+                print(r, flush=True)
+        if args.sharded_rows:
+            for dtype in args.dtypes.split(","):
+                bench_sharded(all_rows[:args.sharded_rows], dtype)
+        return
 
     # store-dtype gate: identical data, f32 vs bf16 store, same probes
     sub = all_rows[:100_000]
@@ -272,6 +392,10 @@ def main():
 
     if args.stream_rows:
         bench_stream(all_rows[:args.stream_rows])
+
+    if args.sharded_rows:
+        for dtype in args.dtypes.split(","):
+            bench_sharded(all_rows[:args.sharded_rows], dtype)
 
     # loud refusal demo: limit = exactly one block's footprint, so the
     # block-boundary crossing refuses (same bound that protects a full

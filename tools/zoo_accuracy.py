@@ -271,9 +271,12 @@ def main():
     ap.add_argument("nets", nargs="*",
                     default=["resnet_v1_50", "mobilefacenet"])
     ap.add_argument("--distill", default="",
-                    help="train this student against an r50 teacher "
+                    help="train this student against a teacher "
                          "(trained first on the same protocol) with "
                          "distill_alpha mixing")
+    ap.add_argument("--teacher", default="resnet_v1_50",
+                    help="teacher net for --distill; under protocol "
+                         "v2 iresnet_50 is the strongest teacher")
     ap.add_argument("--distill_alpha", type=float, default=0.7)
     ap.add_argument("--noise", type=float, default=NOISE)
     ap.add_argument("--fine", type=float, default=FINE)
@@ -289,7 +292,7 @@ def main():
         names = list(NETS)
 
     if args.distill:
-        _, tstate, tnet = run_entry("resnet_v1_50")
+        _, tstate, tnet = run_entry(args.teacher)
         tvars = {"params": tstate.params,
                  "batch_stats": tstate.batch_stats}
         kw = dict(NETS.get(args.distill, {}))
