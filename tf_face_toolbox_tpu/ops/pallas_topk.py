@@ -23,14 +23,24 @@ r5 additions:
   Blocked as (8, blk) tiles covering 8 grid steps (Mosaic's f32
   sublane floor), the same trick as the int8 per-row scales. Cost:
   4 bytes/row of extra HBM traffic — 0.4% of a bf16 512-d store.
-- **Bound-then-rescale int8 gate**: the int8 kernel's per-block f32
-  dequant of the (B, blk) int32 accumulator was the VPU tail that held
-  B=64 coarse search 3× off the B=1 bandwidth rate. The kernel now
-  derives a sound per-probe upper bound from one int32 max-reduce
-  (max_j acc × the block's max/min scale — scales are positive, bias
-  is ≤ 0, so the bound ignores both safely) and skips the dequant +
-  selection sweep entirely when no probe's bound beats its current
-  kth bar. After the first ~k·blk rows nearly every block skips.
+- **One-branch streaming merge (both kernels)**: r4's all-or-nothing
+  `pl.when` gate over the whole (B, blk) tile defeated streaming
+  pruning at large B — with 64 probes and kc=20, SOME probe's block
+  max beats its bar on ~99% of blocks, so the k-pass selection sweep
+  ran nearly every block and held int8 B=64 at 22–26 ms vs 7.3 ms
+  B=1 (10⁷ rows). Probing the kernel piecewise on hardware showed
+  the REAL cost model: the whole dequant/mask elementwise chain is
+  free (hides under the block's HBM read), while every `pl.when`
+  conditioned on a vector reduce costs ~0.12–0.25 µs of scalar-unit
+  sync — branches, not lanes, were the tail (a per-chunk/per-pass
+  variant with 8× the branches measured SLOWER than r4). The merge
+  (`_stream_merge`) now does all vector work unconditionally —
+  extract the block max per probe, insert it over the probe's min
+  slot with predicated data ops — and branches ONCE per block, only
+  when some probe's second-best remaining column would still enter
+  (≥2 same-block top-k members: ~12% of blocks at k=20, <1% at k=5).
+  The running set stays unordered in scratch and is sorted once at
+  the last grid step.
 
 Reference behavior anchored to serving/gallery.py's XLA program
 (exact same masking/order contract); equality is tested in
@@ -95,6 +105,16 @@ def _bias_tiles(bias, cap: int, grid: int, blk: int):
         out, bias.reshape(grid, blk).astype(jnp.float32), (0, 0))
 
 
+def _finalize(i, s_out, i_out, bs_ref, bi_ref, k):
+    """Last grid step: sort the unordered running best, descending,
+    ties to the smallest index — the ONE k-pass sweep per search."""
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        ts, ti = _select_topk(bs_ref[:], bi_ref[:], k)
+        s_out[:] = ts
+        i_out[:] = ti
+
+
 def _kernel(n_ref, p_ref, g_ref, bias_ref, s_out, i_out, bs_ref,
             bi_ref, *, k, blk):
     i = pl.program_id(0)
@@ -110,31 +130,65 @@ def _kernel(n_ref, p_ref, g_ref, bias_ref, s_out, i_out, bs_ref,
         p_ref[:], g_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     sims = sims + bias_ref[pl.ds(i % 8, 1), :]        # (1, blk) bcast
-    col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + i * blk
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1) + i * blk
     sims = jnp.where(col < n_ref[0, 0], sims, _NEG)
-    _update_best(sims, col, bs_ref, bi_ref, k)
+    _stream_merge(sims, col, bs_ref, bi_ref, k)
 
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _():
-        s_out[:] = bs_ref[:]
-        i_out[:] = bi_ref[:]
+    _finalize(i, s_out, i_out, bs_ref, bi_ref, k)
 
 
-def _update_best(sims, col, bs_ref, bi_ref, k):
-    """Merge a (B, blk) score tile into the running (B, k) best —
-    but ONLY when some probe's block max beats its current kth best.
-    After the first ~k·blk rows the kth bar sits in the far tail of
-    the score distribution, so almost every later block skips the
-    k-pass selection sweep entirely and the kernel's serial tail
-    collapses to one max-reduce per block (the streaming top-k
-    pruning; measured 2x on the int8 kc=20 coarse)."""
-    need = jnp.any(jnp.max(sims, axis=1) > jnp.min(bs_ref[:], axis=1))
+def _stream_merge(sims, col, bs_ref, bi_ref, k):
+    """Merge a (B, blk) score tile into the UNORDERED (B, k) running
+    best with ONE branch per block.
 
-    @pl.when(need)
+    Mosaic cost model (measured, 10⁷-row int8 store, B=64, v5e): the
+    whole dequant+mask elementwise chain over the (B, blk) tile is
+    FREE — it hides under the block's HBM read (6.7 vs 6.5 ms for the
+    bare dot+max) — but every `pl.when` whose condition hangs on a
+    vector reduce costs ~0.12–0.25 µs in scalar-unit sync, so
+    per-chunk/per-pass gating (8 chunks × nested passes = tens of
+    thousands of branches) is what held B=64 at 24–26 ms. So: do the
+    vector work unconditionally, branch once.
+
+    Unconditionally: extract the block max per probe (ties → smallest
+    column) and insert it over the probe's current min slot with
+    predicated data ops — no branch; rows whose max loses their bar
+    keep their set (the predicate is false everywhere). Dropping the
+    displaced min is sound: m > bar puts m in the true top-k, which
+    therefore keeps at most k-1 incumbents. The single `pl.when`
+    fires only when some probe's SECOND-best remaining column still
+    beats its post-insert bar — i.e. one block holds ≥2 of a probe's
+    running top-k, which after warmup is rare (~12% of blocks at
+    B=64/k=20, <1% at k=5) — and runs the full concat k-pass sort.
+    The insert may duplicate (score, col) pairs between scratch and
+    tile; :func:`_select_topk` knocks out by column index, so both
+    copies collapse in one extraction. Scratch stays unordered;
+    :func:`_finalize` sorts once at the last grid step."""
+    b = sims.shape[0]
+    big = jnp.int32(2**31 - 1)
+    m = jnp.max(sims, axis=1, keepdims=True)                  # (B,1)
+    idx = jnp.min(jnp.where(sims >= m, col, big), axis=1,
+                  keepdims=True)                              # (B,1)
+    bs = bs_ref[:]
+    bar = jnp.min(bs, axis=1, keepdims=True)                  # (B,1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+    sl = jnp.min(jnp.where(bs == bar, slot, big), axis=1,
+                 keepdims=True)
+    repl = (slot == sl) & (m > bar)
+    bsn = jnp.where(repl, m, bs)
+    bs_ref[:] = bsn
+    bi_ref[:] = jnp.where(repl, idx, bi_ref[:])
+    m2 = jnp.max(jnp.where(col == idx, _INIT, sims), axis=1,
+                 keepdims=True)
+
+    @pl.when(jnp.any(m2 > jnp.min(bsn, axis=1, keepdims=True)))
     def _():
         all_s = jnp.concatenate([bs_ref[:], sims], axis=1)
-        all_i = jnp.concatenate([bi_ref[:], col], axis=1)
-        bs_ref[:], bi_ref[:] = _select_topk(all_s, all_i, k)
+        all_i = jnp.concatenate(
+            [bi_ref[:], jnp.broadcast_to(col, sims.shape)], axis=1)
+        ts, ti = _select_topk(all_s, all_i, k)
+        bs_ref[:] = ts
+        bi_ref[:] = ti
 
 
 def _kernel_q(n_ref, p_ref, ps_ref, g_ref, gs_ref, bias_ref, s_out,
@@ -144,13 +198,11 @@ def _kernel_q(n_ref, p_ref, ps_ref, g_ref, gs_ref, bias_ref, s_out,
     as (8, blk) tiles covering 8 grid steps — Mosaic requires >=8
     sublanes per block — and the step picks its row.
 
-    The f32 rescale of the whole (B, blk) accumulator was the VPU
-    serial tail at B>1 (measured 22.8 ms vs 7.3 B=1 at 10^7 rows, r4).
-    The bound gate below replaces it with ONE int32 max-reduce per
-    block: sims[b,j] = acc·ps_b·gs_j with ps,gs > 0 and bias ≤ 0, so
-    ps_b · (max_j acc ≥ 0 ? max_j acc · max gs : max_j acc · min gs)
-    is a sound upper bound; blocks whose bound beats no probe's kth
-    bar skip the dequant and the selection sweep entirely."""
+    The f32 rescale of the whole (B, blk) accumulator looks like a
+    VPU tail but measures FREE (it hides under the 2.6 µs/block HBM
+    read; see :func:`_stream_merge`'s cost model), so the kernel
+    dequants unconditionally and merges with the same one-branch
+    streaming insert as the f32/bf16 kernel."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -162,28 +214,13 @@ def _kernel_q(n_ref, p_ref, ps_ref, g_ref, gs_ref, bias_ref, s_out,
         p_ref[:], g_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)
     gs = gs_ref[pl.ds(i % 8, 1), :]                       # (1, blk)
-    am = jnp.max(acc, axis=1).astype(jnp.float32)         # (B,)
-    bound = ps_ref[:, 0] * jnp.where(am >= 0, am * jnp.max(gs),
-                                     am * jnp.min(gs))
-    bar = jnp.min(bs_ref[:], axis=1)                      # (B,)
-    # `bar == _INIT` forces warmup blocks through even if the bound is
-    # somehow below _INIT (wildly non-normalized inputs): the running
-    # set must fill with real rows before skipping is sound.
-    need = jnp.any((bound > bar) | (bar == _INIT))
+    sims = acc.astype(jnp.float32) * ps_ref[:] * gs
+    sims = sims + bias_ref[pl.ds(i % 8, 1), :]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1) + i * blk
+    sims = jnp.where(col < n_ref[0, 0], sims, _NEG)
+    _stream_merge(sims, col, bs_ref, bi_ref, k)
 
-    @pl.when(need)
-    def _():
-        sims = acc.astype(jnp.float32) * ps_ref[:] * gs
-        sims = sims + bias_ref[pl.ds(i % 8, 1), :]
-        col = (jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
-               + i * blk)
-        sims = jnp.where(col < n_ref[0, 0], sims, _NEG)
-        _update_best(sims, col, bs_ref, bi_ref, k)
-
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _():
-        s_out[:] = bs_ref[:]
-        i_out[:] = bi_ref[:]
+    _finalize(i, s_out, i_out, bs_ref, bi_ref, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
