@@ -138,3 +138,57 @@ def test_gallery_pallas_dispatch_equals_xla():
             assert pal._pallas_fails == 0
     finally:
         gallery_mod._PROBE_CHUNK = old_chunk
+
+
+def test_stream_merge_adversarial_orderings():
+    """r5 one-branch merge: orderings that stress each path.
+
+    - ascending: every block's max enters the running set (the
+      second-candidate `pl.when` fires maximally),
+    - descending: after block 0 no column ever enters (the insert
+      predicate is false everywhere — pure streaming),
+    - clustered: the ENTIRE true top-k sits in one interior block
+      (>=2 same-block candidates force the concat fallback),
+    - duplicates: scratch/tile duplicate (score, col) pairs must
+      collapse via index knockout, not surface twice.
+    """
+    import jax.numpy as jnp
+
+    from tf_face_toolbox_tpu.ops.pallas_topk import cosine_topk_impl
+
+    rng = np.random.default_rng(9)
+    cap, n, k = 4096, 4096, 6           # blk=1024 -> 4 grid steps
+    base = _unit(rng, 1)[0]
+    others = _unit(rng, n)
+    p = base[None, :].astype(np.float32)
+
+    def gallery_with_scores(scores):
+        """Rows whose cosine against `base` is exactly-ish `scores`
+        (mix base with an orthogonalized partner)."""
+        g = np.empty((cap, DIM), np.float32)
+        for j, s in enumerate(scores):
+            v = others[j] - (others[j] @ base) * base
+            v /= np.linalg.norm(v)
+            g[j] = s * base + np.sqrt(1.0 - s * s) * v
+        return g
+
+    asc = gallery_with_scores(np.linspace(-0.9, 0.9, n))
+    desc = gallery_with_scores(np.linspace(0.9, -0.9, n))
+    clustered = gallery_with_scores(
+        np.concatenate([np.linspace(-0.5, 0.0, 2048),
+                        np.linspace(0.90, 0.99, 6),     # all top-6
+                        np.linspace(-0.5, 0.0, n - 2054)]))
+    dup = gallery_with_scores(np.linspace(-0.9, 0.9, n))
+    dup[1030] = dup[4095]               # top-scoring row duplicated in
+                                        # an earlier block: cross-block
+                                        # exact tie inside the top-k
+
+    for g in (asc, desc, clustered, dup):
+        s, i = cosine_topk_impl(jnp.asarray(g), jnp.asarray(p), n, k,
+                                interpret=True)
+        ref = (p @ g[:n].T)[0]
+        ri = np.argsort(-ref, kind="stable")[:k]
+        np.testing.assert_array_equal(np.asarray(i)[0], ri)
+        np.testing.assert_allclose(np.asarray(s)[0], ref[ri],
+                                   atol=1e-5)
+        assert len(set(np.asarray(i)[0].tolist())) == k   # no dupes
