@@ -298,3 +298,43 @@ def test_dist_compaction_crossing(mesh):
     got_l, got_s = g.search(probes, k=5)
     np.testing.assert_array_equal(want_l, got_l)
     np.testing.assert_allclose(want_s, got_s, atol=2e-6)
+
+
+def test_one_strike_per_search_not_per_chunk(mesh, monkeypatch):
+    """r5 review fix: a probe-chunked search that trips the Pallas
+    fallback must burn ONE strike for the whole request — retrying the
+    kernel on every remaining chunk would let a single transient
+    Mosaic/VMEM event exhaust all 3 strikes and permanently disable
+    the fast path (the exact policy the 3-strike design prevents)."""
+    import tf_face_toolbox_tpu.serving.distributed_gallery as dg
+
+    e = _unit(40, seed=31)
+    g = DistributedGallery(DIM, mesh=mesh, block=1024)
+    g.use_pallas = True                     # force the kernel path
+    g.enroll(e, np.arange(40))
+    g.sims_bytes_guard = 1                  # chunk = _PROBE_CHUNK_MIN
+    probes = _unit(3 * dg._PROBE_CHUNK_MIN, seed=32)
+
+    real = dg._dist_search_fn
+    pallas_calls = {"n": 0}
+
+    def fake(mesh_, axis, n_dev, k_local, k, quantized, pallas,
+             interpret):
+        if pallas:
+            pallas_calls["n"] += 1
+            raise RuntimeError("transient mosaic failure")
+        return real(mesh_, axis, n_dev, k_local, k, quantized, pallas,
+                    interpret)
+
+    monkeypatch.setattr(dg, "_dist_search_fn", fake)
+    labs, sc = g.search(probes, k=5)
+    assert g._pallas_fails == 1             # one strike, whole search
+    assert pallas_calls["n"] == 1           # later chunks fell back
+    assert g._pallas_cooldown > 0
+
+    ref = DistributedGallery(DIM, mesh=mesh, block=1024)
+    ref.use_pallas = False
+    ref.enroll(e, np.arange(40))
+    want_l, want_s = ref.search(probes, k=5)
+    np.testing.assert_array_equal(labs, want_l)
+    np.testing.assert_allclose(sc, want_s, atol=1e-5)

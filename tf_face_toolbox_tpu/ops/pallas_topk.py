@@ -358,13 +358,9 @@ def cosine_topk_q_impl(gallery_q, gallery_scale, probes_q, probe_scale,
     b = probes_q.shape[0]
     grid = cap // blk
     n2 = jnp.asarray(n_valid, jnp.int32).reshape(1, 1)
-    # per-row scales blocked as (grid, blk), grid padded to a multiple
-    # of 8 so every block is a full (8, blk) tile (Mosaic's sublane
-    # floor); step i reads tile i//8 and selects row i%8 in-kernel
-    g8 = -(-grid // 8) * 8
-    gs2 = jnp.zeros((g8, blk), jnp.float32)
-    gs2 = jax.lax.dynamic_update_slice(
-        gs2, gallery_scale.reshape(grid, blk), (0, 0))
+    # per-row scales blocked exactly like the bias: (ceil8(grid), blk)
+    # tiles, step i reads tile i//8 / row i%8 in-kernel
+    gs2 = _bias_tiles(gallery_scale, cap, grid, blk)
     bias2 = _bias_tiles(bias, cap, grid, blk)
     ps2 = probe_scale.reshape(b, 1)
     return pl.pallas_call(

@@ -644,7 +644,14 @@ class DistributedGallery:
             if use_pallas:
                 chunk = min(chunk, _PALLAS_PROBE_CHUNK)
             out_l, out_s = [], []
+            strikes0 = self._pallas_fails
             for i in range(0, e.shape[0], chunk):
+                # one strike per SEARCH, not per chunk: once a chunk
+                # trips the fallback, later chunks of the same request
+                # must not retry the kernel (a single transient event
+                # would otherwise burn all 3 strikes at once)
+                if use_pallas and self._pallas_fails > strikes0:
+                    use_pallas = False
                 idx, sc = self._search_chunk(
                     dev, dev_scale, dev_bias, host, bias, n, n_live,
                     e[i:i + chunk], k, local_cap, use_pallas)

@@ -174,11 +174,13 @@ def identification_split(names_path: str) -> tuple[list[int], list[int]]:
     """
     by_label: dict[str, list[int]] = {}
     with open(names_path) as f:
-        for row, line in enumerate(f):
-            parts = line.split()
-            if not parts:
+        row = 0                 # numbering must skip blank lines, the
+        for line in f:          # same way the packer/extractor do —
+            parts = line.split()  # else every row after an interior
+            if not parts:         # blank is off by one
                 continue
             by_label.setdefault(parts[-1], []).append(row)
+            row += 1
     gallery_rows: list[int] = []
     probe_rows: list[int] = []
     for rows in by_label.values():

@@ -35,17 +35,19 @@ DIM = 512
 CHUNK = 1 << 19     # rows generated per fill step (1 GB f32 transient)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=())
-def _fill_bf16(store, key, off):
-    x = jax.random.normal(key, (CHUNK, DIM), jnp.float32)
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("chunk",))
+def _fill_bf16(store, key, off, *, chunk):
+    x = jax.random.normal(key, (chunk, DIM), jnp.float32)
     x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
     return jax.lax.dynamic_update_slice(
         store, x.astype(store.dtype), (off, 0))
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _fill_int8(store, scales, key, off):
-    x = jax.random.normal(key, (CHUNK, DIM), jnp.float32)
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("chunk",))
+def _fill_int8(store, scales, key, off, *, chunk):
+    x = jax.random.normal(key, (chunk, DIM), jnp.float32)
     x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
     s = jnp.max(jnp.abs(x), axis=1) / 127.0
     q = jnp.round(x / s[:, None]).astype(jnp.int8)
@@ -57,20 +59,23 @@ def make_store(cap: int, dtype: str):
     """Device-resident (cap, DIM) store of unit rows; int8 also
     returns the (cap,) per-row scales (peak HBM = store + 1 GB)."""
     key = jax.random.PRNGKey(0)
+    chunk = min(CHUNK, cap)     # small --rows: one sub-CHUNK fill
     if dtype == "int8":
         store = jnp.zeros((cap, DIM), jnp.int8)
         scales = jnp.full((cap,), 1.0 / 127.0, jnp.float32)
-        for off in range(0, cap, CHUNK):
+        for off in range(0, cap, chunk):
             key, k2 = jax.random.split(key)
             store, scales = _fill_int8(store, scales, k2,
-                                       min(off, cap - CHUNK))
+                                       min(off, cap - chunk),
+                                       chunk=chunk)
         return store, scales
     store = jnp.zeros((cap, DIM),
                       jnp.bfloat16 if dtype == "bfloat16"
                       else jnp.float32)
-    for off in range(0, cap, CHUNK):
+    for off in range(0, cap, chunk):
         key, k2 = jax.random.split(key)
-        store = _fill_bf16(store, k2, min(off, cap - CHUNK))
+        store = _fill_bf16(store, k2, min(off, cap - chunk),
+                           chunk=chunk)
     return store, None
 
 

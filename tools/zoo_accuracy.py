@@ -266,7 +266,7 @@ def run_entry(name: str, teacher=None, teacher_net=None) -> dict:
 
 
 def main():
-    global NOISE, FINE, STEPS, NUM_IDS
+    global NOISE, FINE, STEPS, NUM_IDS, EVAL_IDS
     ap = argparse.ArgumentParser()
     ap.add_argument("nets", nargs="*",
                     default=["resnet_v1_50", "mobilefacenet"])
@@ -285,6 +285,7 @@ def main():
     args = ap.parse_args()
     NOISE, FINE, STEPS, NUM_IDS = (args.noise, args.fine, args.steps,
                                    args.ids)
+    EVAL_IDS = min(EVAL_IDS, NUM_IDS)   # quick runs with --ids < 100
     print(f"protocol: ids={NUM_IDS} noise={NOISE} fine={FINE} "
           f"steps={STEPS} pairs={2 * PAIRS_PER_SIDE}", flush=True)
     names = args.nets
